@@ -1,0 +1,164 @@
+package graft.ljot
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One input record, side-tagged. `left = true` → lhs arm (the reference's
+ * `ScheduleProcessor` input, `ScheduleProcessor.java:23-25`); `left = false`
+ * → rhs arm feeding the windowed join. */
+private[ljot] case class TaggedRec(key: Long, value: String, ts: Timestamp, left: Boolean)
+
+/** Un-joined output row; the user joiner is applied afterwards as a Column
+ * over (lvalue, rvalue) so batch/streaming/faithful share one joiner type. */
+private[ljot] case class PairOut(key: Long, lvalue: String, rvalue: Option[String], ts: Timestamp)
+
+/** Mirror of the reference state row `Scheduled<K,V>{key,value,timestamp}`
+ * (`Scheduled.java:9-24`) plus the wall-clock deadline that replaces the
+ * transient `ScheduledFuture`. */
+private[ljot] case class Pending(value: String, ts: Long, deadlineMs: Long)
+
+/** Per-key join state: both sides' in-retention records (the window-store
+ * role Kafka Streams' join plays internally) + the pending-timeout multimap
+ * (`ScheduledStateStore.java:29`). */
+private[ljot] case class KeyState(
+    lefts: List[(String, Long)],
+    rights: List[(String, Long)],
+    pending: List[Pending],
+    maxEventTs: Long)
+
+/**
+ * Faithful re-implementation of the reference semantics that the idiomatic
+ * left-outer join deliberately cleans up (SURVEY.md §2.3):
+ *
+ *  - **key-level cancellation** (§2.3-3): any join output for key k cancels
+ *    ALL pending timeout emissions for k (`ScheduledStateStore.java:87-115`
+ *    iterates the whole multimap entry), even for a left whose own window
+ *    does not contain the joining right;
+ *  - **processing-time timeout, event-time band** (§2.3-4): the timer is
+ *    wall-clock from left arrival (`ScheduledStateStore.java:69-82`) while
+ *    the band is event-time;
+ *  - **restore re-arms timers with the full delay** (§2.3-7): Spark's
+ *    processing-time timeouts are re-evaluated per trigger after a
+ *    checkpoint restart — the same behavior the reference gets from
+ *    replaying the changelog (`ScheduledStateStore.java:123-137`).
+ *
+ * Single stateful operator: tagged union of both sides → `groupByKey(key)`
+ * → `flatMapGroupsWithState(Append, ProcessingTimeTimeout)`. Each group is
+ * processed single-threaded, so the reference's concurrency machinery
+ * (`MultiMapUtils.java:15-35`, `BlockingScheduledExecutor.java:6-129`)
+ * reduces to plain List updates — the shuffle partitioning by key is the
+ * scale mechanism, identical in role to the reference's per-partition state
+ * (`StateStoreLogger.java:22-23`).
+ */
+object FaithfulLeftJoin {
+
+  def apply(lhs: DataFrame, rhs: DataFrame, joiner: LeftJoinOnTimeout.Joiner,
+            cfg: LeftJoinOnTimeoutConfig): DataFrame = {
+    val spark = lhs.sparkSession
+    import spark.implicits._
+
+    val tag = (df: DataFrame, isLeft: Boolean) =>
+      df.select(col("key").cast("long").as("key"),
+                col("value").cast("string").as("value"),
+                col("ts").cast("timestamp").as("ts"),
+                lit(isLeft).as("left")).as[TaggedRec]
+
+    val union = tag(lhs, true).unionByName(tag(rhs, false))
+
+    val d = cfg.joinWindow.toMillis
+    val r = cfg.retention.toMillis
+    val timeoutMs = cfg.effectiveTimeout.toMillis
+
+    val out: Dataset[PairOut] = union
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, PairOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, records, state) => processKey(key, records, state, d, r, timeoutMs)
+      }
+
+    out.toDF()
+      .select(col("key"),
+              joiner(col("lvalue"), col("rvalue")).as("joined"),
+              col("ts"))
+  }
+
+  /** Core per-key transition. Pulled out for direct unit testing. */
+  private[ljot] def processKey(
+      key: Long,
+      records: Iterator[TaggedRec],
+      state: GroupState[KeyState],
+      bandMs: Long,
+      retentionMs: Long,
+      timeoutMs: Long): Iterator[PairOut] = {
+
+    val now = state.getCurrentProcessingTimeMs()
+    var s = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue))
+    val out = List.newBuilder[PairOut]
+
+    // 1. Fire overdue timers (the `ScheduledThreadPoolExecutor` role,
+    //    `ScheduledStateStore.java:69-82`): emit joiner(l, null) with the
+    //    LEFT's original event ts (`LeftJoinOnTimeoutBuilder.java:165-168`).
+    val (due, stillPending) = s.pending.partition(_.deadlineMs <= now)
+    due.foreach(p => out += PairOut(key, p.value, None, new Timestamp(p.ts)))
+    s = s.copy(pending = stillPending)
+
+    // 2. Process arrivals in order (single stream thread per key, like the
+    //    reference's per-task processing).
+    records.foreach { rec =>
+      val ts = rec.ts.getTime
+      s = s.copy(maxEventTs = math.max(s.maxEventTs, ts))
+      if (rec.left) {
+        // windowed join probe: left vs retained rights (O4)
+        val matches = s.rights.filter { case (_, rts) => math.abs(rts - ts) <= bandMs }
+        matches.foreach { case (rv, _) =>
+          out += PairOut(key, rec.value, Some(rv), rec.ts)
+        }
+        if (matches.nonEmpty) {
+          // join output → CancelProcessor cancels ALL pending for the key
+          // (`ScheduledStateStore.java:87-115`) — including this left.
+          s = s.copy(pending = Nil)
+        } else {
+          // ScheduleProcessor: register the deferred joiner(l, null)
+          s = s.copy(pending = s.pending :+ Pending(rec.value, ts, now + timeoutMs))
+        }
+        s = s.copy(lefts = s.lefts :+ (rec.value, ts))
+      } else {
+        // right arrival probes retained lefts — every in-window pair emits
+        // (per-pair semantics, `LeftJoinOnTimeoutTest.java:89-91`)
+        val matches = s.lefts.filter { case (_, lts) => math.abs(lts - ts) <= bandMs }
+        matches.foreach { case (lv, lts) =>
+          out += PairOut(key, lv, Some(rec.value), new Timestamp(lts))
+        }
+        if (matches.nonEmpty) s = s.copy(pending = Nil) // key-level cancel
+        s = s.copy(rights = s.rights :+ (rec.value, ts))
+      }
+    }
+
+    // 3. Evict join state past retention R (`JoinWindows.until(R)`,
+    //    `LeftJoinOnTimeoutBuilder.java:114`) by stream time.
+    val horizon = s.maxEventTs - retentionMs
+    s = s.copy(
+      lefts = s.lefts.filter(_._2 >= horizon),
+      rights = s.rights.filter(_._2 >= horizon))
+
+    // 4. Persist + re-arm the group timer for the earliest pending deadline
+    //    (restore after checkpoint re-evaluates this per trigger —
+    //    reference restore parity, §2.3-7).
+    if (s.lefts.isEmpty && s.rights.isEmpty && s.pending.isEmpty) {
+      state.remove()
+    } else {
+      state.update(s)
+      if (s.pending.nonEmpty) {
+        val earliest = s.pending.map(_.deadlineMs).min
+        state.setTimeoutDuration(math.max(1L, earliest - now))
+      } else {
+        // keep the group alive so retention eviction eventually runs
+        state.setTimeoutDuration(retentionMs + timeoutMs)
+      }
+    }
+    out.result().iterator
+  }
+}
