@@ -22,12 +22,17 @@ private[ljot] case class Pending(value: String, ts: Long, deadlineMs: Long)
 
 /** Per-key join state: both sides' in-retention records (the window-store
  * role Kafka Streams' join plays internally) + the pending-timeout multimap
- * (`ScheduledStateStore.java:29`). */
+ * (`ScheduledStateStore.java:29`). `lastActiveMs` (processing time of the
+ * last arrival) bounds idle-state lifetime: a key that stops receiving
+ * records is dropped wholesale after the retention period, the same net
+ * effect as the reference's window-store retention reaper — without it the
+ * state (and its re-armed timers) would live forever. */
 private[ljot] case class KeyState(
     lefts: List[(String, Long)],
     rights: List[(String, Long)],
     pending: List[Pending],
-    maxEventTs: Long)
+    maxEventTs: Long,
+    lastActiveMs: Long)
 
 /**
  * Faithful re-implementation of the reference semantics that the idiomatic
@@ -95,7 +100,7 @@ object FaithfulLeftJoin {
       timeoutMs: Long): Iterator[PairOut] = {
 
     val now = state.getCurrentProcessingTimeMs()
-    var s = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue))
+    var s = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue, now))
     val out = List.newBuilder[PairOut]
 
     // 1. Fire overdue timers (the `ScheduledThreadPoolExecutor` role,
@@ -109,7 +114,7 @@ object FaithfulLeftJoin {
     //    reference's per-task processing).
     records.foreach { rec =>
       val ts = rec.ts.getTime
-      s = s.copy(maxEventTs = math.max(s.maxEventTs, ts))
+      s = s.copy(maxEventTs = math.max(s.maxEventTs, ts), lastActiveMs = now)
       if (rec.left) {
         // windowed join probe: left vs retained rights (O4)
         val matches = s.rights.filter { case (_, rts) => math.abs(rts - ts) <= bandMs }
@@ -146,8 +151,12 @@ object FaithfulLeftJoin {
 
     // 4. Persist + re-arm the group timer for the earliest pending deadline
     //    (restore after checkpoint re-evaluates this per trigger —
-    //    reference restore parity, §2.3-7).
-    if (s.lefts.isEmpty && s.rights.isEmpty && s.pending.isEmpty) {
+    //    reference restore parity, §2.3-7). A key that has been idle for a
+    //    full retention period with nothing pending is dropped entirely —
+    //    bounded state, and the engine reaches quiescence (no perpetual
+    //    no-data micro-batches from eternally re-armed timers).
+    val idle = now - s.lastActiveMs >= retentionMs
+    if (s.pending.isEmpty && (idle || (s.lefts.isEmpty && s.rights.isEmpty))) {
       state.remove()
     } else {
       state.update(s)
@@ -155,8 +164,8 @@ object FaithfulLeftJoin {
         val earliest = s.pending.map(_.deadlineMs).min
         state.setTimeoutDuration(math.max(1L, earliest - now))
       } else {
-        // keep the group alive so retention eviction eventually runs
-        state.setTimeoutDuration(retentionMs + timeoutMs)
+        // wake once more when the idle-retention horizon passes
+        state.setTimeoutDuration(math.max(1L, s.lastActiveMs + retentionMs - now))
       }
     }
     out.result().iterator

@@ -1,0 +1,118 @@
+package graft.ljot
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+case class Rec(key: Long, value: String, ts: Timestamp)
+
+/** Streaming semantics via MemoryStream — replaces the reference's
+ * embedded-Kafka integration layer (`LeftJoinOnTimeoutTest.java:38-95`,
+ * SURVEY.md §5 layer-1 mapping). The watermark sentinel records play the
+ * role of the reference's 100 ms timeout gap: they advance event time past
+ * `l.ts + D` so the left-outer join emits the null-padded rows
+ * (SURVEY.md §7.4-5). */
+class LjotStreamingSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // D = 100 s band, R = 300 s retention — ref long-window config
+  // (`LeftJoinOnTimeoutTest.java:184-188`)
+  private val cfg = LeftJoinOnTimeoutConfig(
+    Duration.ofSeconds(100), Duration.ofSeconds(300))
+  private val D = cfg.joinWindow.toMillis
+  private val R = cfg.retention.toMillis
+  private val base = 1000000000L // epoch ms base for event times
+
+  private def rec(k: Long, v: String, ts: Long) = Rec(k, v, new Timestamp(ts))
+
+  /** Sentinel far enough ahead to push the min-watermark past every
+   * interesting left's expiry: wm = maxEventTs − R must exceed ts + D. */
+  private def sentinelTs: Long = base + 2 * (D + R)
+
+  private def startQuery(out: DataFrame, name: String,
+                         checkpoint: Option[String] = None): StreamingQuery = {
+    val w = out.writeStream.format("memory").queryName(name).outputMode("append")
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Sorted output rows, excluding the watermark sentinels (keys >= 90). */
+  private def collected(name: String): Seq[(Long, String, Long)] =
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+      .filter(_._1 < 90L)
+      .toSeq.sorted
+
+  test("streaming inner interval join matches batch semantics") {
+    val l = MemoryStream[Rec]; val r = MemoryStream[Rec]
+    val out = LeftJoinOnTimeout.innerJoin(l.toDF(), r.toDF(),
+      LeftJoinOnTimeout.testJoiner, cfg)
+    val q = startQuery(out, "inner_out")
+    try {
+      l.addData(rec(1, "left_1", base + 1), rec(1, "left_2", base + 20))
+      r.addData(rec(1, "right", base + 1))
+      q.processAllAvailable()
+      assert(collected("inner_out") ===
+        Seq((1L, "left_1+right", base + 1), (1L, "left_2+right", base + 20)))
+    } finally q.stop()
+  }
+
+  test("left-outer: in-window pairs join, expired lefts emit timeout rows") {
+    val l = MemoryStream[Rec]; val r = MemoryStream[Rec]
+    val out = LeftJoinOnTimeout(l.toDF(), r.toDF(),
+      LeftJoinOnTimeout.testJoiner, cfg)
+    val q = startQuery(out, "outer_out")
+    try {
+      l.addData(rec(1, "left_1", base + 1), rec(2, "lonely", base + 5))
+      r.addData(rec(1, "right", base + 1))
+      q.processAllAvailable()
+      // watermark still at min(maxEvent) − R → no null rows yet; the joined
+      // pair may already be visible (inner part emits eagerly)
+      l.addData(rec(98, "wm", sentinelTs))
+      r.addData(rec(99, "wm", sentinelTs))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(collected("outer_out") ===
+        Seq((1L, "left_1+right", base + 1), (2L, "lonely+", base + 5)))
+    } finally q.stop()
+  }
+
+  test("restore: checkpoint restart completes pending timeouts") {
+    // mirrors shouldLeftJoinOnTimeoutAfterRestoration
+    // (`LeftJoinOnTimeoutTest.java:131-153`): schedule, kill, restart, fire
+    // memory sink can't recover from a checkpoint — use a file sink
+    val ckpt = Files.createTempDirectory("ljot_ckpt").toString
+    val outDir = Files.createTempDirectory("ljot_restore_out").toString
+    val l = MemoryStream[Rec]; val r = MemoryStream[Rec]
+    def plan = LeftJoinOnTimeout(l.toDF(), r.toDF(),
+      LeftJoinOnTimeout.testJoiner, cfg)
+    def start(): StreamingQuery = plan.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      l.addData(rec(1, "left", base + 1), rec(2, "left", base + 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      l.addData(rec(98, "wm", sentinelTs))
+      r.addData(rec(99, "wm", sentinelTs))
+      q2.processAllAvailable()
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getTimestamp(2).getTime))
+        .filter(_._1 < 90L).toSeq.sorted
+      assert(rows === Seq((1L, "left+", base + 1), (2L, "left+", base + 1)))
+    } finally q2.stop()
+  }
+}
