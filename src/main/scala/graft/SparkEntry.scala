@@ -5,37 +5,30 @@ import java.time.Duration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions, TextSql}
 import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
+import graft.operators.{Multimodal, Relational, TextDedup, VectorOps}
+import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
- * Every operator from SURVEY.md §2 is exposed as a named batch query over
- * the shared parquet tables, with an ANSI-SQL oracle for the driver's
- * DuckDB compare. Column names are aliased identically on both sides (the
- * compare sorts columns by name before hashing). */
+ * Every operator from SURVEY.md §2 (and the training-data extension set,
+ * §7.2-M7) is exposed as a named batch query over the shared parquet
+ * tables, with an ANSI-SQL oracle for the driver's DuckDB compare. Column
+ * names are aliased identically on both sides (the compare sorts columns
+ * by name before hashing). */
 object SparkEntry {
 
   /** Join band D for the flagship left-join-on-timeout queries. */
   private val D = Duration.ofMinutes(5)
   private val ljotCfg = LeftJoinOnTimeoutConfig(D, Duration.ofMinutes(15))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-   * reader rejects. Read it as epoch-nanos long
-   * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-   * exactly what DuckDB's parquet reader does natively, so the oracle sees
-   * identical values. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
-
   /** lhs/rhs of the flagship query: purchases left-joined to errors by user
    * within ±D (FIXTURES.md §2). value = event_id as string — mirrors the
    * reference's opaque string values (`LeftJoinOnTimeoutTest.java:201-208`)
    * with deterministic cross-engine formatting. */
   private def eventsSide(s: SparkSession, dir: String, eventType: String): DataFrame =
-    events(s, dir)
+    Tables.events(s, dir)
       .filter(col("event_type") === eventType)
       .select(col("user_id").as("key"),
               col("event_id").cast("string").as("value"),
@@ -78,6 +71,16 @@ object SparkEntry {
                 concat(col("lvalue"), lit("+")).as("joined"),
                 col("lts").as("ts"))
     }
+
+    /** Text-analysis scalar pipeline (language-ID, quality, token count,
+     * fingerprint) — one codegen'd projection, no shuffle. */
+    def textStats(s: SparkSession, dir: String): DataFrame =
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("lang_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
   }
 
   private val dMin = D.toMinutes
@@ -86,11 +89,38 @@ object SparkEntry {
     s"SELECT user_id AS key, CAST(event_id AS VARCHAR) AS value, ts " +
       s"FROM events WHERE event_type = '$eventType'"
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + §7.2-M7. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference operator surface (LJOT)
     "ljot_events"         -> ((s, d) => Queries.ljotEvents(s, d)),
     "interval_join_inner" -> ((s, d) => Queries.intervalJoinInner(s, d)),
     "timeout_only"        -> ((s, d) => Queries.timeoutOnly(s, d)),
+    // text analysis + dedup (training-data pipeline ops)
+    "text_stats"          -> ((s, d) => Queries.textStats(s, d)),
+    "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
+    "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedup(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
+    // vector similarity
+    "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
+    "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
+    // multimodal plumbing
+    "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // relational built-in coverage (SURVEY.md §2.2)
+    "q1_pricing"          -> ((s, d) => Relational.pricingSummary(s, d)),
+    "topk_orders"         -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
+    "revenue_nation"      -> ((s, d) => Relational.revenueByNation(s, d)),
+    "semi_big_spenders"   -> ((s, d) => Relational.bigSpenders(s, d)),
+    "anti_no_orders"      -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "setop_intersect"     -> ((s, d) => Relational.activeHighBalance(s, d)),
+    "setop_except"        -> ((s, d) => Relational.inactiveHighBalance(s, d)),
+    "scalar_part"         -> ((s, d) => Relational.partScalars(s, d)),
+    "orders_by_month"     -> ((s, d) => Relational.ordersByMonth(s, d)),
+    "json_event_props"    -> ((s, d) => Relational.eventProps(s, d)),
+    "window_running_rev"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    "rollup_customers"    -> ((s, d) => Relational.customerRollup(s, d)),
+    "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +141,32 @@ object SparkEntry {
          |FROM (${eventsSideSql("purchase")}) l
          |WHERE NOT EXISTS (SELECT 1 FROM (${eventsSideSql("error")}) r
          |  WHERE r.key = l.key AND r.ts BETWEEN l.ts - INTERVAL $dMin MINUTE AND l.ts + INTERVAL $dMin MINUTE)""".stripMargin,
+    "text_stats" ->
+      s"""SELECT doc_id, ${TextSql.tokenCount("text")} AS n_tokens,
+         | ${TextSql.langId("text")} AS lang_id,
+         | ${TextSql.qualityScore("text")} AS quality,
+         | ${TextSql.fingerprint("text")} AS fp
+         |FROM documents""".stripMargin,
+    "dedup_exact"         -> TextDedup.exactSql("documents"),
+    "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
+    "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
+    "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
+    "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
+    "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
+    "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
+    "mm_features"         -> Multimodal.featuresSql("documents"),
+    "q1_pricing"          -> Relational.pricingSummarySql,
+    "topk_orders"         -> Relational.topOrdersPerSegmentSql,
+    "revenue_nation"      -> Relational.revenueByNationSql,
+    "semi_big_spenders"   -> Relational.bigSpendersSql,
+    "anti_no_orders"      -> Relational.customersWithoutOrdersSql,
+    "setop_intersect"     -> Relational.activeHighBalanceSql,
+    "setop_except"        -> Relational.inactiveHighBalanceSql,
+    "scalar_part"         -> Relational.partScalarsSql,
+    "orders_by_month"     -> Relational.ordersByMonthSql,
+    "json_event_props"    -> Relational.eventPropsSql,
+    "window_running_rev"  -> Relational.runningRevenueSql,
+    "rollup_customers"    -> Relational.customerRollupSql,
+    "distinct_customers"  -> Relational.distinctCustomersSql,
   )
 }

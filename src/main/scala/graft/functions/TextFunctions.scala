@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis scalar pipeline for a large-scale training-data engine:
+ * tokenization, language-ID heuristic, quality scoring, token counting and
+ * document fingerprinting (SURVEY.md §7.2-M7).
+ *
+ * The reference library treats values as opaque blobs between serdes
+ * (SURVEY.md §1.2) and has no scalar function surface
+ * (`LeftJoinOnTimeoutBuilder.java:30` — the user `ValueJoiner` is the whole
+ * extension point); these functions are the engine-side library a user
+ * would otherwise have to hand-roll in that joiner.
+ *
+ * Every function is a pure Column expression built from
+ * `org.apache.spark.sql.functions._` higher-order array functions — fully
+ * codegen'd, no UDFs, no driver-side work — and each has an exactly
+ * mirrored DuckDB SQL fragment (in [[TextSql]]) so the driver's oracle
+ * hash-compare is bit-deterministic: only integer arithmetic, string ops
+ * and single IEEE double ops (one division per ratio) appear, never
+ * order-dependent double aggregation.
+ */
+object TextFunctions {
+
+  /** English stopword list shared by the heuristics. Tiny by design: the
+   * synthetic corpus vocabulary is English database jargon. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Minimum stopword ratio for the language-ID heuristic to call `en`. */
+  val EnStopRatio = 0.05
+
+  /** Length-score saturation point for the quality score (tokens). */
+  val QualityLenNorm = 64.0
+
+  private def stopArray: Column = array(Stopwords.map(lit): _*)
+
+  /** Lowercased alphanumeric tokens; empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-normalized document text (tokens re-joined). */
+  def normText(text: Column): Column = array_join(tokens(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Stopword hits over the token list (BIGINT). */
+  def stopHits(text: Column): Column =
+    size(filter(tokens(text), t => array_contains(stopArray, t))).cast("bigint")
+
+  /** Stopword ratio in [0, 1]; NaN on empty docs (guarded by callers). */
+  def stopRatio(text: Column): Column =
+    stopHits(text).cast("double") / tokenCount(text).cast("double")
+
+  /** N-gram-heuristic language ID: `en` when the stopword ratio clears
+   * [[EnStopRatio]], else `und` (synthetic corpus is English-jargon soup —
+   * the structure, not the lexicon, is what scales). */
+  def langId(text: Column): Column =
+    when(tokenCount(text) === 0, lit("und"))
+      .when(stopRatio(text) >= EnStopRatio, lit("en"))
+      .otherwise(lit("und"))
+
+  /** Composite quality score in [0, 1]:
+   * 0.5·min(tokens/64, 1) + 0.3·stopRatio + 0.2·alnumRatio. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(QualityLenNorm), lit(1.0))
+    val alnumRatio =
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double")
+    lit(0.5) * lenScore + lit(0.3) * stopRatio(text) + lit(0.2) * alnumRatio
+  }
+
+  /** Content-defined document fingerprint: md5 of the normalized text.
+   * Robust to whitespace/punctuation-only edits. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+}
+
+/** DuckDB mirrors of [[TextFunctions]] — same constants, same expression
+ * shape, for the driver's oracle compare. Each takes the SQL text
+ * expression to wrap (usually a column name). */
+object TextSql {
+  import TextFunctions._
+
+  private def stopList: String =
+    Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def tokens(t: String): String =
+    s"list_filter(string_split_regex(lower($t), '[^a-z0-9]+'), x -> x <> '')"
+
+  def normText(t: String): String = s"array_to_string(${tokens(t)}, ' ')"
+
+  def tokenCount(t: String): String = s"len(${tokens(t)})"
+
+  def stopHits(t: String): String =
+    s"len(list_filter(${tokens(t)}, t -> list_contains($stopList, t)))"
+
+  def stopRatio(t: String): String =
+    s"(CAST(${stopHits(t)} AS DOUBLE) / CAST(${tokenCount(t)} AS DOUBLE))"
+
+  def langId(t: String): String =
+    s"""CASE WHEN ${tokenCount(t)} = 0 THEN 'und'
+       | WHEN ${stopRatio(t)} >= $EnStopRatio THEN 'en'
+       | ELSE 'und' END""".stripMargin.replace("\n", "")
+
+  def qualityScore(t: String): String = {
+    val lenScore = s"least(CAST(${tokenCount(t)} AS DOUBLE) / $QualityLenNorm, CAST(1.0 AS DOUBLE))"
+    val alnum = s"(CAST(length(regexp_replace(lower($t), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length($t) AS DOUBLE))"
+    s"(0.5 * $lenScore + 0.3 * ${stopRatio(t)} + 0.2 * $alnum)"
+  }
+
+  def fingerprint(t: String): String = s"md5(${normText(t)})"
+}

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Relational operator coverage over the TPC-H-ish tables — the categories
+ * SURVEY.md §2.2 marks "absent from the reference, free in Spark":
+ * aggregation, window functions, top-k, semi/anti joins, set operations,
+ * scalar/date/JSON functions, rollup. Each query is a `SparkEntry` entry
+ * with a DuckDB oracle; these prove the built-in surface end-to-end rather
+ * than re-implementing it.
+ *
+ * Determinism: every DOUBLE aggregate is summed as DECIMAL(18,2) (exact)
+ * and cast back to DOUBLE at the end — float summation order differs
+ * between engines, decimal sums don't. Averages are sum/count with a
+ * single final division. `year()`/`length()`/`row_number()` results are
+ * cast to BIGINT on both sides (Spark returns INT where DuckDB returns
+ * BIGINT).
+ *
+ * Scale notes: dimension tables (`region`, `nation`, `customer`) are
+ * broadcast explicitly so fact-side scans never shuffle for enrichment
+ * joins; aggregates rely on partial (map-side) aggregation; the top-k
+ * window partitions by a low-cardinality key only after the broadcast
+ * join has pruned columns.
+ */
+object Relational {
+
+  private def dec(c: String): org.apache.spark.sql.Column =
+    col(c).cast("decimal(18,2)")
+
+  // ---- aggregation (TPC-H Q1 shape) ---------------------------------------
+
+  /** Pricing summary: filter → groupBy → partial-agg-friendly sums. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        // all-decimal product: rounding a computed DOUBLE to decimal is
+        // engine-divergent (Spark rounds the double's shortest decimal
+        // rendering, DuckDB the full binary value) — cast the INPUTS and
+        // multiply exactly instead
+        sum(dec("l_extendedprice") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- top-k per group (window / rank) ------------------------------------
+
+  /** Top-3 orders by price within each market segment; ties broken by
+   * order key. Customer is broadcast — the fact table never shuffles for
+   * the join, only for the (low-cardinality) window partition. */
+  def topOrdersPerSegment(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
+  def topOrdersPerSegmentSql: String =
+    """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3""".stripMargin
+
+  // ---- multi-join enrichment + aggregate ----------------------------------
+
+  /** Revenue by region/nation: orders ⨝ customer ⨝ nation ⨝ region with
+   * every dimension broadcast — one fact scan, zero enrichment shuffles,
+   * then a partial-agg groupBy on (region, nation). */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+  }
+
+  def revenueByNationSql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---- semi / anti joins ---------------------------------------------------
+
+  /** Customers having at least one order above 100k (left-semi). */
+  def bigSpenders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+      .select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+  }
+
+  def bigSpendersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin
+
+  /** Customers with no orders at all (left-anti — the same NOT EXISTS
+   * shape as the LJOT timeout branch, SURVEY.md §2.1-O5). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+  }
+
+  def customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_nationkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  // ---- set operations ------------------------------------------------------
+
+  /** High-balance customer keys that did order (INTERSECT — distinct). */
+  def activeHighBalance(s: SparkSession, dir: String): DataFrame = {
+    val hb = Tables.customer(s, dir).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+    hb.intersect(ord)
+  }
+
+  def activeHighBalanceSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders""".stripMargin
+
+  /** High-balance customer keys that never ordered (EXCEPT — distinct). */
+  def inactiveHighBalance(s: SparkSession, dir: String): DataFrame = {
+    val hb = Tables.customer(s, dir).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+    hb.except(ord)
+  }
+
+  def inactiveHighBalanceSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders""".stripMargin
+
+  // ---- scalar function library --------------------------------------------
+
+  /** Per-row string/math scalar pipeline over `part` — pure projection,
+   * no shuffle, whole-stage-codegen end to end. */
+  def partScalars(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).cast("bigint").as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      abs(col("p_size") - 25).cast("bigint").as("size_dev"),
+      floor(col("p_retailprice")).cast("bigint").as("price_floor"))
+
+  def partScalarsSql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      | CAST(length(p_name) AS BIGINT) AS name_len,
+      | substring(p_type, 1, 5) AS type5,
+      | p_brand || '#' || p_type AS brand_type,
+      | CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+      | CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+      |FROM part""".stripMargin
+
+  // ---- date + JSON functions ----------------------------------------------
+
+  /** Orders per (year, month) — date extraction + aggregate. */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"),
+               month(col("o_orderdate")).cast("bigint").as("mo"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  def ordersByMonthSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      | CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n_orders
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** JSON extraction from the events `props` column. */
+  def eventProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_val"))
+
+  def eventPropsSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  // ---- analytic window (running aggregate) --------------------------------
+
+  /** Per-customer running revenue in order-date order — exact DECIMAL
+   * running sum (window frames accumulate in different association orders
+   * across engines; decimal makes that irrelevant). */
+  def runningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      sum(dec("o_totalprice")).over(w).cast("double").as("run_rev"),
+      row_number().over(w).cast("bigint").as("rn"))
+  }
+
+  def runningRevenueSql: String =
+    """SELECT o_orderkey, o_custkey,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_rev,
+      | CAST(row_number() OVER w AS BIGINT) AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- rollup --------------------------------------------------------------
+
+  /** Customer counts with region/nation subtotals (ROLLUP). */
+  def customerRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  def customerRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  // ---- distinct aggregate --------------------------------------------------
+
+  /** Distinct customers per order status. */
+  def distinctCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+
+  def distinctCustomersSql: String =
+    "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY 1"
+}

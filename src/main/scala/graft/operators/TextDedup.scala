@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TextSql}
+
+/**
+ * Document deduplication for a training-data pipeline, at four levels of
+ * fuzziness (SURVEY.md §7.2-M7): exact (hash groupBy), MinHash+LSH,
+ * SimHash, and blocked character-n-gram Jaccard.
+ *
+ * Scale design (the 100 TB story):
+ *  - nothing ever collects to the driver; every stage is a shuffle on a
+ *    content-derived key (fingerprint, LSH band, SimHash chunk, length
+ *    block) — exactly the keys a 1000-executor cluster would partition on;
+ *  - candidate generation is always *blocked* (LSH bands / bit chunks /
+ *    length buckets), so the quadratic verify step only runs inside
+ *    buckets — all-pairs never materializes;
+ *  - the per-doc signature computation is a narrow codegen'd projection
+ *    (higher-order array functions, no UDFs) that runs before any shuffle,
+ *    so each doc is hashed exactly once, map-side.
+ *
+ * Determinism (the oracle story): signatures are built from md5 hex
+ * strings and integer arithmetic only; Jaccard/Hamming emit one IEEE
+ * double division per pair — every value is bit-identical in DuckDB, so
+ * each variant ships an exactly mirrored oracle in its `*Sql` method.
+ */
+object TextDedup {
+  import TextFunctions.{normText, tokens, fingerprint}
+
+  // ---- shared shingling ----------------------------------------------------
+
+  /** Word-trigram shingles (distinct) from a MATERIALIZED token-array
+   * column. The argument must be an attribute, not an expression: Spark
+   * cannot eliminate common subexpressions inside lambda bodies, so
+   * `element_at(<full tokenize expr>, i)` would re-tokenize the document
+   * once per shingle per position — materializing the tokens first makes
+   * each `element_at` a cheap row read.
+   *
+   * Word n-grams, not unigrams: the synthetic corpus shares a tiny
+   * vocabulary, so unigram Jaccard is ~0.8 between unrelated docs while
+   * trigram Jaccard is ~0 (measured at sf0.01) — trigram sets separate
+   * planted near-dups cleanly. */
+  def shinglesFromToks(toks: Column): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    array_distinct(when(size(toks) >= 3, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** (doc_id, sh) with the tokens materialized in an intermediate
+   * projection — see [[shinglesFromToks]] for why. */
+  private[operators] def shingleDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** DuckDB: shingles from a `toks` list column (comprehension references
+   * the column — single-level lambda, supported). */
+  private def shinglesFromToksSql(toks: String): String =
+    s"list_distinct(CASE WHEN len($toks) >= 3 THEN " +
+      s"[$toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2] for i in range(1, len($toks) - 1)] " +
+      s"ELSE [] END)"
+
+  /** Jaccard from an intersect-size column and the two pre-distinct set
+   * sizes: |∩| / (|a| + |b| − |∩|) — one double division (deterministic),
+   * and the expensive `array_intersect` is evaluated once upstream. */
+  private def jaccardFrom(ji: Column, na: Column, nb: Column): Column =
+    ji.cast("double") / (na + nb - ji).cast("double")
+
+  private def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  // ---- 1. exact dedup ------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: one row per distinct normalized
+   * text, keeping the smallest doc_id. A single hash-aggregate — the
+   * canonical 100 TB dedup plan (map-side partial agg, shuffle on the
+   * 128-bit fingerprint, no skew: keys are hashes). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("dup_key"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  def exactSql(table: String): String =
+    s"SELECT ${TextSql.fingerprint("text")} AS dup_key, min(doc_id) AS keeper_id, " +
+      s"count(*) AS n_docs FROM $table GROUP BY 1"
+
+  // ---- 2. MinHash + LSH ----------------------------------------------------
+
+  /** MinHash signature length (K) and LSH banding (B bands × R rows = K).
+   * R=2, B=6 puts the s-curve 50% capture point at (1/B)^(1/R) ≈ 0.41 —
+   * essentially every pair at the 0.8 verify threshold is caught. */
+  val MinHashK = 12
+  val LshBands = 6
+  val LshRows  = 2
+  /** Verified-Jaccard near-dup threshold. */
+  val MinHashThreshold = 0.8
+
+  /** Per-doc minhash signature: sig_j = min over shingles of
+   * md5(j ':' shingle), j = 1..K. Hex-string minima are a valid minhash
+   * family (uniform 128-bit order) and are engine-portable — no integer
+   * hash seeds to mismatch. */
+  def minhashSignature(sh: Column): Column =
+    transform(sequence(lit(1), lit(MinHashK)),
+      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: band_j = md5(j '|' sig_{2j-1} '|' sig_{2j}). The band
+   * index is folded into the hash so a flat equality join on the band
+   * value is sufficient. */
+  def lshBands(sig: Column): Column =
+    transform(sequence(lit(1), lit(LshBands)),
+      j => md5(concat(j.cast("string"), lit("|"),
+        element_at(sig, j * LshRows - 1), lit("|"), element_at(sig, j * LshRows))))
+
+  /** Near-duplicate pairs by MinHash-LSH: shingle → sign → band → bucket
+   * join → verify true Jaccard ≥ threshold. Output (id_a, id_b, jaccard),
+   * id_a < id_b. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    // persist: the shingle arrays feed three consumers (banding + both
+    // verify joins) and the banded signatures feed both sides of the
+    // bucket self-join — without it Catalyst happily recomputes the whole
+    // tokenize→shingle→md5 pipeline per consumer (observed 8× in the plan)
+    val sh = shingleDf(docs).persist()
+    val banded = sh.select(col("doc_id"),
+      explode(lshBands(minhashSignature(col("sh")))).as("bv"))
+      .persist()
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ji"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("id_a"), col("id_b"), jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= MinHashThreshold)
+  }
+
+  /** Oracle. DuckDB can't nest lambdas (the inner `for s in sh` can't see
+   * an outer lambda's `j`), so the signature is computed relationally:
+   * unnest shingles × hash index, min per (doc, j), re-listed in j order —
+   * identical values, different shape. */
+  def minhashLshSql(table: String): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |sh0 AS (SELECT doc_id, ${shinglesFromToksSql("toks")} AS sh FROM toks),
+       |shf AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+       |shrow AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+       |sigrow AS (
+       |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+       |  FROM shrow, (SELECT unnest(range(1, ${MinHashK + 1})) AS j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM sigrow GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id,
+       |         unnest([md5(j::VARCHAR || '|' || sig[j*$LshRows-1] || '|' || sig[j*$LshRows])
+       |                 for j in range(1, ${LshBands + 1})]) AS bv
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |       ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |FROM cand c
+       |JOIN shf sa ON sa.doc_id = c.id_a
+       |JOIN shf sb ON sb.doc_id = c.id_b
+       |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinHashThreshold""".stripMargin
+
+  // ---- 3. SimHash ----------------------------------------------------------
+
+  /** SimHash width in bits (top 64 bits of each token's md5). */
+  val SimHashBits = 64
+  /** Candidate-blocking chunks: with Hamming ≤ [[HammingMax]] = 10 over 4
+   * chunks of 16 bits, pigeonhole guarantees at least one chunk is
+   * untouched for any pair with distance ≤ 3 — and ≤ 10 still shares a
+   * chunk unless the flips spread 3-3-2-2; recall is high on planted
+   * near-dups whose distance is small. */
+  val SimHashChunks = 4
+  val HammingMax = 10
+
+  /** 64-char '0'/'1' SimHash string over the token multiset: bit_j is the
+   * sign of Σ_tokens (±1 by bit j of md5(token)). A bit-string, not a
+   * BIGINT: lexicographic, overflow-free, identical in both engines.
+   *
+   * Shape matters for cost: tokens are hashed ONCE, then a single
+   * `aggregate` folds each hash into a 64-wide bit-sum vector via
+   * `zip_with` — O(tokens·64) integer ops + O(tokens) md5, not the naive
+   * O(64) re-tokenize/re-hash per bit. One Spark-SQL expression, fully
+   * codegen-free of UDFs; `textCol` is spliced as a column NAME. */
+  def simhashStr(textCol: String): Column = expr(
+    s"""concat_ws('', transform(
+       |  aggregate(
+       |    transform(filter(split(lower($textCol), '[^a-z0-9]+'), t -> t != ''), tk -> md5(tk)),
+       |    array_repeat(0, $SimHashBits),
+       |    (acc, h) -> zip_with(acc, sequence(0, ${SimHashBits - 1}), (a, j) ->
+       |      a + 2 * (shiftright(instr('0123456789abcdef', substring(h, (j DIV 4) + 1, 1)) - 1,
+       |                          3 - (j % 4)) & 1) - 1)),
+       |  s -> CASE WHEN s > 0 THEN '1' ELSE '0' END))""".stripMargin)
+
+  /** Near-duplicate pairs by SimHash: 64-bit signature, 16-bit chunk
+   * blocking, Hamming ≤ [[HammingMax]] verify. Output (id_a, id_b, hamming). */
+  def simhashDedup(docs: DataFrame): DataFrame = {
+    val chunkLen = SimHashBits / SimHashChunks
+    // persist: the signature feeds both sides of the chunk self-join
+    val sigs = docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), simhashStr("text").as("sig"))
+      .persist()
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(SimHashChunks - 1)),
+        j => concat(j.cast("string"), lit(":"),
+          substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
+    val cand = chunked.as("a")
+      .join(chunked.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.sig").as("sig_a"),
+              col("b.doc_id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        size(filter(sequence(lit(1), lit(SimHashBits)),
+          i => substr(col("sig_a"), i, lit(1)) =!= substr(col("sig_b"), i, lit(1))))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  /** Oracle — relational SimHash (no nested lambdas, see minhash note):
+   * token rows × bit index, signed-bit sum per (doc, j), bits re-joined in
+   * order with string_agg. Empty-token docs are excluded on both sides. */
+  def simhashDedupSql(table: String): String = {
+    val chunkLen = SimHashBits / SimHashChunks
+    s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |tokrow AS (SELECT doc_id, md5(unnest(toks)) AS h FROM toks WHERE len(toks) > 0),
+       |bitsum AS (
+       |  SELECT doc_id, j,
+       |         sum(2 * (((instr('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1)
+       |                   >> (3 - (j % 4))) & 1) - 1) AS sm
+       |  FROM tokrow, (SELECT unnest(range(0, $SimHashBits)) AS j)
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id, string_agg(CASE WHEN sm > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+       |  FROM bitsum GROUP BY doc_id),
+       |chunked AS (
+       |  SELECT doc_id, sig, j::VARCHAR || ':' || substring(sig, j*$chunkLen + 1, $chunkLen) AS chunk
+       |  FROM sigs, (SELECT unnest(range(0, $SimHashChunks)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |         len(list_filter(range(1, ${SimHashBits + 1}),
+       |             i -> substring(sig_a, i, 1) <> substring(sig_b, i, 1))) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $HammingMax""".stripMargin
+  }
+
+  // ---- 4. blocked character-n-gram Jaccard ---------------------------------
+
+  /** Character window length. 16 chars spans ~3 words: short grams (4) are
+   * useless as an index key on a small-vocabulary corpus (every gram is
+   * common), while 16-char windows behave like character-level shingles —
+   * discriminative enough that near-dup-shared grams are globally rare. */
+  val CharGram = 16
+  val NgramThreshold = 0.6
+  /** Document-frequency ceiling for candidate grams: a pair is a candidate
+   * iff it shares at least one gram occurring in ≤ DfMax documents. Rare
+   * grams are exactly what near-duplicates share and unrelated documents
+   * don't; common grams ("the ", " and") would make the inverted index
+   * quadratic. Bounds per-gram join fan-out at DfMax·(DfMax−1)/2 pairs. */
+  val DfMax = 8
+
+  /** Raw (with duplicates) character 4-grams from a MATERIALIZED
+   * normalized-text column (attribute, not expression — see
+   * [[shinglesFromToks]]). De-duplication happens relationally. */
+  def charGramSeq(nt: Column): Column =
+    when(length(nt) >= CharGram,
+      transform(sequence(lit(1), length(nt) - (CharGram - 1)),
+        i => substr(nt, i, lit(CharGram))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Near-duplicate pairs by character-n-gram Jaccard with an
+   * inverted-index candidate stage (the scalable shape: an earlier
+   * length-blocked all-pairs version was quadratic within blocks —
+   * 11 min at sf0.1):
+   *
+   *  1. explode distinct (doc, gram) postings — one shuffle;
+   *  2. keep postings of RARE grams (global df ≤ [[DfMax]]) — the
+   *     inverted-index join key; per-key fan-out is bounded, so the
+   *     candidate join is linear in postings, never all-pairs;
+   *  3. verify true Jaccard (single array_intersect per candidate pair).
+   *
+   * Output (id_a, id_b, jaccard), id_a < id_b. Documented approximation:
+   * a qualifying pair whose every shared gram is globally common is
+   * missed — the oracle mirrors the same candidate rule, and planted
+   * near-dups always share rare grams. */
+  /** Content-defined sampling rate: keep a gram iff its md5 starts with
+   * hex 0-3 (1 in 4). Shift-invariant (unlike strided sampling — a one
+   * char insertion would desynchronize stride positions), so near-dups
+   * sample the same grams from shared runs; Jaccard is then defined over
+   * the sampled sets, mirrored exactly by the oracle. */
+  val SampleHexMax = 4
+
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    // distinct sampled postings, cached: feed the df-filter, the candidate
+    // join (twice) and the per-doc gram-array rebuild
+    val postings = docs
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .select(col("doc_id"), explode(charGramSeq(col("nt"))).as("gr"))
+      .filter(instr(lit("0123456789abcdef"), substring(md5(col("gr")), 1, 1)) <= SampleHexMax)
+      .distinct()
+      .persist()
+    val rare = postings.groupBy("gr")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfMax)
+      .select("gr")
+    val rarePost = postings.join(rare, "gr")
+    val cand = rarePost.as("a")
+      .join(rarePost.as("b"),
+        col("a.gr") === col("b.gr") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val gArr = postings.groupBy("doc_id").agg(collect_list("gr").as("g"))
+    cand
+      .join(gArr.select(col("doc_id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(gArr.select(col("doc_id").as("id_b"), col("g").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).as("ji"),
+        size(col("g_a")).as("na"), size(col("g_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+  }
+
+  def ngramJaccardSql(table: String): String =
+    s"""WITH nt AS (SELECT doc_id, ${TextSql.normText("text")} AS nt FROM $table),
+       |gr0 AS (
+       |  SELECT doc_id, unnest(CASE WHEN length(nt) >= $CharGram THEN
+       |           [substring(nt, i, $CharGram) for i in range(1, length(nt) - ${CharGram - 2})]
+       |           ELSE [] END) AS gr
+       |  FROM nt),
+       |postings AS (SELECT DISTINCT doc_id, gr FROM gr0
+       |  WHERE instr('0123456789abcdef', substring(md5(gr), 1, 1)) <= $SampleHexMax),
+       |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM postings GROUP BY gr)
+       |         WHERE df >= 2 AND df <= $DfMax),
+       |rp AS (SELECT p.doc_id, p.gr FROM postings p JOIN rare r ON p.gr = r.gr),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rp a JOIN rp b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+       |garr AS (SELECT doc_id, list(gr) AS g FROM postings GROUP BY doc_id)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT c.id_a, c.id_b, ${jaccardSql("ga.g", "gb.g")} AS jaccard
+       |  FROM cand c
+       |  JOIN garr ga ON ga.doc_id = c.id_a
+       |  JOIN garr gb ON gb.doc_id = c.id_b)
+       |WHERE jaccard >= $NgramThreshold""".stripMargin
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loaders for the shared parquet tables (TESTDATA.md). One place
+ * owns the physical-type quirks so every operator sees identical values to
+ * the DuckDB oracle. */
+object Tables {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+   * reader rejects. Read it as epoch-nanos long
+   * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+   * exactly what DuckDB's parquet reader does natively, so the oracle sees
+   * identical values. All other tables are TIMESTAMP(MILLIS) and unaffected
+   * by the flag. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  def customer(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  def supplier(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
+
+  def part(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/part.parquet")
+
+  def nation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/region.parquet")
+}

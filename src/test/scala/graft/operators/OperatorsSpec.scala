@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Operator-level checks on the sf0.001 shared tables (500 docs / 500
+ * vectors). Cross-engine value equality is covered by the driver's DuckDB
+ * oracle (SparkEntry.oracleSql); these specs pin the semantic invariants. */
+class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("text functions: tokens, count, fingerprint, quality bounds") {
+    val df = spark.range(1).select(lit("The  fast,fast dog!").as("text"))
+    val row = df.select(
+      TextFunctions.tokens(col("text")).as("t"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.qualityScore(col("text")).as("q")).head()
+    assert(row.getSeq[String](0) === Seq("the", "fast", "fast", "dog"))
+    assert(row.getLong(1) === 4L)
+    assert(row.getString(2).length === 32)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+  }
+
+  test("exact dedup keeps one keeper per distinct normalized text") {
+    val docs = Tables.documents(spark, dir)
+    val out = TextDedup.exact(docs)
+    val total = docs.count()
+    assert(out.agg(sum("n_docs")).head().getLong(0) === total)
+    assert(out.filter(col("keeper_id").isNull).count() === 0)
+  }
+
+  test("minhash-LSH finds the planted near-dup pairs, all above threshold") {
+    val out = TextDedup.minhashLsh(Tables.documents(spark, dir)).collect()
+    assert(out.nonEmpty, "sf0.001 has planted near-duplicates")
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= TextDedup.MinHashThreshold))
+  }
+
+  test("ngram-jaccard agrees with minhash-LSH on high-sim pairs") {
+    val docs = Tables.documents(spark, dir)
+    val mh = TextDedup.minhashLsh(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ng = TextDedup.ngramJaccard(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // word-trigram Jaccard ≥ 0.8 pairs are char-4-gram ≥ 0.6 pairs too
+    assert(mh.subsetOf(ng), s"minhash pairs missing from ngram: ${mh -- ng}")
+  }
+
+  test("simhash recalls most minhash near-dups (approximate by design)") {
+    val docs = Tables.documents(spark, dir)
+    val mh = TextDedup.minhashLsh(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextDedup.simhashDedup(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SimHash over unigram multisets is a coarser signal than trigram
+    // Jaccard: demand high but not total recall of the planted pairs
+    val recall = (mh & sh).size.toDouble / mh.size
+    assert(mh.nonEmpty && recall >= 0.7, s"recall $recall; missing ${mh -- sh}")
+  }
+
+  test("quantization is exact floor(x * 2^20)") {
+    val out = spark.range(1)
+      .select(VectorOps.quantize(
+        array(lit(0.123456f), lit(-0.5f), lit(0.0f))).as("q"))
+      .head().getSeq[Long](0)
+    assert(out === Seq(
+      math.floor(0.123456f.toDouble * 1048576.0).toLong,
+      -524288L, 0L))
+  }
+
+  test("brute-force ANN: k neighbors per query, ranked by sim desc, no self") {
+    val out = VectorOps.annBruteTopK(Tables.embeddings(spark, dir)).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === VectorOps.BruteK)
+      assert(rows.forall(_.getLong(1) != q), "self must be excluded")
+      val sims = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "rank follows sim")
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates per query") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = VectorOps.annBruteTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+    val lsh = VectorOps.annLshTopK(emb).collect()
+    lsh.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= VectorOps.LshK)
+      // approximate: LSH sims can't exceed the true best
+      rows.foreach(r => assert(r.getDouble(3) <= bruteBest(q) + 1e-12))
+    }
+  }
+
+  test("multimodal: mapPartitions decode stub equals the Column-expression twin") {
+    val docs = Tables.documents(spark, dir)
+    val viaDs = Multimodal.extractFeatures(Multimodal.assets(docs))
+      .collect().map(f => (f.asset_id, f.n_bytes, f.checksum, f.width, f.height, f.frames)).sortBy(_._1)
+    val viaCols = Multimodal.features(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(viaDs === viaCols)
+  }
+
+  test("relational: rollup emits region subtotals and a grand total") {
+    val out = Relational.customerRollup(spark, dir).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val total = Tables.customer(spark, dir).count()
+    assert(grand.head.getLong(2) === total)
+    val regionSubtotals = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(regionSubtotals.map(_.getLong(2)).sum === total)
+  }
+
+  test("relational: semi + anti partition the customer set") {
+    val c = Tables.customer(spark, dir).count()
+    val withOrders = Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val without = Relational.customersWithoutOrders(spark, dir).count()
+    assert(withOrders + without === c)
+  }
+}
