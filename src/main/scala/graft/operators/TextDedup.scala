@@ -49,12 +49,16 @@ object TextDedup {
     array_distinct(when(size(toks) >= 3, grams).otherwise(array().cast("array<string>")))
   }
 
-  /** (doc_id, sh) with the tokens materialized in an intermediate
-   * projection — see [[shinglesFromToks]] for why. */
-  private[operators] def shingleDf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))
+  /** (doc_id, sh) via the native [[graft.plans.WordShingles]] pass —
+   * value-identical to [[shinglesFromToks]] over materialized tokens, but
+   * immune to Catalyst re-inlining the tokenizer into the shingle lambda
+   * (which re-ran regex split ~380× per document). */
+  private[operators] def shingleDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    docs.select(col("doc_id"),
+        toCol(graft.plans.WordShingles(toExpr(col("text")), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** DuckDB: shingles from a `toks` list column (comprehension references
    * the column — single-level lambda, supported). */
@@ -101,10 +105,13 @@ object TextDedup {
   /** Per-doc minhash signature: sig_j = min over shingles of
    * md5(j ':' shingle), j = 1..K. Hex-string minima are a valid minhash
    * family (uniform 128-bit order) and are engine-portable — no integer
-   * hash seeds to mismatch. */
-  def minhashSignature(sh: Column): Column =
-    transform(sequence(lit(1), lit(MinHashK)),
-      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit(":"), s)))))
+   * hash seeds to mismatch. Native single-pass expression
+   * ([[graft.plans.MinHashSig]]); value-identical to the nested
+   * transform/array_min/md5 composition it replaces. */
+  def minhashSignature(sh: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.MinHashSig(toExpr(sh), MinHashK))
+  }
 
   /** LSH band keys: band_j = md5(j '|' sig_{2j-1} '|' sig_{2j}). The band
    * index is folded into the hash so a flat equality join on the band
@@ -118,21 +125,28 @@ object TextDedup {
    * join → verify true Jaccard ≥ threshold. Output (id_a, id_b, jaccard),
    * id_a < id_b. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    // persist: the shingle arrays feed three consumers (banding + both
-    // verify joins) and the banded signatures feed both sides of the
-    // bucket self-join — without it Catalyst happily recomputes the whole
-    // tokenize→shingle→md5 pipeline per consumer (observed 8× in the plan)
-    val sh = shingleDf(docs).persist()
-    val banded = sh.select(col("doc_id"),
+    // Cache ONLY the banded signatures — narrow (id, 32-char hash) rows.
+    // Caching the shingle arrays themselves is a trap: Spark's cache
+    // size-estimation walks every cached object graph, and for wide
+    // string arrays that overhead dwarfed the md5 work it saved. The
+    // signature pipeline therefore runs exactly once (banded's
+    // materialization), and the verify stage recomputes shingles only
+    // for the handful of candidate docs via a join on candidate ids.
+    val banded = shingleDf(docs).select(col("doc_id"),
       explode(lshBands(minhashSignature(col("sh")))).as("bv"))
       .persist()
     val cand = banded.as("a")
       .join(banded.as("b"), col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .persist()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    val candSh = shingleDf(docs.join(candIds, "doc_id"))
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("ji"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
@@ -305,12 +319,15 @@ object TextDedup {
   def ngramJaccard(docs: DataFrame): DataFrame = {
     // distinct sampled postings, cached: feed the df-filter, the candidate
     // join (twice) and the per-doc gram-array rebuild
-    val postings = docs
-      .select(col("doc_id"), normText(col("text")).as("nt"))
-      .select(col("doc_id"), explode(charGramSeq(col("nt"))).as("gr"))
-      .filter(instr(lit("0123456789abcdef"), substring(md5(col("gr")), 1, 1)) <= SampleHexMax)
-      .distinct()
-      .persist()
+    val postings = {
+      import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+      docs
+        .select(col("doc_id"),
+          explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram))).as("gr"))
+        .filter(instr(lit("0123456789abcdef"), substring(md5(col("gr")), 1, 1)) <= SampleHexMax)
+        .distinct()
+        .persist()
+    }
     val rare = postings.groupBy("gr")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= DfMax)

@@ -58,13 +58,17 @@ object VectorOps {
   private def quantizeSql(emb: String): String =
     s"[CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) for x in $emb]"
 
-  /** Squared norm of a quantized vector (BIGINT, exact). */
-  def norm2(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Squared norm of a quantized vector (BIGINT, exact). */
+  def norm2(q: Column): Column = dot(q, q)
+
+  /** Exact integer dot product of two quantized vectors — native codegen'd
+   * expression ([[graft.plans.LongDot]]); value-identical to
+   * `aggregate(zip_with(qa, qb, (x,y) -> x*y), 0L, +)` but ~100× cheaper
+   * than the interpreted higher-order path on million-pair joins. */
   def dot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    toCol(graft.plans.LongDot(toExpr(qa), toExpr(qb)))
 
   /** Cosine similarity from exact integer parts — 3 IEEE ops, deterministic. */
   def cosine(dotQ: Column, n2a: Column, n2b: Column): Column =

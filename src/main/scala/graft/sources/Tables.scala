@@ -20,11 +20,22 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Small single-file tables arrive as ONE scan partition (one parquet
+   * row group = one task), which serializes every downstream per-row
+   * computation — signature hashing, quantized dot products — onto a
+   * single core. Fan out to the cluster's parallelism when the scan is
+   * under-partitioned; on a real multi-TB input with many files/row
+   * groups this is a no-op. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def documents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    fanOut(s.read.parquet(s"$dir/documents.parquet"))
 
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    fanOut(s.read.parquet(s"$dir/embeddings.parquet"))
 
   def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")

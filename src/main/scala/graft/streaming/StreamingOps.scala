@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming aggregation surface (SURVEY.md §2.2 "streaming windows" —
+ * absent from the reference, built-in in Spark) plus the streaming face of
+ * the dedup family. All operators take/return streaming DataFrames with
+ * an event-time `ts` column and compose with `writeStream`.
+ *
+ * Scale: every operator is watermarked, so state is bounded by
+ * (watermark delay × key cardinality) and Spark ages it out — the same
+ * discipline the LJOT core applies (retention → watermark,
+ * SURVEY.md §2.1-O5). Aggregations run partial → shuffle-by-key → final.
+ */
+object StreamingOps {
+
+  /** Tumbling event-time window counts+sums per key.
+   * Output: (key, window_start, window_end, n, total). */
+  def tumblingAgg(in: DataFrame, windowDur: String, watermarkDelay: String,
+                  valueCol: String = "value"): DataFrame =
+    in.withWatermark("ts", watermarkDelay)
+      .groupBy(col("key"), window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("key"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("total"))
+
+  /** Sliding event-time window counts per key. */
+  def slidingAgg(in: DataFrame, windowDur: String, slideDur: String,
+                 watermarkDelay: String): DataFrame =
+    in.withWatermark("ts", watermarkDelay)
+      .groupBy(col("key"), window(col("ts"), windowDur, slideDur))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"))
+
+  /** Session windows: events for a key within `gap` of each other merge
+   * into one session. Output: (key, session_start, session_end, n). */
+  def sessionAgg(in: DataFrame, gap: String, watermarkDelay: String): DataFrame =
+    in.withWatermark("ts", watermarkDelay)
+      .groupBy(col("key"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
+  /** Streaming exact dedup on arbitrary key columns: drops records whose
+   * key was already seen within the watermark horizon — the streaming
+   * face of `TextDedup.exact`. State is bounded by the watermark (late
+   * duplicates beyond it pass through, documented). */
+  def dedupWithinWatermark(in: DataFrame, watermarkDelay: String,
+                           keys: Seq[String]): DataFrame =
+    in.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Rate-limit options for a streaming reader — the Spark mapping of the
+   * reference's `scheduledCapacity` backpressure (`maxScheduled` pending
+   * timers blocking ingestion, `BlockingScheduledExecutor.java:19-31`,
+   * SURVEY.md §2.1-O10). Spark bounds per-trigger intake instead of
+   * blocking a thread; state is disk-backed rather than heap-capped. */
+  def rateLimitOptions(maxPerTrigger: Long): Map[String, String] =
+    Map("maxOffsetsPerTrigger" -> maxPerTrigger.toString,
+        "maxFilesPerTrigger" -> math.max(1L, maxPerTrigger / 10000L).toString)
+}

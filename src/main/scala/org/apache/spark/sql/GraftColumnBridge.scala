@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters so the
+ * engine can plug custom Catalyst expressions
+ * (`graft.plans.NativeExpressions`) into the public Column API. Lives in
+ * the `org.apache.spark.sql` package purely for access; contains no
+ * logic. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

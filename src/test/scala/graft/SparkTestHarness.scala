@@ -1,11 +1,17 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session per suite; UTC + small shuffle fan-out so
- * stateful streaming tests stay fast. */
-trait SparkTestHarness { self: AnyFunSuite =>
+ * stateful streaming tests stay fast.
+ *
+ * afterAll stops any still-active streaming query: a leaked query with
+ * processing-time timers busy-spins no-data micro-batches forever, which
+ * keeps the forked test JVM alive and silently steals CPU from everything
+ * that runs after the suite. */
+trait SparkTestHarness extends BeforeAndAfterAll { self: AnyFunSuite =>
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
@@ -13,4 +19,12 @@ trait SparkTestHarness { self: AnyFunSuite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  override protected def afterAll(): Unit = {
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.sources.KafkaTopics
+
+case class VRec(key: Long, value: Double, ts: Timestamp)
+
+class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val base = 1000000000L
+  private def rec(k: Long, v: Double, ts: Long) = VRec(k, v, new Timestamp(ts))
+  // sentinel far in the future closes all windows of interest
+  private def sentinel = rec(99L, 0.0, base + 3600 * 1000L)
+
+  test("tumbling window aggregation with watermark") {
+    val in = MemoryStream[VRec]
+    val out = StreamingOps.tumblingAgg(in.toDF(), "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rec(1, 2.0, base + 1000), rec(1, 3.0, base + 2000),
+        rec(1, 5.0, base + 11000), rec(2, 7.0, base + 1500))
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+        .filter(_.getLong(0) < 99)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3), r.getDouble(4)))
+        .toSeq.sorted
+      assert(rows === Seq(
+        (1L, base, 2L, 5.0), (1L, base + 10000, 1L, 5.0), (2L, base, 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    val in = MemoryStream[VRec]
+    val out = StreamingOps.sessionAgg(in.toDF(), "5 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // one session: 0s, 3s, 6s (gaps < 5s); separate session at 20s
+      in.addData(rec(1, 1.0, base), rec(1, 1.0, base + 3000),
+        rec(1, 1.0, base + 6000), rec(1, 1.0, base + 20000))
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val rows = spark.table("session_out").collect()
+        .filter(_.getLong(0) < 99)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
+        .toSeq.sorted
+      assert(rows === Seq((1L, base, 3L), (1L, base + 20000, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops repeats of a key") {
+    val in = MemoryStream[VRec]
+    val out = StreamingOps.dedupWithinWatermark(in.toDF(), "10 seconds", Seq("key"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rec(1, 1.0, base), rec(1, 2.0, base + 1000), rec(2, 3.0, base + 2000))
+      q.processAllAvailable()
+      in.addData(rec(1, 4.0, base + 3000), sentinel)
+      q.processAllAvailable()
+      val keys = spark.table("dedup_out").collect()
+        .filter(_.getLong(0) < 99).map(_.getLong(0)).toSeq.sorted
+      assert(keys === Seq(1L, 2L), "each key survives exactly once inside the watermark")
+    } finally q.stop()
+  }
+
+  test("kafka decode/encode projections round-trip the canonical schema") {
+    val wire = Seq((Array[Byte]('4', '2'), "hello".getBytes, new Timestamp(base)))
+      .toDF("key", "value", "timestamp")
+    val decoded = KafkaTopics.decodeKeyedStream(wire)
+    val row = decoded.head()
+    assert(row.getLong(0) === 42L)
+    assert(row.getString(1) === "hello")
+    assert(row.getTimestamp(2).getTime === base)
+
+    val joined = Seq((42L, "hello+world", new Timestamp(base)))
+      .toDF("key", "joined", "ts")
+    val encoded = KafkaTopics.encodeJoinedStream(joined).head()
+    assert(encoded.getString(0) === "42")
+    assert(encoded.getString(1) === "hello+world")
+    assert(encoded.getTimestamp(2).getTime === base)
+  }
+}
