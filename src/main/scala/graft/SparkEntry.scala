@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextSql}
 import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
-import graft.operators.{Multimodal, Relational, TextDedup, VectorOps}
+import graft.operators.{AsOfJoin, Multimodal, Relational, TextDedup, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,8 @@ object SparkEntry {
   /** Join band D for the flagship left-join-on-timeout queries. */
   private val D = Duration.ofMinutes(5)
   private val ljotCfg = LeftJoinOnTimeoutConfig(D, Duration.ofMinutes(15))
+  /** Lookback horizon for the as-of join query. */
+  private val AsOfHorizon = Duration.ofMinutes(10)
 
   /** lhs/rhs of the flagship query: purchases left-joined to errors by user
    * within ±D (FIXTURES.md §2). value = event_id as string — mirrors the
@@ -95,6 +97,13 @@ object SparkEntry {
     "ljot_events"         -> ((s, d) => Queries.ljotEvents(s, d)),
     "interval_join_inner" -> ((s, d) => Queries.intervalJoinInner(s, d)),
     "timeout_only"        -> ((s, d) => Queries.timeoutOnly(s, d)),
+    "asof_purchase_error" -> ((s, d) => AsOfJoin.backward(
+      eventsSide(s, d, "purchase"), eventsSide(s, d, "error"), AsOfHorizon)),
+    // approximate aggregate — algorithm-specific, no SQL oracle (driver
+    // records the weaker rows-only check)
+    "approx_distinct_users" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
     // text analysis + dedup (training-data pipeline ops)
     "text_stats"          -> ((s, d) => Queries.textStats(s, d)),
     "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
@@ -141,6 +150,8 @@ object SparkEntry {
          |FROM (${eventsSideSql("purchase")}) l
          |WHERE NOT EXISTS (SELECT 1 FROM (${eventsSideSql("error")}) r
          |  WHERE r.key = l.key AND r.ts BETWEEN l.ts - INTERVAL $dMin MINUTE AND l.ts + INTERVAL $dMin MINUTE)""".stripMargin,
+    "asof_purchase_error" ->
+      AsOfJoin.backwardSql(eventsSideSql("purchase"), eventsSideSql("error"), AsOfHorizon),
     "text_stats" ->
       s"""SELECT doc_id, ${TextSql.tokenCount("text")} AS n_tokens,
          | ${TextSql.langId("text")} AS lang_id,

@@ -319,13 +319,15 @@ object TextDedup {
   def ngramJaccard(docs: DataFrame): DataFrame = {
     // distinct sampled postings, cached: feed the df-filter, the candidate
     // join (twice) and the per-doc gram-array rebuild
+    // sampling + per-doc dedup happen inside the native gram pass, so the
+    // exploded postings are already DISTINCT (doc_id, gr) — no global
+    // distinct shuffle needed
     val postings = {
       import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
       docs
         .select(col("doc_id"),
-          explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram))).as("gr"))
-        .filter(instr(lit("0123456789abcdef"), substring(md5(col("gr")), 1, 1)) <= SampleHexMax)
-        .distinct()
+          explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram, SampleHexMax)))
+            .as("gr"))
         .persist()
     }
     val rare = postings.groupBy("gr")

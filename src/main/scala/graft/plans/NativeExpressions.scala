@@ -170,14 +170,19 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /**
- * `CharGramSeq(text, n)`: normalize (lowercase, tokenize, re-join with
- * single spaces) then emit ALL n-char windows (with duplicates — callers
- * explode and de-duplicate relationally). Value-identical to
- * `transform(sequence(1, length(nt)-n+1), i -> substr(nt, i, n))` over
- * `array_join(tokens, ' ')`, one native pass (same project-collapse
- * pathology as [[WordShingles]]).
+ * `CharGramSeq(text, n, sampleNibbleMax)`: normalize (lowercase,
+ * tokenize, re-join with single spaces), emit the DISTINCT n-char windows
+ * whose md5's first hex nibble is < `sampleNibbleMax` (content-defined
+ * sampling — shift-invariant, see `TextDedup.SampleHexMax`), in
+ * first-occurrence order. Value-identical to building all windows with
+ * `transform(sequence(...), i -> substr(nt, i, n))`, exploding, filtering
+ * `instr('0123456789abcdef', substring(md5(gr),1,1)) <= sampleNibbleMax`
+ * and taking DISTINCT (doc, gram) — but sampling and per-doc dedup happen
+ * in the same native pass, so the downstream explode+shuffle sees ~1/4 of
+ * the grams and needs no global distinct. `sampleNibbleMax = 16` disables
+ * sampling.
  */
-case class CharGramSeq(child: Expression, n: Int)
+case class CharGramSeq(child: Expression, n: Int, sampleNibbleMax: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -189,12 +194,24 @@ case class CharGramSeq(child: Expression, n: Int)
     val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val nt = sep.split(text).filter(_.nonEmpty).mkString(" ")
     if (nt.length < n) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](nt.length - n + 1)
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i <= nt.length - n) {
-      out(i) = UTF8String.fromString(nt.substring(i, i + n))
+      val g = nt.substring(i, i + n)
+      if (sampleNibbleMax >= 16 || !seen.contains(g)) {
+        if (sampleNibbleMax >= 16 ||
+            ((md.digest(g.getBytes(StandardCharsets.UTF_8))(0) >> 4) & 0xf) < sampleNibbleMax) {
+          seen.add(g)
+        }
+        md.reset()
+      }
       i += 1
     }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)
   }
 
