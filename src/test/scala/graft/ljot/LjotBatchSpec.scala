@@ -93,4 +93,25 @@ class LjotBatchSpec extends AnyFunSuite with SparkTestHarness {
     assert(result(viaBuilder) ===
       Seq((1L, "left_1+right", 1L), (2L, "lonely+", 5L)))
   }
+
+  test("property: batch output matches per-row reference semantics " +
+       "on randomized inputs (fixed seed)") {
+    val dMs = cfg.joinWindow.toMillis
+    val rnd = new scala.util.Random(7)
+    def randRows(n: Int): List[(Long, String, Long)] =
+      List.fill(n)((1L + rnd.nextInt(4), "v" + (100 + rnd.nextInt(900)),
+        rnd.nextLong(500000L)))
+    for (_ <- 1 to 5) {
+      val ls = randRows(40); val rs = randRows(40)
+      val got = result(LeftJoinOnTimeout(df(ls: _*), df(rs: _*),
+        LeftJoinOnTimeout.testJoiner, cfg))
+      val want = ls.flatMap { case (k, lv, lts) =>
+        val matches = rs.filter { case (rk, _, rts) =>
+          rk == k && math.abs(rts - lts) <= dMs }
+        if (matches.isEmpty) List((k, lv + "+", lts))
+        else matches.map { case (_, rv, _) => (k, lv + "+" + rv, lts) }
+      }.sorted
+      assert(got === want)
+    }
+  }
 }

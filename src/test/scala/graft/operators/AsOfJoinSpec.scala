@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private def df(rows: (Long, String, Long)*): DataFrame =
+    rows.map { case (k, v, ts) => (k, v, new Timestamp(ts)) }
+      .toDF("key", "value", "ts")
+
+  private def result(out: DataFrame): Seq[(Long, String, Option[String], Long)] =
+    out.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getTimestamp(3).getTime))
+      .toSeq.sorted
+
+  private val horizon = Duration.ofSeconds(10)
+
+  test("backward as-of picks the latest right at or before the left ts") {
+    val out = AsOfJoin.backward(
+      df((1L, "l1", 5000L), (1L, "l2", 12000L), (2L, "lonely", 5000L)),
+      df((1L, "r_a", 1000L), (1L, "r_b", 6000L)),
+      horizon)
+    assert(result(out) === Seq(
+      (1L, "l1", Some("r_a"), 5000L),   // r_b at 6000 is later than l1
+      (1L, "l2", Some("r_b"), 12000L),
+      (2L, "lonely", None, 5000L)))
+  }
+
+  test("rights beyond the horizon do not match") {
+    val out = AsOfJoin.backward(
+      df((1L, "l", 30000L)),
+      df((1L, "old", 1000L)),
+      horizon)
+    assert(result(out) === Seq((1L, "l", None, 30000L)))
+  }
+
+  test("a right at exactly the left ts matches; equal-ts rights break ties by value") {
+    val out = AsOfJoin.backward(
+      df((1L, "l", 5000L)),
+      df((1L, "r_x", 5000L), (1L, "r_y", 5000L)),
+      horizon)
+    assert(result(out) === Seq((1L, "l", Some("r_y"), 5000L)))
+  }
+
+  test("property: as-of output matches a per-row reference implementation " +
+       "on randomized inputs (fixed seed)") {
+    val rnd = new scala.util.Random(42)
+    def randRows(n: Int): List[(Long, String, Long)] =
+      List.fill(n)((1L + rnd.nextInt(5), "v" + (100 + rnd.nextInt(900)),
+        rnd.nextLong(40000L)))
+    for (_ <- 1 to 5) {
+      val ls = randRows(60); val rs = randRows(60)
+      val got = result(AsOfJoin.backward(df(ls: _*), df(rs: _*), horizon))
+      val want = ls.map { case (k, lv, lts) =>
+        val eligible = rs.filter { case (rk, _, rts) =>
+          rk == k && rts <= lts && rts >= lts - horizon.toMillis }
+        val best = if (eligible.isEmpty) None
+          else Some(eligible.maxBy { case (_, rv, rts) => (rts, rv) }._2)
+        (k, lv, best, lts)
+      }.sorted
+      assert(got === want)
+    }
+  }
+}
