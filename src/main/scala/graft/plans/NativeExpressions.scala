@@ -218,3 +218,47 @@ case class CharGramSeq(child: Expression, n: Int, sampleNibbleMax: Int)
   override protected def withNewChildInternal(newChild: Expression): CharGramSeq =
     copy(child = newChild)
 }
+
+/**
+ * `SimHash64(text)`: 64-char '0'/'1' SimHash string over the token
+ * multiset — bit_j is the sign of Σ_tokens (±1 by bit j of md5(token)).
+ * Value-identical to the `aggregate`/`zip_with` composition in
+ * `TextDedup.simhashStr` (bit j of the hex string = bit (7−j%8) of md5
+ * byte j/8), one native pass: md5 once per token, 64 integer adds per
+ * token, instead of ~tokens·64 interpreted lambda evaluations per row.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](64)
+    val toks = sep.split(text)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val d = md.digest(toks(t).getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 64) {
+          sums(j) += 2 * ((d(j >> 3) >> (7 - (j & 7))) & 1) - 1
+          j += 1
+        }
+        md.reset()
+      }
+      t += 1
+    }
+    val out = new Array[Char](64)
+    var j = 0
+    while (j < 64) { out(j) = if (sums(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
