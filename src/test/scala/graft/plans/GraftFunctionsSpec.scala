@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+
+/** The SQL surface of the native expressions: registered functions must be
+ * callable from plain SQL and agree with the built-in compositions they
+ * accelerate. */
+class GraftFunctionsSpec extends AnyFunSuite with SparkTestHarness {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("long_dot from SQL equals the aggregate/zip_with composition") {
+    val r = spark.sql(
+      """SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |       aggregate(zip_with(array(1L, 2L, 3L), array(4L, 5L, 6L),
+        |                 (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS ref""".stripMargin).head()
+    assert(r.getLong(0) === 32L)
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
+  test("minhash_sig from SQL equals the md5/array_min composition") {
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a b c', 'b c d')) AS sig,
+        |       transform(sequence(1, 12), j -> array_min(transform(
+        |         array('a b c', 'b c d'),
+        |         s -> md5(concat(cast(j AS STRING), ':', s))))) AS ref""".stripMargin).head()
+    assert(r.getSeq[String](0) === r.getSeq[String](1))
+    assert(r.getSeq[String](0).length === 12)
+  }
+
+  test("word_shingles and simhash64 from SQL match the Column API") {
+    val r = spark.sql(
+      "SELECT word_shingles('the fast dog jumps the fast dog') AS sh, " +
+        "simhash64('the fast dog') AS sig").head()
+    assert(r.getSeq[String](0) ===
+      Seq("the fast dog", "fast dog jumps", "dog jumps the", "jumps the fast"))
+    assert(r.getString(1).length === 64 && r.getString(1).forall(c => c == '0' || c == '1'))
+  }
+
+  test("char_gram_seq emits distinct sampled grams of the normalized text") {
+    val grams = spark.sql("SELECT char_gram_seq('The  fast dog jumps over the lazy dog!') AS g")
+      .head().getSeq[String](0)
+    assert(grams.distinct === grams)
+    assert(grams.forall(_.length === 16))
+  }
+}
