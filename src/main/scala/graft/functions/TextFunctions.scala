@@ -36,9 +36,15 @@ object TextFunctions {
 
   private def stopArray: Column = array(Stopwords.map(lit): _*)
 
-  /** Lowercased alphanumeric tokens; empty strings dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  /** Lowercased alphanumeric tokens; empty strings dropped. Native
+   * [[graft.plans.TokenSeq]] pass — value-identical (on ASCII text) to
+   * `filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")`, but immune
+   * to the interpreted-ICU-Lower cost of evaluating that composition
+   * inside higher-order lambdas (see TokenSeq scaladoc). */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.TokenSeq(toExpr(text)))
+  }
 
   /** Whitespace-normalized document text (tokens re-joined). */
   def normText(text: Column): Column = array_join(tokens(text), " ")

@@ -77,11 +77,13 @@ object FaithfulLeftJoin {
     val r = cfg.retention.toMillis
     val timeoutMs = cfg.effectiveTimeout.toMillis
 
+    val maxScheduled = cfg.maxScheduled
     val out: Dataset[PairOut] = union
       .groupByKey(_.key)
       .flatMapGroupsWithState[KeyState, PairOut](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (key, records, state) => processKey(key, records, state, d, r, timeoutMs)
+        (key, records, state) =>
+          processKey(key, records, state, d, r, timeoutMs, maxScheduled)
       }
 
     out.toDF()
@@ -90,64 +92,102 @@ object FaithfulLeftJoin {
               col("ts"))
   }
 
-  /** Core per-key transition. Pulled out for direct unit testing. */
+  /** Core per-key transition. Pulled out for direct unit testing.
+   *
+   * `maxScheduled` caps the per-key pending-timeout list — the reference's
+   * backpressure bound (`BlockingScheduledExecutor.java:19-31` blocks the
+   * stream thread at capacity until a timer fires and frees a slot). A
+   * micro-batch cannot block mid-trigger, so the closest analog with the
+   * same invariants is applied: when a schedule would exceed capacity, the
+   * OLDEST pending emission fires immediately (early). Every unmatched left
+   * still emits exactly once and per-key state stays bounded at
+   * `maxScheduled` entries; the divergence (early emission instead of
+   * delayed ingestion) is the documented block→fire mapping. */
   private[ljot] def processKey(
       key: Long,
       records: Iterator[TaggedRec],
       state: GroupState[KeyState],
       bandMs: Long,
       retentionMs: Long,
-      timeoutMs: Long): Iterator[PairOut] = {
+      timeoutMs: Long,
+      maxScheduled: Int = Int.MaxValue): Iterator[PairOut] = {
 
     val now = state.getCurrentProcessingTimeMs()
-    var s = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue, now))
+    val s0 = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue, now))
     val out = List.newBuilder[PairOut]
+    var maxEventTs = s0.maxEventTs
+    var lastActiveMs = s0.lastActiveMs
+
+    // Hot-key safe accumulation: O(1) append/removeHead buffers, converted
+    // from/to the encoded List state exactly once per trigger (a `:+` on
+    // List is an O(n) copy — quadratic over a hot key's micro-batch).
+    val pending = scala.collection.mutable.ArrayDeque.empty[Pending]
+    val lefts = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val rights = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    lefts ++= s0.lefts
+    rights ++= s0.rights
 
     // 1. Fire overdue timers (the `ScheduledThreadPoolExecutor` role,
     //    `ScheduledStateStore.java:69-82`): emit joiner(l, null) with the
     //    LEFT's original event ts (`LeftJoinOnTimeoutBuilder.java:165-168`).
-    val (due, stillPending) = s.pending.partition(_.deadlineMs <= now)
-    due.foreach(p => out += PairOut(key, p.value, None, new Timestamp(p.ts)))
-    s = s.copy(pending = stillPending)
+    s0.pending.foreach { p =>
+      if (p.deadlineMs <= now) out += PairOut(key, p.value, None, new Timestamp(p.ts))
+      else pending.append(p)
+    }
 
     // 2. Process arrivals in order (single stream thread per key, like the
     //    reference's per-task processing).
     records.foreach { rec =>
       val ts = rec.ts.getTime
-      s = s.copy(maxEventTs = math.max(s.maxEventTs, ts), lastActiveMs = now)
+      maxEventTs = math.max(maxEventTs, ts)
+      lastActiveMs = now
       if (rec.left) {
         // windowed join probe: left vs retained rights (O4)
-        val matches = s.rights.filter { case (_, rts) => math.abs(rts - ts) <= bandMs }
-        matches.foreach { case (rv, _) =>
-          out += PairOut(key, rec.value, Some(rv), rec.ts)
+        var matched = false
+        rights.foreach { case (rv, rts) =>
+          if (math.abs(rts - ts) <= bandMs) {
+            matched = true
+            out += PairOut(key, rec.value, Some(rv), rec.ts)
+          }
         }
-        if (matches.nonEmpty) {
+        if (matched) {
           // join output → CancelProcessor cancels ALL pending for the key
           // (`ScheduledStateStore.java:87-115`) — including this left.
-          s = s.copy(pending = Nil)
+          pending.clear()
         } else {
-          // ScheduleProcessor: register the deferred joiner(l, null)
-          s = s.copy(pending = s.pending :+ Pending(rec.value, ts, now + timeoutMs))
+          // ScheduleProcessor: register the deferred joiner(l, null);
+          // at capacity the oldest fires early (see scaladoc).
+          pending.append(Pending(rec.value, ts, now + timeoutMs))
+          if (pending.size > maxScheduled) {
+            val oldest = pending.removeHead()
+            out += PairOut(key, oldest.value, None, new Timestamp(oldest.ts))
+          }
         }
-        s = s.copy(lefts = s.lefts :+ (rec.value, ts))
+        lefts += ((rec.value, ts))
       } else {
         // right arrival probes retained lefts — every in-window pair emits
         // (per-pair semantics, `LeftJoinOnTimeoutTest.java:89-91`)
-        val matches = s.lefts.filter { case (_, lts) => math.abs(lts - ts) <= bandMs }
-        matches.foreach { case (lv, lts) =>
-          out += PairOut(key, lv, Some(rec.value), new Timestamp(lts))
+        var matched = false
+        lefts.foreach { case (lv, lts) =>
+          if (math.abs(lts - ts) <= bandMs) {
+            matched = true
+            out += PairOut(key, lv, Some(rec.value), new Timestamp(lts))
+          }
         }
-        if (matches.nonEmpty) s = s.copy(pending = Nil) // key-level cancel
-        s = s.copy(rights = s.rights :+ (rec.value, ts))
+        if (matched) pending.clear() // key-level cancel
+        rights += ((rec.value, ts))
       }
     }
 
     // 3. Evict join state past retention R (`JoinWindows.until(R)`,
     //    `LeftJoinOnTimeoutBuilder.java:114`) by stream time.
-    val horizon = s.maxEventTs - retentionMs
-    s = s.copy(
-      lefts = s.lefts.filter(_._2 >= horizon),
-      rights = s.rights.filter(_._2 >= horizon))
+    val horizon = maxEventTs - retentionMs
+    val s = KeyState(
+      lefts.filter(_._2 >= horizon).toList,
+      rights.filter(_._2 >= horizon).toList,
+      pending.toList,
+      maxEventTs,
+      lastActiveMs)
 
     // 4. Persist + re-arm the group timer for the earliest pending deadline
     //    (restore after checkpoint re-evaluates this per trigger —

@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
  * @param maxScheduled backpressure bound on pending timeouts
  *                     (`LeftJoinOnTimeoutBuilder.java:25`); maps to
  *                     `maxOffsetsPerTrigger`-style source rate limiting in
- *                     Spark (state is disk-backed, not heap-capped).
+ *                     Spark (state is disk-backed, not heap-capped), and is
+ *                     ENFORCED in the faithful variant as a per-key cap on
+ *                     the pending list — at capacity the oldest pending
+ *                     emission fires early instead of blocking ingestion
+ *                     (`FaithfulLeftJoin.processKey` scaladoc).
  */
 final case class LeftJoinOnTimeoutConfig(
     joinWindow: Duration,

@@ -73,9 +73,42 @@ object TextDedup {
   private def jaccardFrom(ji: Column, na: Column, nb: Column): Column =
     ji.cast("double") / (na + nb - ji).cast("double")
 
+  /** Native intersect-size over per-doc-distinct arrays
+   * ([[graft.plans.ArrayIntersectSize]]) — value-identical to
+   * `size(array_intersect(a, b))` here, ~20× cheaper per candidate pair. */
+  private def intersectSize(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.ArrayIntersectSize(toExpr(a), toExpr(b)))
+  }
+
   private def jaccardSql(a: String, b: String): String =
     s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
       s"CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  /** Candidate pairs from an inverted-index bucket relation (bucket, doc_id):
+   * group by bucket, collect the (deduplicated-upstream) doc ids, expand the
+   * in-bucket pairs with id_a < id_b via a sorted-array nested transform.
+   * Identical to the classic posting self-join `a JOIN b ON a.bk = b.bk AND
+   * a.doc_id < b.doc_id` — but ONE shuffle (the groupBy) instead of the
+   * join's two sorted exchanges over persisted postings, and no persist of
+   * exploded rows at all. `maxBucket` bounds the collected list (pass
+   * Int.MaxValue for uncapped buckets — only safe when the bucket key is a
+   * signature hash whose collisions are genuine near-duplicates). */
+  private def bucketPairs(postings: DataFrame, bucketCol: String,
+                          minBucket: Int, maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    val grouped = postings.groupBy(col(bucketCol))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(ids) >= minBucket && size(ids) <= maxBucket)
+    // pair expansion via two codegen'd generators (posexplode + slice) —
+    // a nested transform-into-structs lambda here evaluated interpreted,
+    // tens of CPU-seconds at a few hundred thousand buckets
+    grouped
+      .select(ids, posexplode(ids).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(ids, col("i") + 2, size(ids) - col("i") - 1)).as("id_b"))
+      .distinct()
+  }
 
   // ---- 1. exact dedup ------------------------------------------------------
 
@@ -115,31 +148,32 @@ object TextDedup {
 
   /** LSH band keys: band_j = md5(j '|' sig_{2j-1} '|' sig_{2j}). The band
    * index is folded into the hash so a flat equality join on the band
-   * value is sufficient. */
-  def lshBands(sig: Column): Column =
-    transform(sequence(lit(1), lit(LshBands)),
-      j => md5(concat(j.cast("string"), lit("|"),
-        element_at(sig, j * LshRows - 1), lit("|"), element_at(sig, j * LshRows))))
+   * value is sufficient. Native [[graft.plans.LshBandKeys]] — the
+   * `transform`/`element_at` composition re-ran the whole signature
+   * pipeline once per element after CollapseProject inlining (see the
+   * expression's scaladoc). */
+  def lshBands(sig: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.LshBandKeys(toExpr(sig), LshBands, LshRows))
+  }
 
   /** Near-duplicate pairs by MinHash-LSH: shingle → sign → band → bucket
    * join → verify true Jaccard ≥ threshold. Output (id_a, id_b, jaccard),
    * id_a < id_b. */
   def minhashLsh(docs: DataFrame): DataFrame = {
-    // Cache ONLY the banded signatures — narrow (id, 32-char hash) rows.
-    // Caching the shingle arrays themselves is a trap: Spark's cache
-    // size-estimation walks every cached object graph, and for wide
-    // string arrays that overhead dwarfed the md5 work it saved. The
-    // signature pipeline therefore runs exactly once (banded's
-    // materialization), and the verify stage recomputes shingles only
-    // for the handful of candidate docs via a join on candidate ids.
+    // Candidate generation: ONE shuffle — group the banded postings by
+    // band value and expand in-bucket pairs ([[bucketPairs]]). A bucket is
+    // a set of docs agreeing on a band of minhash minima, i.e. a genuine
+    // near-dup cluster w.h.p., so bucket sizes are cluster sizes and the
+    // quadratic expansion is exactly the pair set any dedup must emit.
+    // (An earlier posting self-join computed the same set with two sorted
+    // exchanges over a persisted banded relation — the bench outlier.)
+    // The signature pipeline runs exactly once, map-side, feeding the
+    // groupBy; the verify stage recomputes shingles only for the handful
+    // of candidate docs via a join on candidate ids.
     val banded = shingleDf(docs).select(col("doc_id"),
       explode(lshBands(minhashSignature(col("sh")))).as("bv"))
-      .persist()
-    val cand = banded.as("a")
-      .join(banded.as("b"), col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .persist()
+    val cand = bucketPairs(banded, "bv", 2, Int.MaxValue).persist()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
       .distinct()
@@ -148,7 +182,7 @@ object TextDedup {
       .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("ji"),
+        intersectSize(col("sh_a"), col("sh_b")).as("ji"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("id_a"), col("id_b"), jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= MinHashThreshold)
@@ -219,28 +253,31 @@ object TextDedup {
   def simhashDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val chunkLen = SimHashBits / SimHashChunks
-    // persist: the signature feeds both sides of the chunk self-join.
-    // Native one-pass signature ([[graft.plans.SimHash64]]) — value-
-    // identical to [[simhashStr]], ~tokens·64 fewer interpreted lambda
-    // evaluations per row.
+    // persist: the (narrow) signature relation feeds chunk blocking AND the
+    // two verify joins. Native one-pass signature ([[graft.plans.SimHash64]])
+    // — value-identical to [[simhashStr]], ~tokens·64 fewer interpreted
+    // lambda evaluations per row.
     val sigs = docs
       .filter(size(tokens(col("text"))) > 0)
       .select(col("doc_id"), toCol(graft.plans.SimHash64(toExpr(col("text")))).as("sig"))
       .persist()
-    val chunked = sigs.select(col("doc_id"), col("sig"),
+    // Chunk postings carry only (doc_id, chunk); sigs are joined back for
+    // the verify stage rather than riding the exploded relation. Chunk
+    // buckets (unlike minhash bands) collide between non-near-dups on a
+    // uniform corpus, so at extreme scale the pair expansion within a hot
+    // bucket is the quadratic cost any pigeonhole blocking pays — adding
+    // more chunks (finer blocks) is the knob, documented at [[SimHashChunks]].
+    val chunked = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(SimHashChunks - 1)),
         j => concat(j.cast("string"), lit(":"),
           substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
-    val cand = chunked.as("a")
-      .join(chunked.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("a.sig").as("sig_a"),
-              col("b.doc_id").as("id_b"), col("b.sig").as("sig_b"))
-      .distinct()
+    val cand = bucketPairs(chunked, "chunk", 2, Int.MaxValue)
     cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(filter(sequence(lit(1), lit(SimHashBits)),
-          i => substr(col("sig_a"), i, lit(1)) =!= substr(col("sig_b"), i, lit(1))))
-          .cast("bigint").as("hamming"))
+        toCol(graft.plans.HammingStr(toExpr(col("sig_a")), toExpr(col("sig_b"))))
+          .as("hamming"))
       .filter(col("hamming") <= HammingMax)
   }
 
@@ -321,30 +358,24 @@ object TextDedup {
   val SampleHexMax = 4
 
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    // distinct sampled postings, cached: feed the df-filter, the candidate
-    // join (twice) and the per-doc gram-array rebuild
     // sampling + per-doc dedup happen inside the native gram pass, so the
     // exploded postings are already DISTINCT (doc_id, gr) — no global
-    // distinct shuffle needed
+    // distinct shuffle needed. Candidate generation is ONE shuffle: group
+    // postings by gram, keep rare grams (df ≤ DfMax — so the collected id
+    // list is bounded at DfMax elements), expand in-bucket pairs
+    // ([[bucketPairs]]). The posting relation is consumed exactly once —
+    // no persist, no self-join. (The earlier rare-filter + posting
+    // self-join computed the same candidate set with two extra shuffles
+    // over a persisted posting relation; it was the bench outlier at
+    // 26.5 s of a 69 s round.)
     val postings = {
       import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
       docs
         .select(col("doc_id"),
           explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram, SampleHexMax)))
             .as("gr"))
-        .persist()
     }
-    val rare = postings.groupBy("gr")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= DfMax)
-      .select("gr")
-    val rarePost = postings.join(rare, "gr")
-    val cand = rarePost.as("a")
-      .join(rarePost.as("b"),
-        col("a.gr") === col("b.gr") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .persist()
+    val cand = bucketPairs(postings, "gr", 2, DfMax).persist()
     // verify only needs gram ARRAYS for candidate docs: recompute the
     // native gram pass for those few rows instead of collect_list-ing the
     // whole posting relation back into arrays (a full-corpus shuffle)
@@ -361,7 +392,7 @@ object TextDedup {
       .join(gArr.select(col("doc_id").as("id_a"), col("g").as("g_a")), "id_a")
       .join(gArr.select(col("doc_id").as("id_b"), col("g").as("g_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("g_a"), col("g_b"))).as("ji"),
+        intersectSize(col("g_a"), col("g_b")).as("ji"),
         size(col("g_a")).as("na"), size(col("g_b")).as("nb"))
       .select(col("id_a"), col("id_b"),
         jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))

@@ -93,10 +93,88 @@ object VectorOps {
 
   // ---- 1. embedding-cosine near-dup ----------------------------------------
 
-  /** All pairs with cosine ≥ [[NearDupSim]] — the exact near-dup baseline.
-   * O(n²) compare with a broadcast build side; the LSH variant below is
-   * the 100 TB path. Output (id_a, id_b, sim), id_a < id_b. */
+  /** Banded-LSH near-dup parameters: [[NearDupBands]] bands ×
+   * [[NearDupRows]] hyperplanes per band. A pair is a CANDIDATE iff some
+   * band's sign bits all agree; candidates are then verified exactly
+   * against [[NearDupSim]] — the same s-curve banding as the MinHash dedup
+   * (`TextDedup.minhashLsh`). (R, B) are the recall/cost dials: per-plane
+   * agreement for cosine c is 1 − arccos(c)/π, so band-match prob is that
+   * to the R-th power, and recall = 1 − (1 − p^R)^B. R=2/B=8 captures
+   * ≈ 98% of pairs at this corpus's low operating point (c ≈ 0.4, where
+   * per-plane agreement is only ~0.64); a production dedup at c ≥ 0.9
+   * would raise R (each extra plane per band halves the random-collision
+   * rate) and B to keep recall. */
+  val NearDupBands = 8
+  val NearDupRows = 2
+
+  /** Band keys ("j:" + sign bits of the band's hyperplanes) for the
+   * near-dup blocking. Native [[graft.plans.LongDot]] against plan-time
+   * literal hyperplanes — codegen'd, no interpreted lambda per element. */
+  def nearDupBands(q: Column): Column = {
+    val planes = hyperplanesN(NearDupBands * NearDupRows)
+    array((0 until NearDupBands).map { j =>
+      val bits = (0 until NearDupRows).map { r =>
+        val h = typedLit(planes(j * NearDupRows + r).map(_.toLong))
+        when(dot(q, h) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(lit(s"$j:") +: bits: _*)
+    }: _*)
+  }
+
+  private def nearDupBandsSql(q: String): String = {
+    val planes = hyperplanesN(NearDupBands * NearDupRows)
+    val keys = (0 until NearDupBands).map { j =>
+      val bits = (0 until NearDupRows).map { r =>
+        val lit = planes(j * NearDupRows + r).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum([$q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
+      }
+      s"('$j:' || ${bits.mkString(" || ")})"
+    }
+    keys.mkString("[", ", ", "]")
+  }
+
+  /** Near-duplicate pairs with cosine ≥ [[NearDupSim]], candidates blocked
+   * by banded hyperplane LSH: band keys are the shuffle key of a plain
+   * equi-self-join — never a cartesian — and only in-bucket pairs pay the
+   * exact-cosine verify. Documented approximation (mirrored exactly by the
+   * oracle): a qualifying pair agreeing on no band is missed — ≈ 2% at
+   * this corpus's operating point, see [[NearDupBands]]. Output
+   * (id_a, id_b, sim), id_a < id_b. */
   def embeddingNearDup(embeddings: DataFrame): DataFrame = {
+    // persist: the narrow (id, q, n2) projection feeds band generation AND
+    // both verify joins; band buckets are coarse (4^R·B distinct keys), so
+    // the self-join stays a distributed sort-merge join, not a collect.
+    val qn = quantized(embeddings).persist()
+    val banded = qn.select(col("vec_id"), explode(nearDupBands(col("q"))).as("bv"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
+      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= NearDupSim)
+  }
+
+  def embeddingNearDupSql(table: String): String =
+    s"""WITH ${quantizedSql(table)},
+       |banded AS (SELECT vec_id, unnest(${nearDupBandsSql("q")}) AS bv FROM qn),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM banded a JOIN banded b ON a.bv = b.bv AND a.vec_id < b.vec_id)
+       |SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |       ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} AS sim
+       |FROM cand c
+       |JOIN qn a ON a.vec_id = c.id_a
+       |JOIN qn b ON b.vec_id = c.id_b
+       |WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $NearDupSim""".stripMargin
+
+  /** The exact all-pairs baseline the bucketed [[embeddingNearDup]] is
+   * measured against (recall test in OperatorsSpec — NOT a checked query:
+   * the O(n²) cartesian compare dies at 100× scale). */
+  private[graft] def embeddingNearDupBrute(embeddings: DataFrame): DataFrame = {
     val qn = quantized(embeddings)
     val a = qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na"))
     val b = qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb"))
@@ -105,13 +183,6 @@ object VectorOps {
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= NearDupSim)
   }
-
-  def embeddingNearDupSql(table: String): String =
-    s"""WITH ${quantizedSql(table)}
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |       ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} AS sim
-       |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
-       |WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $NearDupSim""".stripMargin
 
   // ---- 2. brute-force cosine top-k -----------------------------------------
 
@@ -152,22 +223,24 @@ object VectorOps {
   /** Deterministic ±1 hyperplanes: component (j, i) is +1 when the first
    * md5 byte of "j:i" is non-negative (high hex nibble 0-7). Computed once
    * at plan time, embedded as literals on both engines. */
-  lazy val hyperplanes: Seq[Seq[Int]] = {
+  def hyperplanesN(n: Int): Seq[Seq[Int]] = {
     val mdt = MessageDigest.getInstance("MD5")
-    (1 to LshPlanes).map { j =>
+    (1 to n).map { j =>
       (1 to Dim).map { i =>
         val d = mdt.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
         if (d(0) >= 0) 1 else -1
       }
     }
   }
+  lazy val hyperplanes: Seq[Seq[Int]] = hyperplanesN(LshPlanes)
 
   /** 8-char '0'/'1' bucket key: sign bits of the hyperplane dot products
-   * (integer-exact on quantized vectors). */
+   * (integer-exact on quantized vectors). Native [[graft.plans.LongDot]]
+   * against literal planes — value-identical to the `aggregate`/`zip_with`
+   * composition it replaces, but codegen'd. */
   def lshBucket(q: Column): Column = {
     val bits = hyperplanes.map { h =>
-      val hCol = typedLit(h)
-      val d = aggregate(zip_with(q, hCol, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val d = dot(q, typedLit(h.map(_.toLong)))
       when(d >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)

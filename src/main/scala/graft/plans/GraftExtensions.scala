@@ -26,6 +26,21 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity guard: a wrong argument count from SQL surfaces as an analysis
+   * error naming the function, not a raw IndexOutOfBoundsException (and
+   * extra arguments are never silently ignored). */
+  private def arity(name: String, n: Int, es: Seq[Expression])
+                   (build: Seq[Expression] => Expression): Expression = {
+    if (es.length != n) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> es.length.toString, "docroot" -> ""))
+    }
+    build(es)
+  }
+
   /** (name, info, builder) for every SQL-exposed native function. Arity
    * beyond the first argument is fixed to the engine defaults used by the
    * dedup operators (word trigrams, 16-char grams with 1-in-4 sampling,
@@ -33,19 +48,25 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("long_dot",
       info("long_dot", "long_dot(a, b) - exact integer dot product of two ARRAY<BIGINT>"),
-      (es: Seq[Expression]) => LongDot(es(0), es(1))),
+      (es: Seq[Expression]) => arity("long_dot", 2, es)(e => LongDot(e(0), e(1)))),
+    ("hamming_str",
+      info("hamming_str", "hamming_str(a, b) - Hamming distance of two equal-length strings"),
+      (es: Seq[Expression]) => arity("hamming_str", 2, es)(e => HammingStr(e(0), e(1)))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingles) - K=12 md5-hex minhash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0), 12)),
+      (es: Seq[Expression]) => arity("minhash_sig", 1, es)(e => MinHashSig(e(0), 12))),
+    ("token_seq",
+      info("token_seq", "token_seq(text) - lowercase alphanumeric tokens (duplicates kept)"),
+      (es: Seq[Expression]) => arity("token_seq", 1, es)(e => TokenSeq(e(0)))),
     ("word_shingles",
       info("word_shingles", "word_shingles(text) - distinct word trigram shingles"),
-      (es: Seq[Expression]) => WordShingles(es(0), 3)),
+      (es: Seq[Expression]) => arity("word_shingles", 1, es)(e => WordShingles(e(0), 3))),
     ("char_gram_seq",
       info("char_gram_seq", "char_gram_seq(text) - sampled distinct 16-char grams"),
-      (es: Seq[Expression]) => CharGramSeq(es(0), 16, 4)),
+      (es: Seq[Expression]) => arity("char_gram_seq", 1, es)(e => CharGramSeq(e(0), 16, 4))),
     ("simhash64",
       info("simhash64", "simhash64(text) - 64-bit SimHash as a '0'/'1' string"),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      (es: Seq[Expression]) => arity("simhash64", 1, es)(e => SimHash64(e(0)))),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

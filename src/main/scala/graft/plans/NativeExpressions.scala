@@ -37,11 +37,15 @@ case class LongDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
+  // null on length mismatch (fail loudly on malformed vectors rather than
+  // silently truncating to the shorter prefix), so always nullable
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -54,12 +58,16 @@ case class LongDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -85,6 +93,11 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // An empty shingle set has no minima: return NULL (the whole array, never
+  // null *elements* — dataType declares containsNull=false, and a null
+  // element would NPE downstream). The engine's dedup paths pre-filter
+  // size(sh) > 0; this guard is for the public SQL surface.
+  override def nullable: Boolean = true
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -99,12 +112,16 @@ case class MinHashSig(child: Expression, k: Int)
     new String(out)
   }
 
+  // hoisted off the per-row path (allocation-free hot loop)
+  @transient private lazy val prefixes =
+    Array.tabulate(k)(j => s"${j + 1}:".getBytes(StandardCharsets.UTF_8))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val md = MessageDigest.getInstance("MD5")
     val mins = new Array[String](k)
-    val prefixes = Array.tabulate(k)(j => s"${j + 1}:".getBytes(StandardCharsets.UTF_8))
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i).getBytes
@@ -123,6 +140,65 @@ case class MinHashSig(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/**
+ * `LshBandKeys(sig, bands, rows)`: banded LSH keys over a minhash
+ * signature — band_j = md5(j '|' sig[(j−1)·rows+1] '|' … '|' sig[j·rows])
+ * as lowercase hex, j = 1..bands. Value-identical to the
+ * `transform(sequence(1, B), j -> md5(concat(j, '|', element_at(sig, ...))))`
+ * composition (and the DuckDB oracle) — but one native pass over an
+ * already-computed signature. The composed form is pathological:
+ * CollapseProject re-inlines the aliased `MinHashSig(...)` INTO the
+ * transform lambda, so the whole signature pipeline re-ran once per
+ * `element_at` — ~12× per document (measured dominating the minhash-LSH
+ * profile). Nesting this directly over [[MinHashSig]] evaluates the
+ * signature exactly once.
+ */
+case class LshBandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def nullable: Boolean = true
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData]
+    if (sig.numElements() < bands * rows) return null
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bands)
+    var j = 1
+    while (j <= bands) {
+      val sb = new java.lang.StringBuilder()
+      sb.append(j)
+      var r = (j - 1) * rows
+      while (r < j * rows) {
+        sb.append('|').append(sig.getUTF8String(r).toString)
+        r += 1
+      }
+      md.reset()
+      out(j - 1) = UTF8String.fromString(
+        hex(md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
     copy(child = newChild)
 }
 
@@ -166,6 +242,48 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/**
+ * `TokenSeq(text)`: lowercase alphanumeric tokens (duplicates KEPT, unlike
+ * [[WordShingles]] which dedups shingles). Value-identical on ASCII text to
+ * `filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')` — but one native
+ * pass. The composed form is pathological on Spark 4: a higher-order
+ * function evaluates its argument subtree INTERPRETED, and interpreted
+ * `Lower` goes through ICU's per-codepoint case mapping
+ * (`CollationSupport$Lower.execBinaryICU` — measured dominating the
+ * text-stats profile); `UTF8String.toLowerCase` here takes the ASCII fast
+ * path. Divergence on non-ASCII input (ICU full case mapping vs
+ * UTF8String's simple mapping) is documented and irrelevant to the
+ * alphanumeric tokenizer: both map [A-Z] identically and every non-ASCII
+ * codepoint is a token separator either way.
+ */
+case class TokenSeq(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_seq"
+
+  @transient private lazy val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val toks = sep.split(text)
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[Any](n)
+    var k = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) { out(k) = UTF8String.fromString(toks(i)); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSeq =
     copy(child = newChild)
 }
 
@@ -261,4 +379,92 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/**
+ * `ArrayIntersectSize(a, b)`: number of distinct common elements of two
+ * string arrays whose elements are ALREADY distinct within each array (the
+ * gram/shingle arrays from [[CharGramSeq]]/[[WordShingles]] are). Value-
+ * identical to `size(array_intersect(a, b))` under that precondition, but
+ * one hash-set pass instead of the interpreted `SQLOpenHashSet` machinery
+ * (measured ~20× on the dedup verify stage, where it runs once per
+ * candidate pair).
+ */
+case class ArrayIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "array_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (small, large) =
+      if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    val n = small.numElements()
+    while (i < n) { set.add(small.getUTF8String(i)); i += 1 }
+    var acc = 0
+    var j = 0
+    val m = large.numElements()
+    while (j < m) { if (set.contains(large.getUTF8String(j))) acc += 1; j += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * `HammingStr(a, b)`: positions at which two equal-length ASCII strings
+ * differ — the Hamming distance between two '0'/'1' SimHash signatures.
+ * Value-identical to
+ * `size(filter(sequence(1, L), i -> substr(a,i,1) != substr(b,i,1)))` for
+ * equal-length inputs, but a codegen'd byte-compare loop instead of ~L
+ * interpreted lambda evaluations with two UTF8String allocations each.
+ * NULL on length mismatch (malformed input fails loudly, mirroring
+ * [[LongDot]]).
+ */
+case class HammingStr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_str"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val n = x.numBytes()
+    if (n != y.numBytes()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) { if (x.getByte(i) != y.getByte(i)) acc += 1; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numBytes();
+         |if ($n != $b.numBytes()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getByte($i) != $b.getByte($i)) $acc++;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingStr =
+    copy(left = newLeft, right = newRight)
 }

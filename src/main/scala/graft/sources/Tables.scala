@@ -21,21 +21,29 @@ object Tables {
   }
 
   /** Small single-file tables arrive as ONE scan partition (one parquet
-   * row group = one task), which serializes every downstream per-row
-   * computation — signature hashing, quantized dot products — onto a
-   * single core. Fan out to the cluster's parallelism when the scan is
-   * under-partitioned; on a real multi-TB input with many files/row
-   * groups this is a no-op. */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+   * row group = one task — Spark's byte-range file splits cannot divide a
+   * row group), which serializes every downstream per-row computation —
+   * signature hashing, quantized dot products — onto a single core. Fan
+   * out to the cluster's parallelism when the table is small. The guard is
+   * a driver-side filesystem metadata stat (length of the parquet file):
+   * on a real multi-TB input it short-circuits to a no-op without ever
+   * touching RDD lineage (an earlier `df.rdd.getNumPartitions` probe paid
+   * RDD planning on every table load). */
+  private val FanOutMaxBytes = 256L << 20
+  private def fanOut(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val bytes = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(hp).getLength
+    if (bytes < FanOutMaxBytes) df.repartition(s.sparkContext.defaultParallelism)
+    else df
   }
 
   def documents(s: SparkSession, dir: String): DataFrame =
-    fanOut(s.read.parquet(s"$dir/documents.parquet"))
+    fanOut(s, s"$dir/documents.parquet")
 
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    fanOut(s.read.parquet(s"$dir/embeddings.parquet"))
+    fanOut(s, s"$dir/embeddings.parquet")
 
   def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")

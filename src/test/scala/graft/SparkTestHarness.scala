@@ -18,6 +18,7 @@ trait SparkTestHarness extends BeforeAndAfterAll { self: AnyFunSuite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", SparkLocal.dir)
     .getOrCreate()
 
   override protected def afterAll(): Unit = {

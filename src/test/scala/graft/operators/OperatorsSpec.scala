@@ -64,6 +64,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(mh.nonEmpty && recall >= 0.7, s"recall $recall; missing ${mh -- sh}")
   }
 
+  test("banded LSH near-dup: subset of brute force, recall >= 0.85, no cartesian") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = VectorOps.embeddingNearDupBrute(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.embeddingNearDup(emb)
+    val got = lsh.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "bucketed pairs must verify the same threshold")
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(brute.nonEmpty && recall >= 0.85, s"recall $recall; missing ${brute -- got}")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidate stage must be an equi-join on the band key")
+  }
+
+  test("approx_count_distinct stays within 5x its rsd of exact") {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default rsd = 0.05; allow 5 sigma
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.25).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("quantization is exact floor(x * 2^20)") {
     val out = spark.range(1)
       .select(VectorOps.quantize(

@@ -48,4 +48,36 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestHarness {
     assert(grams.distinct === grams)
     assert(grams.forall(_.length === 16))
   }
+
+  test("hamming_str counts differing positions; NULL on length mismatch") {
+    val r = spark.sql(
+      """SELECT hamming_str('10110', '10011') AS h,
+        |       hamming_str('101', '10') AS bad,
+        |       hamming_str('', '') AS empty""".stripMargin).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.isNullAt(1), "length mismatch must be NULL, not a truncated count")
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("long_dot is NULL on mismatched vector lengths (no silent truncation)") {
+    val r = spark.sql(
+      "SELECT long_dot(array(1L, 2L), array(3L)) AS bad, " +
+        "long_dot(array(), array()) AS empty").head()
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 0L)
+  }
+
+  test("minhash_sig of an empty shingle array is NULL (never null elements)") {
+    val r = spark.sql(
+      "SELECT minhash_sig(array()) AS nil, minhash_sig(array('x')) AS one").head()
+    assert(r.isNullAt(0), "empty input must yield a NULL array, not [null,...]")
+    assert(r.getSeq[String](1).length === 12)
+  }
+
+  test("wrong arity raises an analysis error naming the function") {
+    val e = intercept[Exception](spark.sql("SELECT long_dot(array(1L))").head())
+    assert(e.getMessage.contains("long_dot"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT simhash64('a', 'b')").head())
+    assert(e2.getMessage.contains("simhash64"), e2.getMessage)
+  }
 }
