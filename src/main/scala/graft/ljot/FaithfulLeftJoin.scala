@@ -32,7 +32,8 @@ private[ljot] case class KeyState(
     rights: List[(String, Long)],
     pending: List[Pending],
     maxEventTs: Long,
-    lastActiveMs: Long)
+    lastActiveMs: Long,
+    epoch: Long = 0L)
 
 /**
  * Faithful re-implementation of the reference semantics that the idiomatic
@@ -45,10 +46,13 @@ private[ljot] case class KeyState(
  *  - **processing-time timeout, event-time band** (§2.3-4): the timer is
  *    wall-clock from left arrival (`ScheduledStateStore.java:69-82`) while
  *    the band is event-time;
- *  - **restore re-arms timers with the full delay** (§2.3-7): Spark's
- *    processing-time timeouts are re-evaluated per trigger after a
- *    checkpoint restart — the same behavior the reference gets from
- *    replaying the changelog (`ScheduledStateStore.java:123-137`).
+ *  - **restore re-arms timers with the full delay** (§2.3-7): a run-epoch
+ *    marker in the state row detects the first trigger after a checkpoint
+ *    restart and re-schedules every pending emission with the restarted
+ *    query's configured timeout measured from restore time — exactly the
+ *    reference's changelog-replay behavior, where the delay comes from
+ *    config, not stored state (`ScheduledStateStore.java:123-137`,
+ *    restore-into-shorter-window test `LeftJoinOnTimeoutTest.java:131-153`).
  *
  * Single stateful operator: tagged union of both sides → `groupByKey(key)`
  * → `flatMapGroupsWithState(Append, ProcessingTimeTimeout)`. Each group is
@@ -78,12 +82,18 @@ object FaithfulLeftJoin {
     val timeoutMs = cfg.effectiveTimeout.toMillis
 
     val maxScheduled = cfg.maxScheduled
+    // Run marker for restore detection (ref §2.3-7: changelog restore
+    // re-schedules every entry with the FULL configured delay —
+    // `ScheduledStateStore.java:127-131`). Captured once per (re)start at
+    // plan build on the driver; state rows written under a different epoch
+    // are restored state and get their pending deadlines re-armed.
+    val runEpoch = System.currentTimeMillis()
     val out: Dataset[PairOut] = union
       .groupByKey(_.key)
       .flatMapGroupsWithState[KeyState, PairOut](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (key, records, state) =>
-          processKey(key, records, state, d, r, timeoutMs, maxScheduled)
+          processKey(key, records, state, d, r, timeoutMs, maxScheduled, runEpoch)
       }
 
     out.toDF()
@@ -110,10 +120,12 @@ object FaithfulLeftJoin {
       bandMs: Long,
       retentionMs: Long,
       timeoutMs: Long,
-      maxScheduled: Int = Int.MaxValue): Iterator[PairOut] = {
+      maxScheduled: Int = Int.MaxValue,
+      runEpoch: Long = 0L): Iterator[PairOut] = {
 
     val now = state.getCurrentProcessingTimeMs()
-    val s0 = state.getOption.getOrElse(KeyState(Nil, Nil, Nil, Long.MinValue, now))
+    val s0 = state.getOption.getOrElse(
+      KeyState(Nil, Nil, Nil, Long.MinValue, now, runEpoch))
     val out = List.newBuilder[PairOut]
     var maxEventTs = s0.maxEventTs
     var lastActiveMs = s0.lastActiveMs
@@ -127,11 +139,19 @@ object FaithfulLeftJoin {
     lefts ++= s0.lefts
     rights ++= s0.rights
 
-    // 1. Fire overdue timers (the `ScheduledThreadPoolExecutor` role,
-    //    `ScheduledStateStore.java:69-82`): emit joiner(l, null) with the
-    //    LEFT's original event ts (`LeftJoinOnTimeoutBuilder.java:165-168`).
+    // 1a. Restore re-arm (ref §2.3-7): state written by a previous run
+    //     means this is the first trigger after a checkpoint restart —
+    //     every pending emission is re-scheduled with the full configured
+    //     delay measured from NOW (delay comes from the restarted query's
+    //     config, not the stored deadline — the reference restores into a
+    //     possibly different window, `LeftJoinOnTimeoutTest.java:131-153`).
+    val restored = s0.epoch != runEpoch
+    // 1b. Fire overdue timers (the `ScheduledThreadPoolExecutor` role,
+    //     `ScheduledStateStore.java:69-82`): emit joiner(l, null) with the
+    //     LEFT's original event ts (`LeftJoinOnTimeoutBuilder.java:165-168`).
     s0.pending.foreach { p =>
-      if (p.deadlineMs <= now) out += PairOut(key, p.value, None, new Timestamp(p.ts))
+      if (restored) pending.append(p.copy(deadlineMs = now + timeoutMs))
+      else if (p.deadlineMs <= now) out += PairOut(key, p.value, None, new Timestamp(p.ts))
       else pending.append(p)
     }
 
@@ -187,7 +207,8 @@ object FaithfulLeftJoin {
       rights.filter(_._2 >= horizon).toList,
       pending.toList,
       maxEventTs,
-      lastActiveMs)
+      lastActiveMs,
+      runEpoch)
 
     // 4. Persist + re-arm the group timer for the earliest pending deadline
     //    (restore after checkpoint re-evaluates this per trigger —
@@ -201,8 +222,16 @@ object FaithfulLeftJoin {
     } else {
       state.update(s)
       if (s.pending.nonEmpty) {
+        // Wake at the earliest deadline, but at least every timeout/4
+        // (floor 1 s): Spark exposes no restore hook, so the run-epoch
+        // restore detection (step 1a) is bounded-lazy — a restarted run
+        // re-arms every key's pending timers within a quarter timeout
+        // instead of waiting out a stale long deadline from the previous
+        // run's config. Steady-state cost: at most 4 no-op wakes per
+        // pending lifetime per key.
         val earliest = s.pending.map(_.deadlineMs).min
-        state.setTimeoutDuration(math.max(1L, earliest - now))
+        val heartbeat = math.max(1000L, timeoutMs / 4)
+        state.setTimeoutDuration(math.max(1L, math.min(earliest - now, heartbeat)))
       } else {
         // wake once more when the idle-retention horizon passes
         state.setTimeoutDuration(math.max(1L, s.lastActiveMs + retentionMs - now))

@@ -95,6 +95,148 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
     assert(s2.get.lefts.map(_._1) === List("new"))
   }
 
+  test("maxScheduled caps pending per key: oldest fires early at capacity") {
+    // analog of shouldNotOverflow (`ScheduledStateStoreTest.java:73-101`):
+    // the reference BLOCKS ingestion at capacity until a timer frees a
+    // slot; the micro-batch mapping fires the oldest pending early instead
+    // — state bounded, every left still emits exactly once.
+    val s = state(None, 1000L)
+    val out = FaithfulLeftJoin.processKey(1L,
+      (1 to 5).map(i => l(s"left_$i", i.toLong)).iterator, s,
+      bandMs, retentionMs, timeoutMs, maxScheduled = 2).toSeq
+    // 5 scheduled against capacity 2 → 3 early emissions, oldest first
+    assert(out === Seq(
+      PairOut(1L, "left_1", None, new Timestamp(1L)),
+      PairOut(1L, "left_2", None, new Timestamp(2L)),
+      PairOut(1L, "left_3", None, new Timestamp(3L))))
+    assert(s.get.pending.map(_.value) === List("left_4", "left_5"))
+  }
+
+  test("restore re-arms pending with the restarted run's full delay") {
+    // ref §2.3-7 / `LeftJoinOnTimeoutTest.java:131-153`: delay comes from
+    // the (possibly different) config at restore, not from stored state.
+    val s0 = state(None, 1000L)
+    FaithfulLeftJoin.processKey(1L, Iterator(l("left", 42L)), s0,
+      bandMs, retentionMs, timeoutMs, Int.MaxValue, runEpoch = 111L)
+    assert(s0.get.pending.head.deadlineMs === 1000L + timeoutMs)
+    // "restart" at t=5000 with a different epoch and a SHORTER timeout:
+    // nothing fires (even though the stored deadline 1200 is long past);
+    // the pending entry is re-armed to now + newTimeout
+    val s1 = state(s0.getOption, 5000L, timedOut = true)
+    val out = FaithfulLeftJoin.processKey(1L, Iterator.empty, s1,
+      bandMs, retentionMs, 150L, Int.MaxValue, runEpoch = 222L).toSeq
+    assert(out.isEmpty, "restored pending must wait the full new delay")
+    assert(s1.get.pending.head.deadlineMs === 5000L + 150L)
+    assert(s1.getTimeoutTimestampMs.get() === 5000L + 150L)
+    // the re-armed timer then fires normally under the same epoch
+    val s2 = state(s1.getOption, 5000L + 151L, timedOut = true)
+    val fired = FaithfulLeftJoin.processKey(1L, Iterator.empty, s2,
+      bandMs, retentionMs, 150L, Int.MaxValue, runEpoch = 222L).toSeq
+    assert(fired === Seq(PairOut(1L, "left", None, new Timestamp(42L))))
+  }
+
+  /** Bounded wait until the stateful operator holds >= n state rows.
+   * NEVER processAllAvailable() here: with ProcessingTimeTimeout timers
+   * armed the engine keeps scheduling no-data micro-batches and
+   * processAllAvailable can block against that churn (round-1 lesson;
+   * the reference's Awaitility pattern, `LeftJoinOnTimeoutTest.java:221-235`). */
+  private def awaitStateRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+                             n: Long, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline &&
+           !q.recentProgress.exists(_.stateOperators.exists(_.numRowsTotal >= n)))
+      Thread.sleep(200L)
+    assert(q.recentProgress.exists(_.stateOperators.exists(_.numRowsTotal >= n)),
+      s"state never reached $n rows")
+  }
+
+  test("end-to-end: checkpoint stop/restart fires restored timeouts " +
+       "(shouldLeftJoinOnTimeoutAfterRestoration)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("faithful_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("faithful_out").toString
+    // long timeout first (nothing fires while q1 runs) — the reference's
+    // long-window topology (`LeftJoinOnTimeoutTest.java:184-188`)
+    val longCfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
+      Duration.ofMillis(300), timeout = Some(Duration.ofSeconds(120)))
+    // restart into a SHORT timeout — delay must come from this config
+    val shortCfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
+      Duration.ofMillis(300), timeout = Some(Duration.ofMillis(500)))
+    val ls = MemoryStream[Rec]; val rs = MemoryStream[Rec]
+    def start(cfg: LeftJoinOnTimeoutConfig) =
+      FaithfulLeftJoin(ls.toDF(), rs.toDF(), LeftJoinOnTimeout.testJoiner, cfg)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start(longCfg)
+    try {
+      ls.addData(Rec(1L, "left", new Timestamp(1000L)),
+                 Rec(3L, "left", new Timestamp(1000L)))
+      awaitStateRows(q1, 2)
+    } finally q1.stop()
+
+    val q2 = start(shortCfg)
+    try {
+      def rows(): Seq[(Long, String)] =
+        spark.read.parquet(outDir).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val deadline = System.currentTimeMillis() + 60000L
+      var got = rows()
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L); got = rows()
+      }
+      assert(got === Seq((1L, "left+"), (3L, "left+")),
+        "both restored lefts must fire with the restarted config's delay")
+    } finally q2.stop()
+  }
+
+  test("end-to-end: restart with different shuffle partitions keeps state " +
+       "(rebalance analog)") {
+    // ref `LeftJoinOnTimeoutTest.java:155-177` rebalances partitions across
+    // instances; Spark pins the state operator's partitioning in the
+    // checkpoint, so a conflicting session conf must NOT corrupt or lose
+    // state — outputs still appear for every scheduled left.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("faithful_reb_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("faithful_reb_out").toString
+    val cfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
+      Duration.ofMillis(300), timeout = Some(Duration.ofMillis(500)))
+    val ls = MemoryStream[Rec]; val rs = MemoryStream[Rec]
+    def start() =
+      FaithfulLeftJoin(ls.toDF(), rs.toDF(), LeftJoinOnTimeout.testJoiner, cfg)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      // keys 1 and 3 land in different hash partitions (ref uses 2
+      // partitions with keys 1 and 3, `LeftJoinOnTimeoutTest.java:157-160`)
+      ls.addData(Rec(1L, "left", new Timestamp(1000L)),
+                 Rec(3L, "left", new Timestamp(1000L)))
+      awaitStateRows(q1, 2)
+    } finally q1.stop()
+
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val q2 = start()
+    try {
+      def rows(): Seq[(Long, String)] =
+        spark.read.parquet(outDir).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val deadline = System.currentTimeMillis() + 60000L
+      var got = rows()
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L); got = rows()
+      }
+      assert(got === Seq((1L, "left+"), (3L, "left+")))
+    } finally {
+      q2.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
   test("end-to-end: flatMapGroupsWithState fires wall-clock timeouts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -84,6 +84,51 @@ class LjotStreamingSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("property: streaming left-outer == batch restatement on randomized " +
+       "inputs, 5 seeds (SURVEY.md §5)") {
+    // the streaming analog of LjotBatchSpec's randomized property: same
+    // inputs through MemoryStream in multiple micro-batches, watermark
+    // sentinels standing in for the reference's timeout gap. Event times
+    // stay within one retention span of each other so the moving watermark
+    // neither drops late rows nor evicts join state early — the regime in
+    // which streaming and batch semantics must agree exactly.
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def randRows(n: Int): List[(Long, String, Long)] =
+        List.fill(n)((1L + rnd.nextInt(4), "v" + (100 + rnd.nextInt(900)),
+          base + rnd.nextLong(R - D)))
+      val ls = randRows(30); val rs = randRows(30)
+
+      val lStream = MemoryStream[Rec]; val rStream = MemoryStream[Rec]
+      val out = LeftJoinOnTimeout(lStream.toDF(), rStream.toDF(),
+        LeftJoinOnTimeout.testJoiner, cfg)
+      val name = s"prop_out_$seed"
+      val q = startQuery(out, name)
+      try {
+        val lChunks = ls.grouped(10).toSeq; val rChunks = rs.grouped(10).toSeq
+        lChunks.zipAll(rChunks, Nil, Nil).foreach { case (lc, rc) =>
+          if (lc.nonEmpty) lStream.addData(lc.map(t => rec(t._1, t._2, t._3)))
+          if (rc.nonEmpty) rStream.addData(rc.map(t => rec(t._1, t._2, t._3)))
+          q.processAllAvailable()
+        }
+        lStream.addData(rec(98, "wm", sentinelTs))
+        rStream.addData(rec(99, "wm", sentinelTs))
+        q.processAllAvailable()
+        q.processAllAvailable()
+
+        import spark.implicits._
+        val batch = LeftJoinOnTimeout(
+          ls.map { case (k, v, t) => Rec(k, v, new Timestamp(t)) }.toDF(),
+          rs.map { case (k, v, t) => Rec(k, v, new Timestamp(t)) }.toDF(),
+          LeftJoinOnTimeout.testJoiner, cfg)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+          .toSeq.sorted
+        assert(collected(name) === batch, s"seed $seed diverged")
+      } finally q.stop()
+    }
+  }
+
   test("restore: checkpoint restart completes pending timeouts") {
     // mirrors shouldLeftJoinOnTimeoutAfterRestoration
     // (`LeftJoinOnTimeoutTest.java:131-153`): schedule, kill, restart, fire

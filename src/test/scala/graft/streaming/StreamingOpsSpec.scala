@@ -39,6 +39,29 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("sliding windows: each event counts in every overlapping window") {
+    val in = MemoryStream[VRec]
+    val out = StreamingOps.slidingAgg(in.toDF(), "10 seconds", "5 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("sliding_out")
+      .outputMode("append").start()
+    try {
+      // event at +7s lands in windows [0,10) and [5,15);
+      // event at +12s in [5,15) and [10,20)
+      in.addData(rec(1, 1.0, base + 7000), rec(1, 1.0, base + 12000))
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val rows = spark.table("sliding_out").collect()
+        .filter(_.getLong(0) < 99)
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3)))
+        .toSeq.sorted
+      assert(rows === Seq(
+        (1L, base, 1L),           // [0,10): event@7
+        (1L, base + 5000, 2L),    // [5,15): events@7,12
+        (1L, base + 10000, 1L)))  // [10,20): event@12
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     val in = MemoryStream[VRec]
     val out = StreamingOps.sessionAgg(in.toDF(), "5 seconds", "5 seconds")
