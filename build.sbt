@@ -27,4 +27,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Throughput collector: G1 on a near-empty ~100 GB heap showed
+  // multi-second collection storms (59 s summed GC in one stage at
+  // sf0.1) and 10-30x CPU swings between identical query repetitions;
+  // Parallel GC's simple young-gen sizing is stable for this
+  // batch-bench workload.
+  "-XX:+UseParallelGC",
+  // 27 queries x whole-stage-codegen generate hundreds of classes; the
+  // default 240 MB code cache fills mid-run, silently disabling the JIT
+  // for whatever had not compiled yet (measured as 10-30x per-query
+  // slowdowns appearing at random positions in the bench order).
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ {
+  // JVM scratch on tmpfs when available: the VM's virtio disk shows
+  // sporadic multi-second D-state stalls (loadavg ~10 at 97% idle) that
+  // surface as random query slowdowns whenever anything touches /tmp.
+  val shm = new java.io.File("/dev/shm/graft-tmp")
+  if (shm.isDirectory || shm.mkdirs()) Seq(s"-Djava.io.tmpdir=${shm.getAbsolutePath}")
+  else Seq.empty
+}

@@ -19,6 +19,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // stage timing: wall duration vs summed task time exposes stalls that
@@ -29,10 +30,12 @@ object Profile {
         val si = sc.stageInfo
         val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
         val task = si.taskMetrics.executorRunTime / 1e3
+        val cpu = si.taskMetrics.executorCpuTime / 1e9
         val gc = si.taskMetrics.jvmGCTime / 1e3
+        val deser = si.taskMetrics.executorDeserializeTime / 1e3
         if (wall > 0.3)
           println(f"[stage] ${si.stageId}%4d ${si.numTasks}%4d tasks wall=$wall%7.2fs " +
-            f"taskSum=$task%8.2fs gcSum=$gc%7.2fs  ${si.name.take(60)}")
+            f"taskSum=$task%8.2fs cpuSum=$cpu%8.2fs gcSum=$gc%6.2fs deser=$deser%6.2fs  ${si.name.take(40)}")
       }
     })
     // poor man's sampling profiler: dump hot frames of busy threads

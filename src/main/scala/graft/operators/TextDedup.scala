@@ -375,7 +375,19 @@ object TextDedup {
           explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram, SampleHexMax)))
             .as("gr"))
     }
-    val cand = bucketPairs(postings, "gr", 2, DfMax).persist()
+    // Rare grams FIRST, via a codegen'd count aggregate (partial-agg
+    // friendly), so the collect_list in bucketPairs only ever sees
+    // df-capped postings. Collecting lists for ALL grams first and
+    // filtering after was pathological: ObjectHashAggregate falls back to
+    // sort-based aggregation past 128 groups, paying a TimSort over the
+    // full posting relation (measured 80 CPU-seconds at sf0.1). The
+    // posting pass is recomputed for the join side — a cheap native
+    // projection here; persist it instead when the corpus scan dominates.
+    val rare = postings.groupBy("gr")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfMax)
+      .select("gr")
+    val cand = bucketPairs(postings.join(rare, "gr"), "gr", 2, DfMax).persist()
     // verify only needs gram ARRAYS for candidate docs: recompute the
     // native gram pass for those few rows instead of collect_list-ing the
     // whole posting relation back into arrays (a full-corpus shuffle)

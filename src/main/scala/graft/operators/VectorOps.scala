@@ -51,9 +51,13 @@ object VectorOps {
 
   // ---- quantization --------------------------------------------------------
 
-  /** `ARRAY<FLOAT>` → exact `ARRAY<BIGINT>`: floor(x * 2^20). */
-  def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(QuantScale)).cast("long"))
+  /** `ARRAY<FLOAT>` → exact `ARRAY<BIGINT>`: floor(x * 2^20). Native
+   * [[graft.plans.QuantizeVec]] — value-identical to the `transform`
+   * composition it replaces (see the expression's scaladoc). */
+  def quantize(emb: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.QuantizeVec(toExpr(emb)))
+  }
 
   private def quantizeSql(emb: String): String =
     s"[CAST(floor(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) for x in $emb]"

@@ -382,6 +382,38 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * `QuantizeVec(emb)`: exact integer quantization of an ARRAY<FLOAT>
+ * embedding — q_i = floor(double(x_i) · 2^20) as BIGINT (`VectorOps`
+ * determinism scheme: float→double widening exact, power-of-two multiply
+ * exact, floor exact). Value-identical to
+ * `transform(emb, x -> cast(floor(cast(x as double) * 1048576.0) as long))`
+ * — one native pass instead of an interpreted per-element lambda that
+ * CollapseProject additionally re-inlines into every consumer of the
+ * quantized column.
+ */
+case class QuantizeVec(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_vec"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getFloat(i).toDouble * 1048576.0).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/**
  * `ArrayIntersectSize(a, b)`: number of distinct common elements of two
  * string arrays whose elements are ALREADY distinct within each array (the
  * gram/shingle arrays from [[CharGramSeq]]/[[WordShingles]] are). Value-

@@ -16,9 +16,14 @@ import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
  * join, so a single sink suffices (SURVEY.md §2.1-O3).
  *
  * Runtime note: needs the `spark-sql-kafka-0-10` connector on the
- * cluster classpath (not bundled in this container — compile-checked
- * here, column mappings unit-tested on static frames; the reference's
- * serde pairs map to the `decode`/`encode` projections below).
+ * cluster classpath. The connector is NOT shippable in this build
+ * environment (zero-egress: absent from /opt/spark/jars and the offline
+ * dependency cache), so `format("kafka")` resolution is exercised only on
+ * a cluster; everything else — decode/encode projections, rate-limit
+ * option mapping, and the full decode → join → encode topology — is
+ * unit-tested over wire-schema frames and MemoryStreams
+ * (`StreamingOpsSpec`), which share every plan node with the Kafka path
+ * except the source/sink leaf.
  */
 object KafkaTopics {
 

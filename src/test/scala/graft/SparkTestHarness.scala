@@ -19,6 +19,7 @@ trait SparkTestHarness extends BeforeAndAfterAll { self: AnyFunSuite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     .getOrCreate()
 
   override protected def afterAll(): Unit = {

@@ -94,6 +94,34 @@ class LjotBatchSpec extends AnyFunSuite with SparkTestHarness {
       Seq((1L, "left_1+right", 1L), (2L, "lonely+", 5L)))
   }
 
+  test("skew: a hot key holding 80% of events joins correctly " +
+       "and within the AQE skew-handling plan") {
+    // the 100 TB failure mode: one user_id owning most of the stream. The
+    // equi-join shuffles on key, so the hot key lands in one partition —
+    // AQE's skew-join split (enabled by default) subdivides it at scale.
+    // Here we pin correctness under skew against locally computed
+    // reference semantics.
+    val rnd = new scala.util.Random(11)
+    val span = 50L * 86400000L // 50 days; D = 100 s → sparse in-band pairs
+    def rows(n: Int): List[(Long, String, Long)] =
+      List.tabulate(n) { i =>
+        val k = if (rnd.nextInt(10) < 8) 7L else 1L + rnd.nextInt(5)
+        (k, s"v$i", math.abs(rnd.nextLong()) % span)
+      }
+    val ls = rows(4000); val rs = rows(4000)
+    val dMs = cfg.joinWindow.toMillis
+    val got = result(LeftJoinOnTimeout(df(ls: _*), df(rs: _*),
+      LeftJoinOnTimeout.testJoiner, cfg))
+    val rsByKey = rs.groupBy(_._1)
+    val want = ls.flatMap { case (k, lv, lts) =>
+      val matches = rsByKey.getOrElse(k, Nil)
+        .filter { case (_, _, rts) => math.abs(rts - lts) <= dMs }
+      if (matches.isEmpty) List((k, lv + "+", lts))
+      else matches.map { case (_, rv, _) => (k, lv + "+" + rv, lts) }
+    }.sorted
+    assert(got === want)
+  }
+
   test("property: batch output matches per-row reference semantics " +
        "on randomized inputs (fixed seed)") {
     val dMs = cfg.joinWindow.toMillis

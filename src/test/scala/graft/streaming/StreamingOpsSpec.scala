@@ -10,6 +10,9 @@ import graft.sources.KafkaTopics
 
 case class VRec(key: Long, value: Double, ts: Timestamp)
 
+/** Kafka wire-record shape (key/value bytes + broker timestamp). */
+case class Wire(key: Array[Byte], value: Array[Byte], timestamp: Timestamp)
+
 class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -95,6 +98,38 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
       val keys = spark.table("dedup_out").collect()
         .filter(_.getLong(0) < 99).map(_.getLong(0)).toSeq.sorted
       assert(keys === Seq(1L, 2L), "each key survives exactly once inside the watermark")
+    } finally q.stop()
+  }
+
+  test("ljot topology wiring: wire-format decode -> join -> encode end-to-end") {
+    // the Kafka topology (`KafkaTopics.ljotTopology`) minus the broker
+    // leaf, which this zero-egress container cannot host: wire-schema
+    // records stream through decode, the left-outer join, and the encode
+    // projection — every plan node of the Kafka path except format("kafka").
+    import java.time.Duration
+    import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
+    val cfg = LeftJoinOnTimeoutConfig(Duration.ofSeconds(100), Duration.ofSeconds(300))
+    val l = MemoryStream[Wire]; val r = MemoryStream[Wire]
+    val out = KafkaTopics.encodeJoinedStream(
+      LeftJoinOnTimeout(
+        KafkaTopics.decodeKeyedStream(l.toDF()),
+        KafkaTopics.decodeKeyedStream(r.toDF()),
+        LeftJoinOnTimeout.testJoiner, cfg))
+    val q = out.writeStream.format("memory").queryName("topo_out")
+      .outputMode("append").start()
+    try {
+      def wire(k: Long, v: String, ts: Long) =
+        Wire(k.toString.getBytes, v.getBytes, new Timestamp(ts))
+      l.addData(wire(1, "left", base + 1000), wire(2, "lonely", base + 2000))
+      r.addData(wire(1, "right", base + 1500))
+      q.processAllAvailable()
+      val sentinelTs = base + 1000L * 1000
+      l.addData(wire(98, "wm", sentinelTs)); r.addData(wire(99, "wm", sentinelTs))
+      q.processAllAvailable(); q.processAllAvailable()
+      val rows = spark.table("topo_out").collect()
+        .map(x => (x.getString(0), x.getString(1))).filter(_._1.toLong < 90)
+        .toSeq.sorted
+      assert(rows === Seq(("1", "left+right"), ("2", "lonely+")))
     } finally q.stop()
   }
 
