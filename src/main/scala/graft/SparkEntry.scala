@@ -74,15 +74,25 @@ object SparkEntry {
                 col("lts").as("ts"))
     }
 
-    /** Text-analysis scalar pipeline (language-ID, quality, token count,
-     * fingerprint) — one codegen'd projection, no shuffle. */
+    /** Text-analysis scalar pipeline (language-ID, quality, whitespace +
+     * BPE-ish token counts, fingerprint) — one codegen'd projection, no
+     * shuffle. */
     def textStats(s: SparkSession, dir: String): DataFrame =
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
         TextFunctions.langId(col("text")).as("lang_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.fingerprint(col("text")).as("fp"))
+
+    /** Rolling-hash winnowing fingerprint per document — the
+     * shift-invariant near-dup sketch (no shuffle; a dedup would
+     * groupBy any shared minimal hash). */
+    def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("rolling_fp"))
   }
 
   private val dMin = D.toMinutes
@@ -106,6 +116,7 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
     // text analysis + dedup (training-data pipeline ops)
     "text_stats"          -> ((s, d) => Queries.textStats(s, d)),
+    "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),
     "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedup(Tables.documents(s, d))),
@@ -154,10 +165,12 @@ object SparkEntry {
       AsOfJoin.backwardSql(eventsSideSql("purchase"), eventsSideSql("error"), AsOfHorizon),
     "text_stats" ->
       s"""SELECT doc_id, ${TextSql.tokenCount("text")} AS n_tokens,
+         | ${TextSql.tokenCountBpe("text")} AS n_tokens_bpe,
          | ${TextSql.langId("text")} AS lang_id,
          | ${TextSql.qualityScore("text")} AS quality,
          | ${TextSql.fingerprint("text")} AS fp
          |FROM documents""".stripMargin,
+    "fingerprint_rolling" -> TextSql.rollingFingerprintSql("documents"),
     "dedup_exact"         -> TextDedup.exactSql("documents"),
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),

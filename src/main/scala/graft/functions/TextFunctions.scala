@@ -80,6 +80,30 @@ object TextFunctions {
   /** Content-defined document fingerprint: md5 of the normalized text.
    * Robust to whitespace/punctuation-only edits. */
   def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** BPE-ish subword count: the GPT-2 pre-tokenizer regex family reduced
+   * to its ASCII core (contractions | space-prefixed letter runs |
+   * space-prefixed digit runs | space-prefixed punctuation runs |
+   * whitespace runs). Counts non-overlapping matches — a deterministic
+   * proxy for "how many BPE tokens will this document cost" without a
+   * merges table. RE2-safe (no lookaround), so DuckDB counts identically. */
+  val BpePattern = "(?:'(?:s|t|re|ve|m|ll|d))| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("bigint")
+
+  /** Rolling-hash winnowing fingerprint ([[graft.plans.RollingWinnow]]):
+   * the [[RollingW]]-char polynomial rolling hash over the normalized
+   * text, K = [[RollingK]] minimal distinct window hashes, dash-joined
+   * into a portable string. */
+  val RollingW = 16
+  val RollingK = 4
+
+  def rollingFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val sketch = toCol(graft.plans.RollingWinnow(toExpr(text), RollingW, RollingK))
+    concat_ws("-", transform(sketch, h => h.cast("string")))
+  }
 }
 
 /** DuckDB mirrors of [[TextFunctions]] — same constants, same expression
@@ -116,4 +140,38 @@ object TextSql {
   }
 
   def fingerprint(t: String): String = s"md5(${normText(t)})"
+
+  def tokenCountBpe(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '${BpePattern.replace("'", "''")}')) AS BIGINT)"
+
+  /** Relational mirror of [[TextFunctions.rollingFingerprint]] — DuckDB
+   * lambdas cannot nest, so windows × chars is a self-join on position
+   * with the SAME precomputed power table as the native expression. Emits
+   * a full SELECT over `table`; output (doc_id, rolling_fp). */
+  def rollingFingerprintSql(table: String): String = {
+    val w = RollingW
+    val pows = graft.plans.RollingWinnow.powers(w).mkString("[", ", ", "]")
+    val m = graft.plans.RollingWinnow.M
+    s"""WITH nt AS (SELECT doc_id, ${normText("text")} AS nt FROM $table),
+       |chars AS (
+       |  SELECT doc_id, unnest(range(1, length(nt) + 1)) AS i FROM nt),
+       |coded AS (
+       |  SELECT c.doc_id, c.i, ord(substring(n.nt, CAST(c.i AS INT), 1)) AS cd
+       |  FROM chars c JOIN nt n ON n.doc_id = c.doc_id),
+       |wstart AS (
+       |  SELECT n.doc_id, unnest(range(1, length(n.nt) - ${w - 2})) AS i
+       |  FROM nt n WHERE length(n.nt) >= $w),
+       |wh AS (
+       |  SELECT a.doc_id, a.i,
+       |         CAST(sum(CAST(b.cd AS BIGINT) * ($pows)[CAST(b.i - a.i + 1 AS INT)]) % $m AS BIGINT) AS h
+       |  FROM wstart a
+       |  JOIN coded b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + ${w - 1}
+       |  GROUP BY a.doc_id, a.i),
+       |sk AS (
+       |  SELECT doc_id, list_sort(list_distinct(list(h))) AS hs
+       |  FROM wh GROUP BY doc_id)
+       |SELECT n.doc_id AS doc_id,
+       |       coalesce(array_to_string(sk.hs[1:$RollingK], '-'), '') AS rolling_fp
+       |FROM nt n LEFT JOIN sk ON sk.doc_id = n.doc_id""".stripMargin
+  }
 }

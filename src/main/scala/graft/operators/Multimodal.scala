@@ -14,14 +14,21 @@ case class Asset(
     meta_chars: Long,
     meta_lang: String)
 
-/** Output of the (stubbed) decode/feature stage. */
+/** Output of the (stubbed) decode/feature stage. `resized_w/h` are the
+ * fit-within-[[Multimodal.ResizeTarget]] dimensions (aspect preserved,
+ * integer arithmetic); `sampled_frames` the stride-sampled frame indices
+ * (up to [[Multimodal.FrameSampleK]], dash-joined for engine-portable
+ * comparison). */
 case class AssetFeatures(
     asset_id: Long,
     n_bytes: Long,
     checksum: String,
     width: Long,
     height: Long,
-    frames: Long)
+    frames: Long,
+    resized_w: Long,
+    resized_h: Long,
+    sampled_frames: String)
 
 /**
  * Multimodal-column plumbing (SURVEY.md §7.2-M7): treat media as opaque
@@ -58,19 +65,46 @@ object Multimodal {
       col("lang").as("meta_lang")).as[Asset]
   }
 
+  /** Fit-within resize target (longest side) and frame-sample count. */
+  val ResizeTarget = 224L
+  val FrameSampleK = 4
+
+  /** Fit-within resize: scale so max(w, h) == [[ResizeTarget]] (never
+   * upscale), aspect preserved with floor arithmetic — the integer core a
+   * real resampler would share. */
+  private[operators] def resize(w: Long, h: Long): (Long, Long) = {
+    val side = math.max(w, h)
+    if (side <= ResizeTarget) (w, h)
+    else (w * ResizeTarget / side, h * ResizeTarget / side)
+  }
+
+  /** Evenly-strided distinct frame indices: floor(i · frames / k),
+   * i = 0..k−1 — the standard uniform temporal sample. */
+  private[operators] def sampleFrames(frames: Long): Seq[Long] =
+    (0 until FrameSampleK).map(i => i * frames / FrameSampleK).distinct
+
   /** STUB decoder: a real implementation would decode `payload` with an
    * image/audio codec here. This deterministic fake derives pseudo
    * dimensions from the byte length so the plumbing (schema, batching,
-   * partition-local execution) is fully exercised and test-checkable. */
+   * partition-local execution) is fully exercised and test-checkable;
+   * resize and frame-sampling run on the fake dimensions with the real
+   * integer arithmetic. */
   def decodeStub(a: Asset): AssetFeatures = {
     val n = a.payload.length.toLong
+    val w = 64L + n % 640L
+    val h = 64L + n % 480L
+    val frames = 1L + n % 16L
+    val (rw, rh) = resize(w, h)
     AssetFeatures(
       asset_id = a.asset_id,
       n_bytes = n,
       checksum = md5Hex(a.payload),
-      width = 64L + n % 640L,
-      height = 64L + n % 480L,
-      frames = 1L + n % 16L)
+      width = w,
+      height = h,
+      frames = frames,
+      resized_w = rw,
+      resized_h = rh,
+      sampled_frames = sampleFrames(frames).mkString("-"))
   }
 
   private def md5Hex(bytes: Array[Byte]): String =
@@ -91,8 +125,11 @@ object Multimodal {
 
   /** Column-expression twin of [[extractFeatures]] over the same assets —
    * identical values, DuckDB-expressible, used as the driver oracle for
-   * the multimodal path. */
-  def features(docs: DataFrame): DataFrame =
+   * the multimodal path. All arithmetic is exact BIGINT (DIV, %); the
+   * frame sample is sorted-distinct before stringifying so both engines
+   * agree independent of their list_distinct ordering. */
+  def features(docs: DataFrame): DataFrame = {
+    val side = greatest(col("width"), col("height"))
     docs.select(
       col("doc_id").as("asset_id"),
       octet_length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
@@ -100,12 +137,33 @@ object Multimodal {
       .withColumn("width", lit(64L) + col("n_bytes") % 640L)
       .withColumn("height", lit(64L) + col("n_bytes") % 480L)
       .withColumn("frames", lit(1L) + col("n_bytes") % 16L)
+      .withColumn("resized_w",
+        when(side <= ResizeTarget, col("width"))
+          .otherwise(expr(s"width * $ResizeTarget DIV greatest(width, height)")))
+      .withColumn("resized_h",
+        when(side <= ResizeTarget, col("height"))
+          .otherwise(expr(s"height * $ResizeTarget DIV greatest(width, height)")))
+      .withColumn("sampled_frames", expr(
+        s"concat_ws('-', transform(array_sort(array_distinct(" +
+          s"transform(sequence(0, ${FrameSampleK - 1}), i -> CAST(i AS BIGINT) * frames DIV $FrameSampleK))), " +
+          "x -> CAST(x AS STRING)))"))
+  }
 
-  def featuresSql(table: String): String =
-    s"""SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  def featuresSql(table: String): String = {
+    val nb = "CAST(octet_length(encode(text)) AS BIGINT)"
+    s"""SELECT doc_id AS asset_id, $nb AS n_bytes,
        | md5(text) AS checksum,
-       | 64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
-       | 64 + CAST(octet_length(encode(text)) AS BIGINT) % 480 AS height,
-       | 1 + CAST(octet_length(encode(text)) AS BIGINT) % 16 AS frames
+       | 64 + $nb % 640 AS width,
+       | 64 + $nb % 480 AS height,
+       | 1 + $nb % 16 AS frames,
+       | CASE WHEN greatest(64 + $nb % 640, 64 + $nb % 480) <= $ResizeTarget
+       |      THEN 64 + $nb % 640
+       |      ELSE (64 + $nb % 640) * $ResizeTarget // greatest(64 + $nb % 640, 64 + $nb % 480) END AS resized_w,
+       | CASE WHEN greatest(64 + $nb % 640, 64 + $nb % 480) <= $ResizeTarget
+       |      THEN 64 + $nb % 480
+       |      ELSE (64 + $nb % 480) * $ResizeTarget // greatest(64 + $nb % 640, 64 + $nb % 480) END AS resized_h,
+       | array_to_string([CAST(x AS VARCHAR) for x in
+       |   list_sort(list_distinct([i * (1 + $nb % 16) // $FrameSampleK for i in range(0, $FrameSampleK)]))], '-') AS sampled_frames
        |FROM $table""".stripMargin
+  }
 }

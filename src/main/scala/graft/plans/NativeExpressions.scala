@@ -382,6 +382,67 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * `RollingWinnow(text, w, k)`: winnowing-style document fingerprint from a
+ * polynomial rolling hash. Normalizes the text exactly like [[TokenSeq]]'s
+ * join (lowercase alnum tokens re-joined with single spaces), hashes every
+ * w-char window with h = (Σ code_j · B^(w−1−j)) mod M (B = 257,
+ * M = 2^31 − 1), and returns the K smallest DISTINCT window hashes in
+ * ascending order — the classic local-fingerprinting sketch (Schleimer et
+ * al., SIGMOD'03 winnowing family): a near-duplicate document shares most
+ * minimal window hashes, and the rolling window makes the sketch
+ * shift-invariant under insertions. Mirrored relationally in DuckDB
+ * (chars × window-start join with the same precomputed power table) —
+ * term sums stay under 2^42, so BIGINT arithmetic is exact on both
+ * engines. Texts shorter than w yield an empty array.
+ */
+case class RollingWinnow(child: Expression, w: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_winnow"
+
+  @transient private lazy val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  /** P_j = B^(w−1−j) mod M, spliced identically into the oracle SQL. */
+  @transient private lazy val powers: Array[Long] = RollingWinnow.powers(w)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val nt = sep.split(text).filter(_.nonEmpty).mkString(" ")
+    val n = nt.length
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val hs = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= n - w) {
+      var acc = 0L
+      var j = 0
+      while (j < w) { acc += nt.charAt(i + j).toLong * powers(j); j += 1 }
+      hs.add(acc % RollingWinnow.M)
+      i += 1
+    }
+    val out = new Array[Long](math.min(k, hs.size))
+    val it = hs.iterator()
+    var m = 0
+    while (m < out.length) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingWinnow =
+    copy(child = newChild)
+}
+
+object RollingWinnow {
+  val B = 257L
+  val M = 2147483647L // 2^31 − 1
+  def powers(w: Int): Array[Long] = {
+    val p = new Array[Long](w)
+    p(w - 1) = 1L
+    var j = w - 2
+    while (j >= 0) { p(j) = p(j + 1) * B % M; j -= 1 }
+    p
+  }
+}
+
+/**
  * `QuantizeVec(emb)`: exact integer quantization of an ARRAY<FLOAT>
  * embedding — q_i = floor(double(x_i) · 2^20) as BIGINT (`VectorOps`
  * determinism scheme: float→double widening exact, power-of-two multiply

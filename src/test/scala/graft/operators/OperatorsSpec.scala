@@ -131,11 +131,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
   test("multimodal: mapPartitions decode stub equals the Column-expression twin") {
     val docs = Tables.documents(spark, dir)
     val viaDs = Multimodal.extractFeatures(Multimodal.assets(docs))
-      .collect().map(f => (f.asset_id, f.n_bytes, f.checksum, f.width, f.height, f.frames)).sortBy(_._1)
+      .collect().map(f => (f.asset_id, f.n_bytes, f.checksum, f.width, f.height,
+        f.frames, f.resized_w, f.resized_h, f.sampled_frames)).sortBy(_._1)
     val viaCols = Multimodal.features(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getString(8))).sortBy(_._1)
     assert(viaDs === viaCols)
+    // resize never upscales and preserves the fit-within bound
+    viaDs.foreach { f =>
+      assert(f._7 <= f._4 && f._8 <= f._5)
+      assert(math.max(f._7, f._8) <= Multimodal.ResizeTarget)
+    }
   }
 
   test("relational: rollup emits region subtotals and a grand total") {
