@@ -67,6 +67,16 @@ object GraftFunctions {
     ("simhash64",
       info("simhash64", "simhash64(text) - 64-bit SimHash as a '0'/'1' string"),
       (es: Seq[Expression]) => arity("simhash64", 1, es)(e => SimHash64(e(0)))),
+    ("array_intersect_size",
+      info("array_intersect_size",
+        "array_intersect_size(a, b) - count of common elements of two distinct-element string arrays"),
+      (es: Seq[Expression]) => arity("array_intersect_size", 2, es)(e => ArrayIntersectSize(e(0), e(1)))),
+    ("quantize_vec",
+      info("quantize_vec", "quantize_vec(emb) - exact floor(x*2^20) BIGINT quantization of ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => arity("quantize_vec", 1, es)(e => QuantizeVec(e(0)))),
+    ("rolling_winnow",
+      info("rolling_winnow", "rolling_winnow(text) - K=4 minimal 16-char rolling-hash window values"),
+      (es: Seq[Expression]) => arity("rolling_winnow", 1, es)(e => RollingWinnow(e(0), 16, 4))),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

@@ -74,6 +74,20 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestHarness {
     assert(r.getSeq[String](1).length === 12)
   }
 
+  test("array_intersect_size, quantize_vec, rolling_winnow from SQL") {
+    val r = spark.sql(
+      """SELECT array_intersect_size(array('a','b','c'), array('b','c','d')) AS ji,
+        |       quantize_vec(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))) AS q,
+        |       rolling_winnow('the fast dog jumps over the lazy dog') AS rw,
+        |       rolling_winnow('ab') AS rw_short""".stripMargin).head()
+    assert(r.getInt(0) === 2)
+    assert(r.getSeq[Long](1) === Seq(524288L, -262144L))
+    val rw = r.getSeq[Long](2)
+    assert(rw.nonEmpty && rw.length <= 4 && rw === rw.sorted)
+    assert(rw.forall(h => h >= 0 && h < 2147483647L))
+    assert(r.getSeq[Long](3).isEmpty, "texts shorter than the window have no sketch")
+  }
+
   test("wrong arity raises an analysis error naming the function") {
     val e = intercept[Exception](spark.sql("SELECT long_dot(array(1L))").head())
     assert(e.getMessage.contains("long_dot"), e.getMessage)
