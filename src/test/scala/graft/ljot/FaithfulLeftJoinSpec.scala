@@ -156,10 +156,12 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("faithful_ckpt").toString
     val outDir = java.nio.file.Files.createTempDirectory("faithful_out").toString
-    // long timeout first (nothing fires while q1 runs) — the reference's
+    // long timeout first (does not fire while q1 runs; 30 s keeps the
+    // restore-detection heartbeat at 7.5 s so the restarted run re-arms
+    // promptly even under suite-wide CPU contention) — the reference's
     // long-window topology (`LeftJoinOnTimeoutTest.java:184-188`)
     val longCfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
-      Duration.ofMillis(300), timeout = Some(Duration.ofSeconds(120)))
+      Duration.ofMillis(300), timeout = Some(Duration.ofSeconds(30)))
     // restart into a SHORT timeout — delay must come from this config
     val shortCfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
       Duration.ofMillis(300), timeout = Some(Duration.ofMillis(500)))
@@ -181,7 +183,7 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
       def rows(): Seq[(Long, String)] =
         spark.read.parquet(outDir).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
-      val deadline = System.currentTimeMillis() + 60000L
+      val deadline = System.currentTimeMillis() + 120000L
       var got = rows()
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250L); got = rows()
@@ -225,7 +227,7 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
       def rows(): Seq[(Long, String)] =
         spark.read.parquet(outDir).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
-      val deadline = System.currentTimeMillis() + 60000L
+      val deadline = System.currentTimeMillis() + 120000L
       var got = rows()
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250L); got = rows()
