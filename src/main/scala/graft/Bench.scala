@@ -44,7 +44,7 @@ object Bench {
     // run, 3 s from the 3rd), and one pass leaves the timed run paying it.
     Seq("ljot_events", "dedup_minhash_lsh", "ann_lsh_topk", "q1_pricing",
         "dedup_exact", "text_stats", "dedup_simhash", "dedup_ngram_jaccard",
-        "emb_neardup", "window_running_rev",
+        "emb_neardup", "window_running_rev", "fingerprint_rolling",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
         "emb_neardup", "ann_brute_topk")
       .foreach { name =>

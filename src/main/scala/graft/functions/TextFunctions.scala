@@ -101,8 +101,7 @@ object TextFunctions {
 
   def rollingFingerprint(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
-    val sketch = toCol(graft.plans.RollingWinnow(toExpr(text), RollingW, RollingK))
-    concat_ws("-", transform(sketch, h => h.cast("string")))
+    toCol(graft.plans.RollingWinnow(toExpr(text), RollingW, RollingK, joined = true))
   }
 }
 

@@ -394,11 +394,18 @@ case class SimHash64(child: Expression)
  * (chars × window-start join with the same precomputed power table) —
  * term sums stay under 2^42, so BIGINT arithmetic is exact on both
  * engines. Texts shorter than w yield an empty array.
+ *
+ * `joined = true` returns the dash-joined STRING instead — wrapping the
+ * array form in `concat_ws(transform(...))` re-inlines this expression
+ * into the transform lambda (CollapseProject) and evaluates it once PER
+ * ELEMENT through the interpreted higher-order path (measured 10× on the
+ * fingerprint query).
  */
-case class RollingWinnow(child: Expression, w: Int, k: Int)
+case class RollingWinnow(child: Expression, w: Int, k: Int, joined: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (joined) StringType else ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_winnow"
 
   @transient private lazy val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
@@ -409,21 +416,26 @@ case class RollingWinnow(child: Expression, w: Int, k: Int)
     val text = input.asInstanceOf[UTF8String].toLowerCase.toString
     val nt = sep.split(text).filter(_.nonEmpty).mkString(" ")
     val n = nt.length
-    if (n < w) return new GenericArrayData(Array.empty[Long])
-    val hs = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
-    while (i <= n - w) {
-      var acc = 0L
-      var j = 0
-      while (j < w) { acc += nt.charAt(i + j).toLong * powers(j); j += 1 }
-      hs.add(acc % RollingWinnow.M)
-      i += 1
-    }
-    val out = new Array[Long](math.min(k, hs.size))
-    val it = hs.iterator()
-    var m = 0
-    while (m < out.length) { out(m) = it.next(); m += 1 }
-    new GenericArrayData(out)
+    val out: Array[Long] =
+      if (n < w) Array.empty[Long]
+      else {
+        val hs = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i <= n - w) {
+          var acc = 0L
+          var j = 0
+          while (j < w) { acc += nt.charAt(i + j).toLong * powers(j); j += 1 }
+          hs.add(acc % RollingWinnow.M)
+          i += 1
+        }
+        val arr = new Array[Long](math.min(k, hs.size))
+        val it = hs.iterator()
+        var m = 0
+        while (m < arr.length) { arr(m) = it.next(); m += 1 }
+        arr
+      }
+    if (joined) UTF8String.fromString(out.mkString("-"))
+    else new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingWinnow =
