@@ -180,9 +180,15 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
 
     val q2 = start(shortCfg)
     try {
+      // a restarted query with zero new input may never trigger a batch
+      // (timer state is only discovered by an execution); nudge the rhs
+      // with an unrelated key so micro-batches flow — the reference's
+      // broker delivers heartbeat traffic the same way
+      rs.addData(Rec(90L, "nudge", new Timestamp(2000L)))
       def rows(): Seq[(Long, String)] =
         spark.read.parquet(outDir).collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+          .map(r => (r.getLong(0), r.getString(1)))
+          .filter(_._1 < 90L).toSeq.sorted
       val deadline = System.currentTimeMillis() + 120000L
       var got = rows()
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
@@ -224,9 +230,11 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     val q2 = start()
     try {
+      rs.addData(Rec(90L, "nudge", new Timestamp(2000L)))
       def rows(): Seq[(Long, String)] =
         spark.read.parquet(outDir).collect()
-          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+          .map(r => (r.getLong(0), r.getString(1)))
+          .filter(_._1 < 90L).toSeq.sorted
       val deadline = System.currentTimeMillis() + 120000L
       var got = rows()
       while (got.size < 2 && System.currentTimeMillis() < deadline) {
