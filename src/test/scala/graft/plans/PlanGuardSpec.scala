@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestHarness}
+
+/** Plan-shape regression guard over the WHOLE query surface.
+ *
+ * PLANS.md documents the 100×-scale story per query: candidate generation
+ * is always an equi-join or a groupBy-on-bucket shuffle, never a cartesian
+ * pair enumeration. Nothing but a test enforces that a future refactor
+ * keeps it true — a silently re-introduced `CartesianProduct` or
+ * `BroadcastNestedLoopJoin` still PASSES correctness at sf0.01 while being
+ * a scale-killer at 100 TB. This spec locks the shape in for every entry
+ * in [[SparkEntry.queries]].
+ *
+ * `ann_brute_topk` is whitelisted: its broadcast nested-loop IS the
+ * design — the deliberately-exact O(|Q|·|C|) baseline against which the
+ * LSH/IVF paths are measured (SURVEY.md §7.2-M7). */
+class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Nodes that enumerate cross-products; fatal at scale. */
+  private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+  private val whitelist = Set("ann_brute_topk")
+
+  test("no query plans a cartesian or nested-loop join (whitelist: ann_brute_topk)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (whitelist(name)) None
+      else {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val hit = forbidden.filter(plan.contains)
+        if (hit.nonEmpty) Some(s"$name: ${hit.mkString(", ")}") else None
+      }
+    }
+    assert(offenders.isEmpty, s"scale-killer join nodes planned by:\n  ${offenders.mkString("\n  ")}")
+    spark.catalog.clearCache()
+  }
+
+  test("ljot queries push the event_type predicate into the parquet scan") {
+    Seq("ljot_events", "interval_join_inner", "timeout_only").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"$name: expected parquet file scans")
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+      assert(pushed.exists(_.contains("EqualTo(event_type")),
+        s"$name: event_type equality not pushed to the scan — got $pushed")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ljot scans prune to the referenced columns only") {
+    val df = SparkEntry.queries("ljot_events")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    scans.foreach { s =>
+      val cols = s.output.map(_.name).toSet
+      assert(!cols.contains("props"),
+        s"scan reads the wide json props column it never uses: $cols")
+    }
+    spark.catalog.clearCache()
+  }
+}
