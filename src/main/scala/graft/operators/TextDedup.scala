@@ -91,9 +91,10 @@ object TextDedup {
    * Identical to the classic posting self-join `a JOIN b ON a.bk = b.bk AND
    * a.doc_id < b.doc_id` — but ONE shuffle (the groupBy) instead of the
    * join's two sorted exchanges over persisted postings, and no persist of
-   * exploded rows at all. `maxBucket` bounds the collected list (pass
-   * Int.MaxValue for uncapped buckets — only safe when the bucket key is a
-   * signature hash whose collisions are genuine near-duplicates). */
+   * exploded rows at all. `maxBucket` bounds the collected list — callers
+   * must have bounded bucket sizes UPSTREAM (a df filter, or
+   * [[boundedBucketPairs]]): the collect_list itself is O(bucket) memory,
+   * so this filter is a correctness backstop, not the memory bound. */
   private def bucketPairs(postings: DataFrame, bucketCol: String,
                           minBucket: Int, maxBucket: Int): DataFrame = {
     val ids = col("ids")
@@ -109,6 +110,43 @@ object TextDedup {
         explode(slice(ids, col("i") + 2, size(ids) - col("i") - 1)).as("id_b"))
       .distinct()
   }
+
+  /** [[bucketPairs]] with a HARD bucket-size bound enforced BEFORE any list
+   * is collected. An adversarial corpus — a million byte-identical crawl
+   * pages — puts every copy in the same signature bucket: collect_list
+   * would buffer the whole bucket on one task and the pair expansion would
+   * emit O(n²) rows. Here a count aggregate (codegen'd, map-side partial)
+   * sizes each bucket first; oversize buckets are dropped before the
+   * collect, and the join back to postings keeps the bucket key's hash
+   * partitioning, so the following groupBy adds no exchange.
+   *
+   * Drops are NEVER silent: `observe` publishes `oversize_buckets` /
+   * `oversize_docs` as named query metrics (QueryExecutionListener /
+   * StreamingQueryProgress surface them; zero driver-side actions, zero
+   * cost at scale). Semantics note: a dropped bucket means "these docs are
+   * mutually identical at this signature's resolution — beyond the pair
+   * budget"; run [[exact]] as the pre-pass so byte-identical mass is
+   * collapsed before fuzzy matching, leaving genuine near-dup clusters
+   * (bounded by construction) in the buckets. */
+  private def boundedBucketPairs(postings: DataFrame, bucketCol: String,
+                                 minBucket: Int, maxBucket: Int,
+                                 metricName: String): DataFrame = {
+    val sizes = postings.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("n"))
+      .observe(metricName,
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L))).as("oversize_buckets"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))).as("oversize_docs"))
+    val ok = sizes.filter(col("n") >= minBucket && col("n") <= maxBucket)
+      .select(bucketCol)
+    bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+  }
+
+  /** DuckDB mirror of the bucket-size cap: keep only buckets whose posting
+   * count is within [2, maxBucket] before the candidate self-join. */
+  private def boundedSql(postingsCte: String, bucketCol: String, maxBucket: Int): String =
+    s"""(SELECT p.* FROM $postingsCte p JOIN (
+       |   SELECT $bucketCol FROM (SELECT $bucketCol, count(*) AS n FROM $postingsCte GROUP BY 1)
+       |   WHERE n >= 2 AND n <= $maxBucket) okb USING ($bucketCol))""".stripMargin
 
   // ---- 1. exact dedup ------------------------------------------------------
 
@@ -134,6 +172,13 @@ object TextDedup {
   val LshRows  = 2
   /** Verified-Jaccard near-dup threshold. */
   val MinHashThreshold = 0.8
+  /** Hard per-bucket posting cap for the signature-bucket candidate stages
+   * (minhash bands, simhash chunks). A genuine near-dup cluster after the
+   * [[exact]] pre-pass is small; a bucket past this size is duplicate MASS
+   * (boilerplate, a template crawled a million times) whose O(n²) pair set
+   * no downstream consumer wants row-by-row. Oversize buckets are dropped
+   * with an observed-metrics count — see [[boundedBucketPairs]]. */
+  val MaxBucket = 256
 
   /** Per-doc minhash signature: sig_j = min over shingles of
    * md5(j ':' shingle), j = 1..K. Hex-string minima are a valid minhash
@@ -173,7 +218,8 @@ object TextDedup {
     // of candidate docs via a join on candidate ids.
     val banded = shingleDf(docs).select(col("doc_id"),
       explode(lshBands(minhashSignature(col("sh")))).as("bv"))
-    val cand = bucketPairs(banded, "bv", 2, Int.MaxValue).persist()
+    val cand = boundedBucketPairs(banded, "bv", 2, MaxBucket, "graft_minhash_buckets")
+      .persist()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
       .distinct()
@@ -207,9 +253,10 @@ object TextDedup {
        |         unnest([md5(j::VARCHAR || '|' || sig[j*$LshRows-1] || '|' || sig[j*$LshRows])
        |                 for j in range(1, ${LshBands + 1})]) AS bv
        |  FROM sig),
+       |bok AS ${boundedSql("banded", "bv", MaxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b ON a.bv = b.bv AND a.doc_id < b.doc_id)
+       |  FROM bok a JOIN bok b ON a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT c.id_a AS id_a, c.id_b AS id_b,
        |       ${jaccardSql("sa.sh", "sb.sh")} AS jaccard
        |FROM cand c
@@ -228,6 +275,21 @@ object TextDedup {
    * near-dups whose distance is small. */
   val SimHashChunks = 4
   val HammingMax = 10
+
+  /** Chunk count for a corpus of `nDocs` uniform documents, keeping the
+   * EXPECTED random-collision bucket at ≤ `targetBucket` docs: a chunk of
+   * width w = 64/c hashes a uniform corpus into 2^w buckets, so expected
+   * bucket size is n/2^w — solve w ≥ log2(n/targetBucket). Fewer, wider
+   * chunks at larger n (less collision mass) at the cost of the pigeonhole
+   * recall bound (untouched-chunk guarantee only for distance < c); the
+   * [[MaxBucket]] cap in [[simhashDedup]] bounds the residual hot buckets
+   * either way. c=4 (w=16) holds to ~16M uniform docs per partition of the
+   * corpus at targetBucket=256. */
+  def simhashChunksFor(nDocs: Long, targetBucket: Int = MaxBucket): Int = {
+    val w = math.ceil(math.log(nDocs.toDouble / targetBucket) / math.log(2)).toInt
+    val clamped = math.max(8, math.min(32, w))       // width within [8, 32] bits
+    math.max(2, SimHashBits / clamped)               // at least 2 chunks (pigeonhole)
+  }
 
   /** 64-char '0'/'1' SimHash string over the token multiset: bit_j is the
    * sign of Σ_tokens (±1 by bit j of md5(token)). A bit-string, not a
@@ -248,11 +310,13 @@ object TextDedup {
        |                          3 - (j % 4)) & 1) - 1)),
        |  s -> CASE WHEN s > 0 THEN '1' ELSE '0' END))""".stripMargin)
 
-  /** Near-duplicate pairs by SimHash: 64-bit signature, 16-bit chunk
-   * blocking, Hamming ≤ [[HammingMax]] verify. Output (id_a, id_b, hamming). */
-  def simhashDedup(docs: DataFrame): DataFrame = {
+  /** Near-duplicate pairs by SimHash: 64-bit signature, chunk blocking
+   * (default [[SimHashChunks]]×16-bit; size-derive with
+   * [[simhashChunksFor]]), Hamming ≤ [[HammingMax]] verify.
+   * Output (id_a, id_b, hamming). */
+  def simhashDedup(docs: DataFrame, chunks: Int = SimHashChunks): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
-    val chunkLen = SimHashBits / SimHashChunks
+    val chunkLen = SimHashBits / chunks
     // persist: the (narrow) signature relation feeds chunk blocking AND the
     // two verify joins. Native one-pass signature ([[graft.plans.SimHash64]])
     // — value-identical to [[simhashStr]], ~tokens·64 fewer interpreted
@@ -265,13 +329,15 @@ object TextDedup {
     // the verify stage rather than riding the exploded relation. Chunk
     // buckets (unlike minhash bands) collide between non-near-dups on a
     // uniform corpus, so at extreme scale the pair expansion within a hot
-    // bucket is the quadratic cost any pigeonhole blocking pays — adding
-    // more chunks (finer blocks) is the knob, documented at [[SimHashChunks]].
+    // bucket is the quadratic cost any pigeonhole blocking pays — WIDER
+    // chunks are the knob ([[simhashChunksFor]] derives the width from the
+    // corpus size), and [[boundedBucketPairs]] hard-caps the residue.
     val chunked = sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(SimHashChunks - 1)),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
         j => concat(j.cast("string"), lit(":"),
           substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
-    val cand = bucketPairs(chunked, "chunk", 2, Int.MaxValue)
+    val cand = boundedBucketPairs(
+      chunked.select("doc_id", "chunk"), "chunk", 2, MaxBucket, "graft_simhash_buckets")
     cand
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -300,9 +366,10 @@ object TextDedup {
        |chunked AS (
        |  SELECT doc_id, sig, j::VARCHAR || ':' || substring(sig, j*$chunkLen + 1, $chunkLen) AS chunk
        |  FROM sigs, (SELECT unnest(range(0, $SimHashChunks)) AS j)),
+       |cok AS ${boundedSql("chunked", "chunk", MaxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
-       |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |  FROM cok a JOIN cok b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT id_a, id_b,
        |         len(list_filter(range(1, ${SimHashBits + 1}),

@@ -78,6 +78,42 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       "near-dup candidate stage must be an equi-join on the band key")
   }
 
+  test("adversarial: 500 identical docs drop the mega-bucket, drops observed") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        observed ++= qe.observedMetrics
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the adversarial crawl: one template, 500 byte-identical copies —
+      // every minhash band agrees, so ALL docs land in the same 6 buckets
+      val docs = spark.range(500).select(col("id").as("doc_id"),
+        lit("the same template page text crawled and recrawled verbatim " +
+          "across every mirror of the site forever").as("text"))
+      val out = TextDedup.minhashLsh(docs).collect()
+      assert(out.isEmpty,
+        "mega-buckets are duplicate mass for the exact pre-pass, not O(n^2) pairs")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!observed.contains("graft_minhash_buckets") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val m = observed("graft_minhash_buckets")
+      assert(m.getAs[Long]("oversize_buckets") === TextDedup.LshBands.toLong)
+      assert(m.getAs[Long]("oversize_docs") === 500L * TextDedup.LshBands)
+      // simhash shares the bound; it must also complete without a mega-bucket
+      assert(TextDedup.simhashDedup(docs).collect().isEmpty)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("simhashChunksFor widens chunks as the corpus grows") {
+    assert(TextDedup.simhashChunksFor(5000L) === 8)      // small corpus: fine blocks
+    assert(TextDedup.simhashChunksFor(16L << 20) === 4)  // ~16M docs: 16-bit chunks
+    assert(TextDedup.simhashChunksFor(1L << 40) === 2)   // beyond: floor at pigeonhole 2
+  }
+
   test("approx_count_distinct stays within 5x its rsd of exact") {
     val ev = Tables.events(spark, dir)
     val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
