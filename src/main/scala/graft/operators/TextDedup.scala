@@ -111,6 +111,17 @@ object TextDedup {
       .distinct()
   }
 
+  /** Sentinel `id_a` markers that carry drop statistics through the
+   * candidate-pair relation (see [[boundedBucketPairs]]). A real corpus id
+   * equal to `Long.MinValue` / `Long.MinValue + 1` would collide; the
+   * engine's dedup surface assumes synthetic non-negative doc ids (as all
+   * its sources produce). */
+  private val SentinelOversizeBuckets = Long.MinValue
+  private val SentinelOversizeDocs    = Long.MinValue + 1
+
+  private def isSentinel: Column =
+    col("id_a") === SentinelOversizeBuckets || col("id_a") === SentinelOversizeDocs
+
   /** [[bucketPairs]] with a HARD bucket-size bound enforced BEFORE any list
    * is collected. An adversarial corpus — a million byte-identical crawl
    * pages — puts every copy in the same signature bucket: collect_list
@@ -120,26 +131,61 @@ object TextDedup {
    * collect, and the join back to postings keeps the bucket key's hash
    * partitioning, so the following groupBy adds no exchange.
    *
-   * Drops are NEVER silent: `observe` publishes `oversize_buckets` /
-   * `oversize_docs` as named query metrics (QueryExecutionListener /
-   * StreamingQueryProgress surface them; zero driver-side actions, zero
-   * cost at scale). Semantics note: a dropped bucket means "these docs are
-   * mutually identical at this signature's resolution — beyond the pair
-   * budget"; run [[exact]] as the pre-pass so byte-identical mass is
-   * collapsed before fuzzy matching, leaving genuine near-dup clusters
-   * (bounded by construction) in the buckets. */
+   * Returns the candidate pairs PLUS two sentinel rows
+   * (`id_a` ∈ {[[SentinelOversizeBuckets]], [[SentinelOversizeDocs]]},
+   * `id_b` = the drop count — always present, 0 when nothing dropped),
+   * persisted: the caller consumes the pairs for candidate verification
+   * and re-unions the sentinels onto its FINAL result via
+   * [[observeDrops]]. The sentinel rows must travel to the very top of
+   * the query before being observed: round 3 attached `observe` below the
+   * cache boundary (swallowed — Spark substitutes `InMemoryRelation` into
+   * the analyzed plan, hiding the `CollectMetrics` from
+   * `qe.observedMetrics`), and a first fix above the cache was still
+   * eliminated by AQE's `AQEPropagateEmptyRelation` precisely in the
+   * adversarial all-dropped case (empty filtered branch → the whole
+   * metrics-bearing subtree replaced by `EmptyRelation`). A top-level
+   * union with an always-2-row sentinel branch can never be
+   * empty-propagated away.
+   *
+   * Semantics note: a dropped bucket means "these docs are mutually
+   * identical at this signature's resolution — beyond the pair budget";
+   * run [[exact]] as the pre-pass so byte-identical mass is collapsed
+   * before fuzzy matching, leaving genuine near-dup clusters (bounded by
+   * construction) in the buckets. */
   private def boundedBucketPairs(postings: DataFrame, bucketCol: String,
-                                 minBucket: Int, maxBucket: Int,
-                                 metricName: String): DataFrame = {
-    val sizes = postings.groupBy(col(bucketCol))
-      .agg(count(lit(1)).as("n"))
-      .observe(metricName,
-        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L))).as("oversize_buckets"),
-        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))).as("oversize_docs"))
+                                 minBucket: Int, maxBucket: Int): DataFrame = {
+    val sizes = postings.groupBy(col(bucketCol)).agg(count(lit(1)).as("n"))
     val ok = sizes.filter(col("n") >= minBucket && col("n") <= maxBucket)
       .select(bucketCol)
+    // one global row, always present (count over empty input is 0);
+    // the sizes exchange is shared with `ok` via ReuseExchange
+    val drops = sizes.filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("ob"), coalesce(sum(col("n")), lit(0L)).as("od"))
+    val sentinels = drops.select(explode(array(
+        struct(lit(SentinelOversizeBuckets).as("id_a"), col("ob").as("id_b")),
+        struct(lit(SentinelOversizeDocs).as("id_a"), col("od").as("id_b")))).as("s"))
+      .select(col("s.id_a").as("id_a"), col("s.id_b").as("id_b"))
     bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+      .unionByName(sentinels)
+      .persist()
   }
+
+  /** Drop-metrics surfacing, attached at the TOP of a finished dedup
+   * query: `result` must be the verified pair output with the sentinel
+   * rows from [[boundedBucketPairs]] re-unioned on (extra columns null).
+   * `observe` publishes `oversize_buckets` / `oversize_docs` as named
+   * query metrics (QueryExecutionListener / StreamingQueryProgress
+   * surface them; zero driver-side actions, zero cost at scale), then the
+   * sentinels are stripped. Catalyst never pushes the strip-filter below
+   * the `CollectMetrics` node (that would change observed values), and
+   * the sentinel branch guarantees a non-empty input, so AQE cannot
+   * empty-propagate the metrics away. */
+  private def observeDrops(result: DataFrame, metricName: String): DataFrame =
+    result
+      .observe(metricName,
+        max(when(col("id_a") === SentinelOversizeBuckets, col("id_b"))).as("oversize_buckets"),
+        max(when(col("id_a") === SentinelOversizeDocs, col("id_b"))).as("oversize_docs"))
+      .filter(!isSentinel)
 
   /** DuckDB mirror of the bucket-size cap: keep only buckets whose posting
    * count is within [2, maxBucket] before the candidate self-join. */
@@ -218,13 +264,15 @@ object TextDedup {
     // of candidate docs via a join on candidate ids.
     val banded = shingleDf(docs).select(col("doc_id"),
       explode(lshBands(minhashSignature(col("sh")))).as("bv"))
-    val cand = boundedBucketPairs(banded, "bv", 2, MaxBucket, "graft_minhash_buckets")
-      .persist()
+    // persisted: pairs feed the three consumers below, sentinels ride to
+    // the top-level observeDrops — all from the cache, computed once
+    val staged = boundedBucketPairs(banded, "bv", 2, MaxBucket)
+    val cand = staged.filter(!isSentinel)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
       .distinct()
     val candSh = shingleDf(docs.join(candIds, "doc_id"))
-    cand
+    val verified = cand
       .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -232,6 +280,10 @@ object TextDedup {
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("id_a"), col("id_b"), jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= MinHashThreshold)
+    observeDrops(
+      verified.unionByName(staged.filter(isSentinel)
+        .withColumn("jaccard", lit(null).cast("double"))),
+      "graft_minhash_buckets")
   }
 
   /** Oracle. DuckDB can't nest lambdas (the inner `for s in sh` can't see
@@ -336,15 +388,19 @@ object TextDedup {
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         j => concat(j.cast("string"), lit(":"),
           substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
-    val cand = boundedBucketPairs(
-      chunked.select("doc_id", "chunk"), "chunk", 2, MaxBucket, "graft_simhash_buckets")
-    cand
+    val staged = boundedBucketPairs(
+      chunked.select("doc_id", "chunk"), "chunk", 2, MaxBucket)
+    val verified = staged.filter(!isSentinel)
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         toCol(graft.plans.HammingStr(toExpr(col("sig_a")), toExpr(col("sig_b"))))
           .as("hamming"))
       .filter(col("hamming") <= HammingMax)
+    observeDrops(
+      verified.unionByName(staged.filter(isSentinel)
+        .withColumn("hamming", lit(null).cast("long"))),
+      "graft_simhash_buckets")
   }
 
   /** Oracle — relational SimHash (no nested lambdas, see minhash note):

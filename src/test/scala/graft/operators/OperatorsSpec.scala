@@ -100,6 +100,9 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (!observed.contains("graft_minhash_buckets") && System.nanoTime() < deadline)
         Thread.sleep(50)
+      assert(observed.contains("graft_minhash_buckets"),
+        s"drop metrics never surfaced to the QueryExecutionListener within 30s — " +
+          s"is the CollectMetrics node below a cache boundary? observed keys: ${observed.keySet}")
       val m = observed("graft_minhash_buckets")
       assert(m.getAs[Long]("oversize_buckets") === TextDedup.LshBands.toLong)
       assert(m.getAs[Long]("oversize_docs") === 500L * TextDedup.LshBands)
