@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
  *   1. the input directory is mirrored to tmpfs before timing
  *      ([[SparkLocal.stageInput]]), so no timed query touches the disk;
  *   2. each query runs three times and reports the MEDIAN; the total is
- *      the sum of medians. A single residual stall shifts one sample,
- *      never the reported number. */
+ *      the sum of medians. The reps are INTERLEAVED — the full sorted
+ *      query list runs rep 1, then rep 2, then rep 3 — because the host's
+ *      noise episodes span minutes: back-to-back samples of one query all
+ *      land inside a single episode (round 3's 18.5 s ngram median vs a
+ *      2.4 s quiet-machine control), while interleaving spaces a query's
+ *      samples the length of a whole pass apart, so an episode costs at
+ *      most one sample per query and the median discards it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val rawSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,16 +73,24 @@ object Bench {
       }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
-        (System.nanoTime() - t0) / 1e9
-      }
-      val dt = samples.sorted.apply(samples.size / 2) // median: stall-immune
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${samples.map(s => f"$s%.3f").mkString(" ")})")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // round-robin: pass r runs every query once, so the three samples of
+    // any one query are separated by a full pass (~minutes) — longer than
+    // most noise episodes
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (r <- 1 to reps; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s")
+    }
+    val results = queries.map { case (name, _) =>
+      val ss = samples(name)
+      val dt = ss.sorted.apply(ss.size / 2) // median: stall-immune
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${ss.map(s => f"$s%.3f").mkString(" ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
