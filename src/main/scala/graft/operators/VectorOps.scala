@@ -261,13 +261,18 @@ object VectorOps {
   /** Approximate top-[[LshK]]: rank only within the query's hyperplane
    * bucket. The bucket key is the shuffle key — at scale each bucket holds
    * ~1/2^[[LshPlanes]] of the corpus and buckets are probed independently.
+   * No broadcast hint on the query side: it is a fixed FRACTION of the
+   * corpus (1/[[QueryStride]]), so a hint that is convenient at test scale
+   * is a guaranteed driver OOM at 100× — the bucket equi-join lets the
+   * planner broadcast below `autoBroadcastJoinThreshold` and fall back to
+   * a shuffle join (AQE picks shuffled-hash) beyond it.
    * Output (query_id, neighbor_id, rank, sim). */
   def annLshTopK(embeddings: DataFrame): DataFrame = {
     val qb = quantized(embeddings).withColumn("bucket", lshBucket(col("q")))
     val queries = qb.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("n2").as("nq"), col("bucket"))
-    val scored = broadcast(queries)
+    val scored = queries
       .join(qb, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -167,6 +167,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("LSH ANN survives broadcast being unavailable (no forced hint)") {
+    // at 100 TB the query side is corpus/QueryStride — far beyond any
+    // broadcast budget; the operator must not FORCE a broadcast. Disable
+    // auto-broadcast and demand (a) a broadcast-free plan, (b) identical
+    // results to the default-config run.
+    val emb = Tables.embeddings(spark, dir)
+    val expected = VectorOps.annLshTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = VectorOps.annLshTopK(emb)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      assert(got === expected)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"bucket join must degrade to a shuffle join when broadcast is off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multimodal: mapPartitions decode stub equals the Column-expression twin") {
     val docs = Tables.documents(spark, dir)
     val viaDs = Multimodal.extractFeatures(Multimodal.assets(docs))
