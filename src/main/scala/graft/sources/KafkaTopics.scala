@@ -18,12 +18,14 @@ import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
  * Runtime note: needs the `spark-sql-kafka-0-10` connector on the
  * cluster classpath. The connector is NOT shippable in this build
  * environment (zero-egress: absent from /opt/spark/jars and the offline
- * dependency cache), so `format("kafka")` resolution is exercised only on
- * a cluster; everything else — decode/encode projections, rate-limit
- * option mapping, and the full decode → join → encode topology — is
- * unit-tested over wire-schema frames and MemoryStreams
- * (`StreamingOpsSpec`), which share every plan node with the Kafka path
- * except the source/sink leaf.
+ * dependency cache). The full topology — `format("kafka")` resolution,
+ * micro-batch offset planning, decode → join → encode, streaming write
+ * commits — is executed end-to-end in tests against a test-scope
+ * in-memory broker registered under the same `kafka` short name
+ * (`FakeKafkaSpec`), so only the network leaf itself is exercised
+ * exclusively on a cluster; decode/encode projections and rate-limit
+ * option mapping are additionally unit-tested over wire-schema frames
+ * and MemoryStreams (`StreamingOpsSpec`).
  */
 object KafkaTopics {
 
