@@ -26,11 +26,35 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** lhs/rhs: (key, value, ts). Output (key, lvalue, rvalue, ts), rvalue
-   * nullable, one row per left row. */
-  def backward(lhs: DataFrame, rhs: DataFrame, horizon: Duration): DataFrame = {
-    val tagged = lhs.select(col("key"), col("value"), col("ts"), lit(1).as("side"))
-      .unionByName(rhs.select(col("key"), col("value"), col("ts"), lit(0).as("side")))
-    val w = Window.partitionBy("key")
+   * nullable, one row per left row.
+   *
+   * `saltBuckets` is the hot-key escape hatch: the window shape puts every
+   * row of a key through ONE partition, so a key carrying (say) 80% of the
+   * left rows serializes 80% of the work on one task. With
+   * `saltBuckets = S > 1`, left rows spread across S sub-partitions by a
+   * deterministic hash of (value, ts) while each right row is REPLICATED
+   * into all S — every left still sees its key's full right history, so
+   * the output is bit-identical to the unsalted plan (asserted in
+   * `AsOfJoinSpec`) and no merge step is needed. Cost: the shuffle carries
+   * |L| + S·|R| rows — the right trade when a hot LEFT side dominates
+   * (the common telemetry shape: many events, few state changes). Salting
+   * helps where AQE's skew split cannot: skew-join splitting applies to
+   * joins, not window partitions. */
+  def backward(lhs: DataFrame, rhs: DataFrame, horizon: Duration,
+               saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val l0 = lhs.select(col("key"), col("value"), col("ts"), lit(1).as("side"))
+    val r0 = rhs.select(col("key"), col("value"), col("ts"), lit(0).as("side"))
+    val (tagged, partCols) =
+      if (saltBuckets == 1) (l0.unionByName(r0), Seq(col("key")))
+      else {
+        val l = l0.withColumn("salt",
+          pmod(xxhash64(col("value"), col("ts")), lit(saltBuckets.toLong)).cast("int"))
+        val r = r0.withColumn("salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        (l.unionByName(r), Seq(col("key"), col("salt")))
+      }
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col("ts"), col("side"), col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hMs = horizon.toMillis

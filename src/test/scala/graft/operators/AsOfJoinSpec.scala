@@ -49,6 +49,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestHarness {
     assert(result(out) === Seq((1L, "l", Some("r_y"), 5000L)))
   }
 
+  test("skew: a hot key holding 80% of lefts salts across sub-partitions " +
+       "with output identical to the unsalted plan") {
+    // mirrors LjotBatchSpec's hot-key pin: one key owning most of the
+    // stream is the 100 TB failure mode — for the window shape AQE's
+    // skew-join split does NOT apply, so the salt is the only defense
+    val rnd = new scala.util.Random(13)
+    def rows(n: Int): List[(Long, String, Long)] =
+      List.tabulate(n) { i =>
+        val k = if (rnd.nextInt(10) < 8) 7L else 1L + rnd.nextInt(5)
+        (k, s"v$i", rnd.nextLong(40000L))
+      }
+    val ls = rows(3000); val rs = rows(300)
+    val unsalted = result(AsOfJoin.backward(df(ls: _*), df(rs: _*), horizon))
+    val salted = AsOfJoin.backward(df(ls: _*), df(rs: _*), horizon, saltBuckets = 8)
+    assert(result(salted) === unsalted)
+    // per-row reference check, independent of both plans
+    val want = ls.map { case (k, lv, lts) =>
+      val eligible = rs.filter { case (rk, _, rts) =>
+        rk == k && rts <= lts && rts >= lts - horizon.toMillis }
+      val best = if (eligible.isEmpty) None
+        else Some(eligible.maxBy { case (_, rv, rts) => (rts, rv) }._2)
+      (k, lv, best, lts)
+    }.sorted
+    assert(unsalted === want)
+    // the salted window must actually partition on (key, salt)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(key") && plan.contains("salt"),
+      s"expected a (key, salt) window partitioning in:\n$plan")
+  }
+
   test("property: as-of output matches a per-row reference implementation " +
        "on randomized inputs (fixed seed)") {
     val rnd = new scala.util.Random(42)
