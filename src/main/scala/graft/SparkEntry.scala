@@ -119,7 +119,7 @@ object SparkEntry {
     "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),
     "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
-    "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedup(Tables.documents(s, d))),
+    "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),

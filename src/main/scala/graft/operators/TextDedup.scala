@@ -338,10 +338,27 @@ object TextDedup {
    * either way. c=4 (w=16) holds to ~16M uniform docs per partition of the
    * corpus at targetBucket=256. */
   def simhashChunksFor(nDocs: Long, targetBucket: Int = MaxBucket): Int = {
-    val w = math.ceil(math.log(nDocs.toDouble / targetBucket) / math.log(2)).toInt
+    // integer-exact ceil(log2(ceil(n/target))) — bit-length, no floating
+    // point, so the DuckDB oracle's CEIL(LOG2(m)) (exact for m < 2^50)
+    // derives the identical value from the identical count
+    val m = (math.max(nDocs, 1L) + targetBucket - 1) / targetBucket
+    val w = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     val clamped = math.max(8, math.min(32, w))       // width within [8, 32] bits
     math.max(2, SimHashBits / clamped)               // at least 2 chunks (pigeonhole)
   }
+
+  /** [[simhashDedup]] with the chunk count derived from the corpus size —
+   * the plan the driver checks IS the plan that runs at 100×. The size
+   * estimate is the optimizer's row count when statistics exist (free),
+   * else one count job (metadata-cheap on columnar sources) — a one-off
+   * plan-time action, not a per-row driver loop. */
+  def simhashDedupAuto(docs: DataFrame): DataFrame =
+    simhashDedup(docs, simhashChunksFor(corpusSizeEstimate(docs)))
+
+  /** Cheap corpus-size estimate: CBO row count if available, else count. */
+  def corpusSizeEstimate(docs: DataFrame): Long =
+    docs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(docs.count())
 
   /** 64-char '0'/'1' SimHash string over the token multiset: bit_j is the
    * sign of Σ_tokens (±1 by bit j of md5(token)). A bit-string, not a
@@ -405,10 +422,20 @@ object TextDedup {
 
   /** Oracle — relational SimHash (no nested lambdas, see minhash note):
    * token rows × bit index, signed-bit sum per (doc, j), bits re-joined in
-   * order with string_agg. Empty-token docs are excluded on both sides. */
+   * order with string_agg. Empty-token docs are excluded on both sides.
+   * The chunk count is derived from `count(*)` exactly as
+   * [[simhashChunksFor]] derives it from the corpus size (CEIL(LOG2(m))
+   * on an integer m mirrors the bit-length formula exactly for any
+   * m < 2^50). */
   def simhashDedupSql(table: String): String = {
-    val chunkLen = SimHashBits / SimHashChunks
-    s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+    s"""WITH params AS (
+       |  SELECT GREATEST(2, $SimHashBits // GREATEST(8, LEAST(32,
+       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END))) AS chunks
+       |  FROM (SELECT (count(*) + ${MaxBucket - 1}) // $MaxBucket AS m FROM $table)),
+       |idx AS (
+       |  SELECT chunks, $SimHashBits // chunks AS chunklen, unnest(range(0, chunks)) AS j
+       |  FROM params),
+       |toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
        |tokrow AS (SELECT doc_id, md5(unnest(toks)) AS h FROM toks WHERE len(toks) > 0),
        |bitsum AS (
        |  SELECT doc_id, j,
@@ -420,8 +447,8 @@ object TextDedup {
        |  SELECT doc_id, string_agg(CASE WHEN sm > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
        |  FROM bitsum GROUP BY doc_id),
        |chunked AS (
-       |  SELECT doc_id, sig, j::VARCHAR || ':' || substring(sig, j*$chunkLen + 1, $chunkLen) AS chunk
-       |  FROM sigs, (SELECT unnest(range(0, $SimHashChunks)) AS j)),
+       |  SELECT doc_id, sig, j::VARCHAR || ':' || substring(sig, j*chunklen + 1, chunklen) AS chunk
+       |  FROM sigs CROSS JOIN idx),
        |cok AS ${boundedSql("chunked", "chunk", MaxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
