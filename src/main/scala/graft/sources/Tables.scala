@@ -30,13 +30,26 @@ object Tables {
    * touching RDD lineage (an earlier `df.rdd.getNumPartitions` probe paid
    * RDD planning on every table load). */
   private val FanOutMaxBytes = 256L << 20
+  /** Per-partition byte target for the fan-out. These tables are CPU-bound
+   * per row (signature hashing, quantized dot products), not IO-bound, so
+   * the target is far below a scan-split size: ~16 KB of compressed
+   * parquet ≈ 150 documents or 400 vectors — several milliseconds of
+   * hashing per task, comfortably above task overhead. A flat
+   * `repartition(defaultParallelism)` previously spread a 60 KB table
+   * over 32 near-empty partitions, paying 32 task launches for work that
+   * fits in 4. */
+  private val FanOutTargetBytes = 16L << 10
   private def fanOut(s: SparkSession, path: String): DataFrame = {
     val df = s.read.parquet(path)
     val hp = new org.apache.hadoop.fs.Path(path)
     val bytes = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(hp).getLength
-    if (bytes < FanOutMaxBytes) df.repartition(s.sparkContext.defaultParallelism)
-    else df
+    if (bytes >= FanOutMaxBytes) df // real input: scan splits parallelize
+    else {
+      val parts = math.min(s.sparkContext.defaultParallelism.toLong,
+        (bytes + FanOutTargetBytes - 1) / FanOutTargetBytes).toInt
+      if (parts <= 1) df else df.repartition(parts)
+    }
   }
 
   def documents(s: SparkSession, dir: String): DataFrame =
