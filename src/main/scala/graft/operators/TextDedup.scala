@@ -154,20 +154,30 @@ object TextDedup {
    * construction) in the buckets. */
   private def boundedBucketPairs(postings: DataFrame, bucketCol: String,
                                  minBucket: Int, maxBucket: Int): DataFrame = {
+    val (ok, sentinels) = bucketBound(postings, bucketCol, minBucket, maxBucket)
+    bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+      .unionByName(sentinels)
+      .persist()
+  }
+
+  /** The size-cap machinery of [[boundedBucketPairs]] alone: (in-bound
+   * bucket keys, always-2-row sentinel relation carrying the drop
+   * counts). For callers that expand pairs themselves (e.g. with a
+   * payload column riding the collect — [[simhashDedup]]). The sizes
+   * exchange is shared between the two outputs via ReuseExchange. */
+  private def bucketBound(postings: DataFrame, bucketCol: String,
+                          minBucket: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val sizes = postings.groupBy(col(bucketCol)).agg(count(lit(1)).as("n"))
     val ok = sizes.filter(col("n") >= minBucket && col("n") <= maxBucket)
       .select(bucketCol)
-    // one global row, always present (count over empty input is 0);
-    // the sizes exchange is shared with `ok` via ReuseExchange
+    // one global row, always present (count over empty input is 0)
     val drops = sizes.filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("ob"), coalesce(sum(col("n")), lit(0L)).as("od"))
     val sentinels = drops.select(explode(array(
         struct(lit(SentinelOversizeBuckets).as("id_a"), col("ob").as("id_b")),
         struct(lit(SentinelOversizeDocs).as("id_a"), col("od").as("id_b")))).as("s"))
       .select(col("s.id_a").as("id_a"), col("s.id_b").as("id_b"))
-    bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
-      .unionByName(sentinels)
-      .persist()
+    (ok, sentinels)
   }
 
   /** Drop-metrics surfacing, attached at the TOP of a finished dedup
@@ -393,30 +403,36 @@ object TextDedup {
     val sigs = docs
       .filter(size(tokens(col("text"))) > 0)
       .select(col("doc_id"), toCol(graft.plans.SimHash64(toExpr(col("text")))).as("sig"))
-      .persist()
-    // Chunk postings carry only (doc_id, chunk); sigs are joined back for
-    // the verify stage rather than riding the exploded relation. Chunk
+    // Unlike minhash — whose per-doc payload (the shingle set) is far too
+    // wide to ride a shuffle, forcing verify-by-join-back — a simhash sig
+    // is 64 chars: it travels WITH the posting through the one groupBy
+    // shuffle, and Hamming verification happens inline during pair
+    // expansion. No verify joins, no second pass over the corpus. Chunk
     // buckets (unlike minhash bands) collide between non-near-dups on a
     // uniform corpus, so at extreme scale the pair expansion within a hot
     // bucket is the quadratic cost any pigeonhole blocking pays — WIDER
     // chunks are the knob ([[simhashChunksFor]] derives the width from the
-    // corpus size), and [[boundedBucketPairs]] hard-caps the residue.
-    val chunked = sigs.select(col("doc_id"),
+    // corpus size), and the [[bucketBound]] cap hard-bounds the residue.
+    val postings = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         j => concat(j.cast("string"), lit(":"),
           substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
-    val staged = boundedBucketPairs(
-      chunked.select("doc_id", "chunk"), "chunk", 2, MaxBucket)
-    val verified = staged.filter(!isSentinel)
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        toCol(graft.plans.HammingStr(toExpr(col("sig_a")), toExpr(col("sig_b"))))
+      .persist() // consumed by the bucket-size aggregate AND the pair expansion
+    val (ok, sentinels) = bucketBound(postings, "chunk", 2, MaxBucket)
+    val es = col("es")
+    val pairs = postings.join(ok, "chunk")
+      .groupBy(col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("es"))
+      .filter(size(es) >= 2 && size(es) <= MaxBucket)
+      .select(es, posexplode(es).as(Seq("i", "ea")))
+      .select(col("ea"), explode(slice(es, col("i") + 2, size(es) - col("i") - 1)).as("eb"))
+      .select(col("ea.doc_id").as("id_a"), col("eb.doc_id").as("id_b"),
+        toCol(graft.plans.HammingStr(toExpr(col("ea.sig")), toExpr(col("eb.sig"))))
           .as("hamming"))
-      .filter(col("hamming") <= HammingMax)
+      .filter(col("hamming") <= HammingMax) // verify BEFORE the dedup exchange
+      .distinct()
     observeDrops(
-      verified.unionByName(staged.filter(isSentinel)
-        .withColumn("hamming", lit(null).cast("long"))),
+      pairs.unionByName(sentinels.withColumn("hamming", lit(null).cast("long"))),
       "graft_simhash_buckets")
   }
 
