@@ -106,8 +106,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       val m = observed("graft_minhash_buckets")
       assert(m.getAs[Long]("oversize_buckets") === TextDedup.LshBands.toLong)
       assert(m.getAs[Long]("oversize_docs") === 500L * TextDedup.LshBands)
-      // simhash shares the bound; it must also complete without a mega-bucket
+      // simhash shares the bound; it must also complete without a
+      // mega-bucket AND surface its own drop metrics (its observe path is
+      // a different shape: no cache, inline verify)
       assert(TextDedup.simhashDedup(docs).collect().isEmpty)
+      while (!observed.contains("graft_simhash_buckets") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(observed.contains("graft_simhash_buckets"),
+        s"simhash drop metrics never surfaced; observed keys: ${observed.keySet}")
+      val sm = observed("graft_simhash_buckets")
+      assert(sm.getAs[Long]("oversize_buckets") === TextDedup.SimHashChunks.toLong)
+      assert(sm.getAs[Long]("oversize_docs") === 500L * TextDedup.SimHashChunks)
     } finally spark.listenerManager.unregister(listener)
   }
 
