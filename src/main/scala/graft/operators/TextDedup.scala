@@ -2,8 +2,23 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.functions.{TextFunctions, TextSql}
+
+/** One banded posting of a streaming document (see
+ * [[TextDedup.streamingMinhashCandidates]]). */
+private[operators] case class BandRec(
+    bv: String, doc_id: Long, sig: Seq[String], ts: java.sql.Timestamp)
+
+/** Per-band-bucket streaming state: recent docs (newest first, capped at
+ * [[TextDedup.MaxBucket]]) + the bucket's max event time for eviction. */
+private[operators] case class BucketState(
+    entries: List[(Long, Seq[String], Long)], maxEventTs: Long)
+
+/** Streaming candidate pair with the signature-agreement Jaccard estimate. */
+private[operators] case class CandPair(
+    id_a: Long, id_b: Long, est_jaccard: Double, ts: java.sql.Timestamp)
 
 /**
  * Document deduplication for a training-data pipeline, at four levels of
@@ -325,6 +340,91 @@ object TextDedup {
        |JOIN shf sa ON sa.doc_id = c.id_a
        |JOIN shf sb ON sb.doc_id = c.id_b
        |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinHashThreshold""".stripMargin
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+   * crawl-ingest shape of [[minhashLsh]]: documents arrive as a stream
+   * (doc_id, text, ts) and each new document is compared against the
+   * recent documents sharing one of its LSH band keys. Emits
+   * (id_a, id_b, est_jaccard, ts) where `est_jaccard` is the fraction of
+   * agreeing minhash components (the unbiased sketch estimate of true
+   * Jaccard, granularity 1/[[MinHashK]]) — exact verification of
+   * candidates is a downstream batch join, as in any streaming sketch
+   * pipeline.
+   *
+   * Semantics and bounds:
+   *  - a pair is emitted once per band both documents agree on
+   *    (at-least-once; de-duplicate downstream or in the sink);
+   *  - per-bucket state holds at most [[MaxBucket]] recent docs (newest
+   *    kept, oldest dropped — the streaming analog of the batch
+   *    mega-bucket cap: duplicate MASS beyond the cap is an exact-dedup
+   *    concern, not a pairwise one) and evicts entries older than
+   *    `retention` behind the bucket's max event time;
+   *  - a bucket idle past the watermark clears its state entirely via an
+   *    event-time timeout — total state is bounded by
+   *    (active buckets × MaxBucket).
+   *
+   * The shuffle key is the band value — identical partitioning to the
+   * batch operator, so the 100 TB story carries over unchanged. */
+  def streamingMinhashCandidates(docs: DataFrame,
+                                 retention: java.time.Duration): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    val banded = docs
+      .withWatermark("ts", s"$retMs milliseconds")
+      .select(col("doc_id"), col("ts"),
+        toCol(graft.plans.WordShingles(toExpr(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("ts"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(lshBands(col("sig"))).as("bv"))
+      .select(col("bv"), col("doc_id"), col("sig"), col("ts"))
+      .as[BandRec]
+    banded
+      .groupByKey(_.bv)
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, recs, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+            val out = List.newBuilder[CandPair]
+            var entries = s0.entries
+            var maxTs = s0.maxEventTs
+            recs.foreach { r =>
+              val t = r.ts.getTime
+              maxTs = math.max(maxTs, t)
+              entries.foreach { case (oid, osig, ots) =>
+                if (oid != r.doc_id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < MinHashK) {
+                    if (osig(i) == r.sig(i)) agree += 1
+                    i += 1
+                  }
+                  val (ia, ib) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
+                  out += CandPair(ia, ib, agree.toDouble / MinHashK,
+                    new java.sql.Timestamp(math.max(ots, t)))
+                }
+              }
+              entries = (r.doc_id, r.sig, t) :: entries
+              if (entries.lengthCompare(MaxBucket) > 0)
+                entries = entries.take(MaxBucket) // drop the oldest (bounded state)
+            }
+            val horizon = maxTs - retMs
+            entries = entries.filter(_._3 >= horizon)
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketState(entries, maxTs))
+              // clear the whole bucket once the watermark passes its horizon
+              state.setTimeoutTimestamp(maxTs + retMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
 
   // ---- 3. SimHash ----------------------------------------------------------
 

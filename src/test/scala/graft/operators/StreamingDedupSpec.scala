@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.sources.Tables
+
+case class DocRec(doc_id: Long, text: String, ts: Timestamp)
+
+/** Streaming MinHash-LSH candidate detection vs the batch operator over
+ * the same corpus: both use the identical banding, so every pair the
+ * batch operator verifies at Jaccard ≥ threshold MUST surface as a
+ * streaming candidate while all its members are within retention. */
+class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streaming candidates cover the batch verified pairs; estimates sane") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batchPairs = TextDedup.minhashLsh(Tables.documents(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "sf0.001 has planted near-duplicates")
+
+    val base = 1000000000L
+    val in = MemoryStream[DocRec]
+    // 1 ms apart: the whole corpus fits comfortably inside retention
+    val out = TextDedup.streamingMinhashCandidates(
+      in.toDF(), Duration.ofHours(1))
+    val q = out.writeStream.format("memory").queryName("stream_cand")
+      .outputMode("append").start()
+    try {
+      docs.grouped(100).zipWithIndex.foreach { case (chunk, ci) =>
+        in.addData(chunk.map { case (id, text) =>
+          DocRec(id, text, new Timestamp(base + ci * 100 + (id % 100))) }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val cand = spark.table("stream_cand").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val candSet = cand.map(t => (t._1, t._2)).toSet
+      assert(batchPairs.subsetOf(candSet),
+        s"batch-verified pairs missing from streaming candidates: ${batchPairs -- candSet}")
+      assert(cand.forall(t => t._3 >= 0.0 && t._3 <= 1.0))
+      assert(cand.forall(t => t._1 < t._2))
+      // verified pairs (true J >= 0.8) must carry a strong sketch estimate
+      val estByPair = cand.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).max)
+      batchPairs.foreach { p =>
+        assert(estByPair(p) >= 0.5, s"pair $p est ${estByPair(p)} too low for J>=0.8")
+      }
+    } finally q.stop()
+  }
+}
