@@ -395,6 +395,10 @@ object TextDedup {
             recs.foreach { r =>
               val t = r.ts.getTime
               maxTs = math.max(maxTs, t)
+              // evict BEFORE comparing: an entry past the horizon of the
+              // bucket's current stream time must not pair, even within
+              // one trigger (the horizon is event-time, not trigger-time)
+              entries = entries.filter(_._3 >= maxTs - retMs)
               entries.foreach { case (oid, osig, ots) =>
                 if (oid != r.doc_id) {
                   var agree = 0
@@ -412,8 +416,6 @@ object TextDedup {
               if (entries.lengthCompare(MaxBucket) > 0)
                 entries = entries.take(MaxBucket) // drop the oldest (bounded state)
             }
-            val horizon = maxTs - retMs
-            entries = entries.filter(_._3 >= horizon)
             if (entries.isEmpty) state.remove()
             else {
               state.update(BucketState(entries, maxTs))

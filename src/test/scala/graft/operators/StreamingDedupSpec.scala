@@ -55,4 +55,29 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
       }
     } finally q.stop()
   }
+
+  test("retention evicts: a doc outside the horizon no longer pairs") {
+    val base = 1000000000L
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val in = MemoryStream[DocRec]
+    val out = TextDedup.streamingMinhashCandidates(in.toDF(), Duration.ofSeconds(10))
+    val q = out.writeStream.format("memory").queryName("stream_evict")
+      .outputMode("append").start()
+    try {
+      // identical docs INSIDE retention pair up...
+      in.addData(DocRec(1, text, new Timestamp(base)),
+                 DocRec(2, text, new Timestamp(base + 1000)))
+      q.processAllAvailable()
+      // ...then doc 3 (also identical) arrives a minute of stream time
+      // later: docs 1/2 are beyond the 10 s horizon and must NOT pair
+      in.addData(DocRec(3, text, new Timestamp(base + 60000)))
+      q.processAllAvailable()
+      val pairs = spark.table("stream_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), "in-retention identical docs must pair")
+      assert(!pairs.exists(p => p._2 == 3L),
+        s"evicted docs must not pair with later arrivals; got $pairs")
+    } finally q.stop()
+  }
 }
