@@ -413,19 +413,29 @@ object TextDedup {
                 }
               }
               entries = (r.doc_id, r.sig, t) :: entries
-              if (entries.lengthCompare(MaxBucket) > 0)
-                entries = entries.take(MaxBucket) // drop the oldest (bounded state)
+              if (entries.lengthCompare(MaxBucket) > 0) {
+                // bounded state: drop the oldest by EVENT TIME (arrival
+                // order diverges from event order under out-of-order
+                // input, and the contract promises the RECENT docs stay)
+                val oldest = entries.minBy(_._3)._3
+                var dropped = false
+                entries = entries.filter { e =>
+                  if (!dropped && e._3 == oldest) { dropped = true; false } else true
+                }
+              }
             }
             if (entries.isEmpty) state.remove()
             else {
               state.update(BucketState(entries, maxTs))
               // Clear the whole bucket once the watermark passes its
-              // horizon. Late records (flatMapGroupsWithState receives
-              // them — Spark only drops late data for aggregations) may
-              // set this BEHIND the watermark: that is fine and correct —
-              // the bucket simply expires on the next trigger, which is
-              // what "beyond retention" means (verified in
-              // StreamingDedupSpec's late-record test).
+              // horizon. With EventTimeTimeout the engine drops
+              // later-than-watermark rows BEFORE this function runs
+              // (FlatMapGroupsWithStateExec's late-event filter), so
+              // every record seen here has ts ≥ watermark and this
+              // timestamp is always ahead of it — a document later than
+              // the watermark is silently excluded from candidate
+              // detection, the documented lateness contract
+              // (StreamingDedupSpec's late-record test pins it).
               state.setTimeoutTimestamp(maxTs + retMs)
             }
             out.result().iterator
@@ -466,17 +476,18 @@ object TextDedup {
   }
 
   /** [[simhashDedup]] with the chunk count derived from the corpus size —
-   * the plan the driver checks IS the plan that runs at 100×. The size
-   * estimate is the optimizer's row count when statistics exist (free),
-   * else one count job (metadata-cheap on columnar sources) — a one-off
+   * the plan the driver checks IS the plan that runs at 100×. One count
+   * job at plan build (metadata-cheap on columnar sources) — a one-off
    * plan-time action, not a per-row driver loop. */
   def simhashDedupAuto(docs: DataFrame): DataFrame =
     simhashDedup(docs, simhashChunksFor(corpusSizeEstimate(docs)))
 
-  /** Cheap corpus-size estimate: CBO row count if available, else count. */
-  def corpusSizeEstimate(docs: DataFrame): Long =
-    docs.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(docs.count())
+  /** EXACT corpus size, never the optimizer's rowCount estimate: the
+   * DuckDB oracle derives the identical parameter from `count(*)`, and a
+   * stale catalog statistic on the Spark side (an ANALYZE taken before an
+   * append) could land the two engines on different sides of a
+   * ceil(log2(...)) boundary — a correctness FAIL on correct code. */
+  def corpusSizeEstimate(docs: DataFrame): Long = docs.count()
 
   /** 64-char '0'/'1' SimHash string over the token multiset: bit_j is the
    * sign of Σ_tokens (±1 by bit j of md5(token)). A bit-string, not a

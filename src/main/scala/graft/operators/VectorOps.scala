@@ -84,6 +84,13 @@ object VectorOps {
   private def cosineSql(dot: String, n2a: String, n2b: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE)))"
 
+  /** Exact corpus size — one count job at plan build (metadata-cheap on
+   * columnar sources). Deliberately NOT the optimizer's rowCount
+   * estimate: the oracle derives the same parameter from `count(*)`, and
+   * a stale catalog statistic on the Spark side would silently diverge
+   * the two plans. */
+  private def corpusSize(df: DataFrame): Long = df.count()
+
   /** (vec_id, q, n2) projection — the one narrow map-side pass over the
    * corpus that everything else builds on. */
   private def quantized(embeddings: DataFrame): DataFrame =
@@ -287,16 +294,28 @@ object VectorOps {
 
   // ---- 4. IVF-flat ANN (the cluster-structure scale path) ------------------
 
-  /** Every `IvfCentroidStride`-th corpus vector serves as a coarse
-   * centroid — deterministic seed selection, no cross-engine RNG. A
-   * production index would refine these with k-means offline; seed
-   * centroids keep the whole index SQL-expressible for the oracle while
-   * exercising the identical query plan (assignment, probe, in-list
-   * search are unchanged by centroid quality — only recall moves). */
+  /** Every `stride`-th corpus vector serves as a coarse centroid —
+   * deterministic seed selection, no cross-engine RNG. A production index
+   * would refine these with k-means offline; seed centroids keep the
+   * whole index SQL-expressible for the oracle while exercising the
+   * identical query plan (assignment, probe, in-list search are unchanged
+   * by centroid quality — only recall moves). */
   val IvfCentroidStride = 37
+  /** Hard ceiling on the centroid count: [[ivfStrideFor]] grows the
+   * stride once `corpus / IvfCentroidStride` would exceed this, keeping
+   * the only broadcast side bounded at any corpus size. */
+  val IvfMaxCentroids = 4096
   /** Centroid lists probed per query (`nprobe`). */
   val IvfProbes = 4
   val IvfK = 3
+
+  /** Centroid stride for a corpus of `n` vectors: the base stride until
+   * the centroid count would pass [[IvfMaxCentroids]], then grows
+   * linearly with the corpus. Integer-exact — mirrored verbatim by the
+   * oracle's GREATEST(stride, CEIL(n / maxC)) over the same count. */
+  def ivfStrideFor(n: Long): Long =
+    math.max(IvfCentroidStride.toLong,
+      (math.max(n, 1L) + IvfMaxCentroids - 1) / IvfMaxCentroids)
 
   /** Approximate top-[[IvfK]] by IVF-flat: each corpus vector is assigned
    * to its nearest centroid (inverted lists), a query scans only its
@@ -304,16 +323,20 @@ object VectorOps {
    * buckets are data-independent, IVF lists follow the corpus's own
    * cluster structure — the standard trade (FAISS IVF-flat layout).
    *
-   * Scale shape: the centroid set is the only broadcast (C ≈ corpus/stride
-   * of NARROW rows — at 1000× the stride grows with the corpus, C stays
-   * bounded); coarse assignment is the classic N·C one-off index build as
-   * a broadcast nested-loop against the C-row side (never corpus×corpus —
-   * guarded in PlanGuardSpec by a C-side cardinality whitelist); the
-   * search itself is a plain equi-join on `cid`, shuffling only probed
-   * lists. Output (query_id, neighbor_id, rank, sim). */
+   * Scale shape: the centroid set is the only broadcast — C =
+   * corpus / [[ivfStrideFor]](corpus), hard-capped at [[IvfMaxCentroids]]
+   * narrow rows because the stride is DERIVED from the corpus size (one
+   * count at plan build, the [[TextDedup.simhashDedupAuto]] pattern, so
+   * the plan the driver checks is the plan that runs at 100×); coarse
+   * assignment is the classic N·C one-off index build as a broadcast
+   * nested-loop against the C-row side (never corpus×corpus — PlanGuard
+   * pins the search join as an equi-join and forbids CartesianProduct);
+   * the search itself is a plain equi-join on `cid`, shuffling only
+   * probed lists. Output (query_id, neighbor_id, rank, sim). */
   def annIvfTopK(embeddings: DataFrame): DataFrame = {
+    val stride = ivfStrideFor(corpusSize(embeddings))
     val qn = quantized(embeddings).persist() // feeds centroids, assignment, queries
-    val cents = qn.filter(col("vec_id") % IvfCentroidStride === 0)
+    val cents = qn.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     // nearest centroid per vector: map-side arg-max over a struct — the
     // broadcast join's output is still partitioned by the corpus scan, so
@@ -348,8 +371,11 @@ object VectorOps {
 
   def annIvfTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
+       |params AS (SELECT GREATEST($IvfCentroidStride,
+       |             (count(*) + ${IvfMaxCentroids - 1}) // $IvfMaxCentroids) AS stride
+       |           FROM $table),
        |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
-       |          WHERE vec_id % $IvfCentroidStride = 0),
+       |          WHERE vec_id % (SELECT stride FROM params) = 0),
        |assign AS (
        |  SELECT vec_id, q, n2, cid FROM (
        |    SELECT v.vec_id, v.q, v.n2, c.cid,

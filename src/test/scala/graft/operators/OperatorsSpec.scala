@@ -108,9 +108,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       assert(m.getAs[Long]("oversize_docs") === 500L * TextDedup.LshBands)
       // simhash shares the bound; it must also complete without a
       // mega-bucket AND surface its own drop metrics (its observe path is
-      // a different shape: no cache, inline verify)
+      // a different shape: no cache, inline verify). Fresh deadline — the
+      // minhash wait above may have consumed the first one on a slow host.
       assert(TextDedup.simhashDedup(docs).collect().isEmpty)
-      while (!observed.contains("graft_simhash_buckets") && System.nanoTime() < deadline)
+      val deadline2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!observed.contains("graft_simhash_buckets") && System.nanoTime() < deadline2)
         Thread.sleep(50)
       assert(observed.contains("graft_simhash_buckets"),
         s"simhash drop metrics never surfaced; observed keys: ${observed.keySet}")
@@ -118,6 +120,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       assert(sm.getAs[Long]("oversize_buckets") === TextDedup.SimHashChunks.toLong)
       assert(sm.getAs[Long]("oversize_docs") === 500L * TextDedup.SimHashChunks)
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("ivfStrideFor caps the centroid count at any corpus size") {
+    assert(VectorOps.ivfStrideFor(500L) === 37L)            // base stride
+    assert(VectorOps.ivfStrideFor(100000L) === 37L)         // C ~ 2.7k, under cap
+    val big = 1L << 30
+    val stride = VectorOps.ivfStrideFor(big)
+    assert(big / stride <= VectorOps.IvfMaxCentroids, "C must stay bounded")
+    assert(stride >= VectorOps.IvfCentroidStride)
   }
 
   test("simhashChunksFor widens chunks as the corpus grows") {

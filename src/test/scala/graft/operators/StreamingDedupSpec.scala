@@ -81,11 +81,12 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
-  test("a late record into a stale bucket does not kill the query") {
-    // flatMapGroupsWithState receives LATE records (Spark only filters
-    // them for aggregations); a late arrival re-arms its bucket's
-    // timeout BEHIND the watermark, which must expire the bucket on the
-    // next trigger rather than error
+  test("a later-than-watermark record is dropped before the transition: " +
+       "no pairs, no error") {
+    // with EventTimeTimeout the engine filters late rows BEFORE the user
+    // function (FlatMapGroupsWithStateExec's late-event filter) — the
+    // documented lateness contract: a too-late document is silently
+    // excluded from candidate detection and the query stays healthy
     val base = 1000000000L
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau"
@@ -100,10 +101,15 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
       in.addData(DocRec(50, "completely different words entirely here now " +
         "with several more tokens to shingle", new Timestamp(base + 3600 * 1000L)))
       q.processAllAvailable()
-      // late record lands in doc 1's (stale) buckets
+      // identical to doc 1 but far behind the watermark: dropped by the
+      // engine's late-event filter, so it must produce NO candidate pair
       in.addData(DocRec(2, text, new Timestamp(base + 1000)))
-      q.processAllAvailable() // must not throw
+      q.processAllAvailable()
       assert(q.exception.isEmpty, s"query died on a late record: ${q.exception}")
+      val pairs = spark.table("stream_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 2L)),
+        s"a later-than-watermark doc must be excluded from candidates; got $pairs")
     } finally q.stop()
   }
 }

@@ -15,31 +15,48 @@ import graft.{SparkEntry, SparkTestHarness}
  * a scale-killer at 100 TB. This spec locks the shape in for every entry
  * in [[SparkEntry.queries]].
  *
- * `ann_brute_topk` is whitelisted: its broadcast nested-loop IS the
- * design — the deliberately-exact O(|Q|·|C|) baseline against which the
- * LSH/IVF paths are measured (SURVEY.md §7.2-M7). `ann_ivf_topk` is
- * whitelisted for a different reason: its nested-loops multiply by the
- * CENTROID set (corpus/37 narrow rows, the classic N·C IVF index build),
- * never corpus × corpus — the search join itself is an equi-join on the
- * centroid id. */
+ * `ann_brute_topk` is whitelisted outright: its broadcast nested-loop IS
+ * the design — the deliberately-exact O(|Q|·|C|) baseline against which
+ * the LSH/IVF paths are measured (SURVEY.md §7.2-M7). `ann_ivf_topk`
+ * gets a NARROWER exemption: its two nested-loops multiply by the
+ * bounded CENTROID set (the classic N·C IVF index build + the tiny
+ * probe), so exactly those two BNLJs are allowed — a CartesianProduct is
+ * still forbidden, a third BNLJ fails, and a dedicated test pins the
+ * search stage as an equi-join on the centroid id. */
 class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
 
   private val dir = "/root/testdata/sf0.001"
 
   /** Nodes that enumerate cross-products; fatal at scale. */
   private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-  private val whitelist = Set("ann_brute_topk", "ann_ivf_topk")
+  private val whitelist = Set("ann_brute_topk")
+  /** name -> max BroadcastNestedLoopJoin nodes tolerated (cartesians never). */
+  private val bnljBudget = Map("ann_ivf_topk" -> 2)
 
   test("no query plans a cartesian or nested-loop join (whitelist: ann_brute_topk)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (whitelist(name)) None
       else {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val hit = forbidden.filter(plan.contains)
+        val budget = bnljBudget.getOrElse(name, 0)
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+        val hit = (if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+          (if (bnlj > budget) Seq(s"BroadcastNestedLoopJoin x$bnlj (budget $budget)") else Nil)
         if (hit.nonEmpty) Some(s"$name: ${hit.mkString(", ")}") else None
       }
     }
     assert(offenders.isEmpty, s"scale-killer join nodes planned by:\n  ${offenders.mkString("\n  ")}")
+    spark.catalog.clearCache()
+  }
+
+  test("ann_ivf_topk's search stage is an equi-join on the centroid id") {
+    val plan = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // probed lists × assignments must hash/merge-join on cid — if this
+    // degraded to a nested loop it would hide inside the BNLJ budget
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cid".r
+        .findFirstIn(plan).isDefined,
+      s"expected a cid-keyed equi-join in:\n$plan")
     spark.catalog.clearCache()
   }
 
