@@ -77,26 +77,38 @@ object Bench {
     // round-robin: pass r runs every query once, so the three samples of
     // any one query are separated by a full pass (~minutes) — longer than
     // most noise episodes
+    // A failed run is NOT a sample: its (typically fast) wall-time would
+    // ride into the median and make a broken query read as a speedup.
+    // Failed queries are excluded from the total and surfaced in a
+    // "failures" list so the driver can't mistake breakage for speed.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val failures = scala.collection.mutable.Map.empty[String, Int]
     for (r <- 1 to reps; (name, fn) <- queries) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
       val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s")
+      if (ok) samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      else failures(name) = failures.getOrElse(name, 0) + 1
+      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s${if (ok) "" else "  FAILED"}")
     }
-    val results = queries.map { case (name, _) =>
-      val ss = samples(name)
-      val dt = ss.sorted.apply(ss.size / 2) // median: stall-immune
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${ss.map(s => f"$s%.3f").mkString(" ")})")
-      name -> dt
+    val results = queries.flatMap { case (name, _) =>
+      samples.get(name).map { ss =>
+        val dt = ss.sorted.apply(ss.size / 2) // median: stall-immune
+        System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${ss.map(s => f"$s%.3f").mkString(" ")})")
+        name -> dt
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$rawSfDir"}"""
+    val failed = failures.keys.toSeq.sorted
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILURES: ${failed.map(n => s"$n(${failures(n)}/$reps)").mkString(", ")}")
+    val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$rawSfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(

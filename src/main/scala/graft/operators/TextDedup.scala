@@ -126,16 +126,15 @@ object TextDedup {
       .distinct()
   }
 
-  /** Sentinel `id_a` markers that carry drop statistics through the
-   * candidate-pair relation (see [[boundedBucketPairs]]). A real corpus id
-   * equal to `Long.MinValue` / `Long.MinValue + 1` would collide; the
-   * engine's dedup surface assumes synthetic non-negative doc ids (as all
-   * its sources produce). */
-  private val SentinelOversizeBuckets = Long.MinValue
-  private val SentinelOversizeDocs    = Long.MinValue + 1
+  /** Sentinel rows carry drop statistics through the candidate-pair
+   * relation (see [[boundedBucketPairs]]), flagged by a DEDICATED
+   * `is_sentinel` boolean column — never by the id value space, so every
+   * doc_id domain (negative ids included) is safe. Within the sentinel
+   * rows, `id_a` discriminates which metric the row carries. */
+  private val SentinelOversizeBuckets = 0L
+  private val SentinelOversizeDocs    = 1L
 
-  private def isSentinel: Column =
-    col("id_a") === SentinelOversizeBuckets || col("id_a") === SentinelOversizeDocs
+  private def isSentinel: Column = col("is_sentinel")
 
   /** [[bucketPairs]] with a HARD bucket-size bound enforced BEFORE any list
    * is collected. An adversarial corpus — a million byte-identical crawl
@@ -147,7 +146,7 @@ object TextDedup {
    * partitioning, so the following groupBy adds no exchange.
    *
    * Returns the candidate pairs PLUS two sentinel rows
-   * (`id_a` ∈ {[[SentinelOversizeBuckets]], [[SentinelOversizeDocs]]},
+   * (`is_sentinel` = true, `id_a` = the metric discriminator,
    * `id_b` = the drop count — always present, 0 when nothing dropped),
    * persisted: the caller consumes the pairs for candidate verification
    * and re-unions the sentinels onto its FINAL result via
@@ -171,6 +170,7 @@ object TextDedup {
                                  minBucket: Int, maxBucket: Int): DataFrame = {
     val (ok, sentinels) = bucketBound(postings, bucketCol, minBucket, maxBucket)
     bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+      .withColumn("is_sentinel", lit(false))
       .unionByName(sentinels)
       .persist()
   }
@@ -191,7 +191,8 @@ object TextDedup {
     val sentinels = drops.select(explode(array(
         struct(lit(SentinelOversizeBuckets).as("id_a"), col("ob").as("id_b")),
         struct(lit(SentinelOversizeDocs).as("id_a"), col("od").as("id_b")))).as("s"))
-      .select(col("s.id_a").as("id_a"), col("s.id_b").as("id_b"))
+      .select(col("s.id_a").as("id_a"), col("s.id_b").as("id_b"),
+        lit(true).as("is_sentinel"))
     (ok, sentinels)
   }
 
@@ -208,9 +209,12 @@ object TextDedup {
   private def observeDrops(result: DataFrame, metricName: String): DataFrame =
     result
       .observe(metricName,
-        max(when(col("id_a") === SentinelOversizeBuckets, col("id_b"))).as("oversize_buckets"),
-        max(when(col("id_a") === SentinelOversizeDocs, col("id_b"))).as("oversize_docs"))
+        max(when(isSentinel && col("id_a") === SentinelOversizeBuckets, col("id_b")))
+          .as("oversize_buckets"),
+        max(when(isSentinel && col("id_a") === SentinelOversizeDocs, col("id_b")))
+          .as("oversize_docs"))
       .filter(!isSentinel)
+      .drop("is_sentinel")
 
   /** DuckDB mirror of the bucket-size cap: keep only buckets whose posting
    * count is within [2, maxBucket] before the candidate self-join. */
@@ -306,8 +310,9 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= MinHashThreshold)
     observeDrops(
-      verified.unionByName(staged.filter(isSentinel)
-        .withColumn("jaccard", lit(null).cast("double"))),
+      verified.withColumn("is_sentinel", lit(false))
+        .unionByName(staged.filter(isSentinel)
+          .withColumn("jaccard", lit(null).cast("double"))),
       "graft_minhash_buckets")
   }
 
@@ -358,7 +363,10 @@ object TextDedup {
    *    kept, oldest dropped — the streaming analog of the batch
    *    mega-bucket cap: duplicate MASS beyond the cap is an exact-dedup
    *    concern, not a pairwise one) and evicts entries older than
-   *    `retention` behind the bucket's max event time;
+   *    `retention` behind the bucket's max event time — the check is
+   *    symmetric: an out-of-order ARRIVAL older than that horizon
+   *    neither pairs nor enters state, so no emitted pair spans more
+   *    than `retention` of event time;
    *  - a bucket idle past the watermark clears its state entirely via an
    *    event-time timeout — total state is bounded by
    *    (active buckets × MaxBucket).
@@ -389,44 +397,10 @@ object TextDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val s0 = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
-            val out = List.newBuilder[CandPair]
-            var entries = s0.entries
-            var maxTs = s0.maxEventTs
-            recs.foreach { r =>
-              val t = r.ts.getTime
-              maxTs = math.max(maxTs, t)
-              // evict BEFORE comparing: an entry past the horizon of the
-              // bucket's current stream time must not pair, even within
-              // one trigger (the horizon is event-time, not trigger-time)
-              entries = entries.filter(_._3 >= maxTs - retMs)
-              entries.foreach { case (oid, osig, ots) =>
-                if (oid != r.doc_id) {
-                  var agree = 0
-                  var i = 0
-                  while (i < MinHashK) {
-                    if (osig(i) == r.sig(i)) agree += 1
-                    i += 1
-                  }
-                  val (ia, ib) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
-                  out += CandPair(ia, ib, agree.toDouble / MinHashK,
-                    new java.sql.Timestamp(math.max(ots, t)))
-                }
-              }
-              entries = (r.doc_id, r.sig, t) :: entries
-              if (entries.lengthCompare(MaxBucket) > 0) {
-                // bounded state: drop the oldest by EVENT TIME (arrival
-                // order diverges from event order under out-of-order
-                // input, and the contract promises the RECENT docs stay)
-                val oldest = entries.minBy(_._3)._3
-                var dropped = false
-                entries = entries.filter { e =>
-                  if (!dropped && e._3 == oldest) { dropped = true; false } else true
-                }
-              }
-            }
-            if (entries.isEmpty) state.remove()
+            val (s1, out) = bucketTransition(recs, s0, retMs)
+            if (s1.entries.isEmpty) state.remove()
             else {
-              state.update(BucketState(entries, maxTs))
+              state.update(s1)
               // Clear the whole bucket once the watermark passes its
               // horizon. With EventTimeTimeout the engine drops
               // later-than-watermark rows BEFORE this function runs
@@ -436,12 +410,66 @@ object TextDedup {
               // the watermark is silently excluded from candidate
               // detection, the documented lateness contract
               // (StreamingDedupSpec's late-record test pins it).
-              state.setTimeoutTimestamp(maxTs + retMs)
+              state.setTimeoutTimestamp(s1.maxEventTs + retMs)
             }
-            out.result().iterator
+            out.iterator
           }
       }
       .toDF()
+  }
+
+  /** The pure per-bucket state transition of
+   * [[streamingMinhashCandidates]] — extracted so the out-of-order /
+   * eviction / cap semantics are unit-testable without driving the
+   * streaming engine (whose within-batch group ordering is not
+   * deterministic). Returns (new state, emitted pairs in order). */
+  private[operators] def bucketTransition(recs: IterableOnce[BandRec],
+                                          s0: BucketState,
+                                          retMs: Long): (BucketState, List[CandPair]) = {
+    val out = List.newBuilder[CandPair]
+    var entries = s0.entries
+    var maxTs = s0.maxEventTs
+    recs.iterator.foreach { r =>
+      val t = r.ts.getTime
+      maxTs = math.max(maxTs, t)
+      // evict BEFORE comparing: an entry past the horizon of the
+      // bucket's current stream time must not pair, even within
+      // one trigger (the horizon is event-time, not trigger-time)
+      entries = entries.filter(_._3 >= maxTs - retMs)
+      // the ARRIVING record is horizon-checked too: an out-of-order
+      // record older than the horizon (still >= watermark, so not
+      // dropped by the engine's late filter) must neither pair with
+      // the in-horizon entries — every such pairing would span more
+      // than `retention` — nor enter state (the next arrival's
+      // eviction would remove it before it could ever pair)
+      if (t >= maxTs - retMs) {
+        entries.foreach { case (oid, osig, ots) =>
+          if (oid != r.doc_id) {
+            var agree = 0
+            var i = 0
+            while (i < MinHashK) {
+              if (osig(i) == r.sig(i)) agree += 1
+              i += 1
+            }
+            val (ia, ib) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
+            out += CandPair(ia, ib, agree.toDouble / MinHashK,
+              new java.sql.Timestamp(math.max(ots, t)))
+          }
+        }
+        entries = (r.doc_id, r.sig, t) :: entries
+        if (entries.lengthCompare(MaxBucket) > 0) {
+          // bounded state: drop the oldest by EVENT TIME (arrival
+          // order diverges from event order under out-of-order
+          // input, and the contract promises the RECENT docs stay)
+          val oldest = entries.minBy(_._3)._3
+          var dropped = false
+          entries = entries.filter { e =>
+            if (!dropped && e._3 == oldest) { dropped = true; false } else true
+          }
+        }
+      }
+    }
+    (BucketState(entries, maxTs), out.result())
   }
 
   // ---- 3. SimHash ----------------------------------------------------------
@@ -551,7 +579,8 @@ object TextDedup {
       .filter(col("hamming") <= HammingMax) // verify BEFORE the dedup exchange
       .distinct()
     observeDrops(
-      pairs.unionByName(sentinels.withColumn("hamming", lit(null).cast("long"))),
+      pairs.withColumn("is_sentinel", lit(false))
+        .unionByName(sentinels.withColumn("hamming", lit(null).cast("long"))),
       "graft_simhash_buckets")
   }
 

@@ -122,6 +122,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("negative doc ids survive dedup: sentinels ride a dedicated column") {
+    // drop metrics are flagged by `is_sentinel`, never by the id value
+    // space — a corpus with negative ids must keep all its real pairs
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = spark.createDataFrame(Seq((-5L, text), (-3L, text), (7L, "totally " +
+      "unrelated words appear here instead with different content entirely")))
+      .toDF("doc_id", "text")
+    val mh = TextDedup.minhashLsh(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === Set((-5L, -3L)).map(p => (math.min(p._1, p._2), math.max(p._1, p._2))),
+      s"negative-id near-dup pair must survive sentinel stripping; got $mh")
+    val sh = TextDedup.simhashDedup(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((-5L, -3L)), s"simhash too; got $sh")
+  }
+
   test("ivfStrideFor caps the centroid count at any corpus size") {
     assert(VectorOps.ivfStrideFor(500L) === 37L)            // base stride
     assert(VectorOps.ivfStrideFor(100000L) === 37L)         // C ~ 2.7k, under cap

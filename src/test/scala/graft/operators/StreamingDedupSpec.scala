@@ -81,6 +81,35 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("bucket transition: an out-of-order arrival behind the bucket " +
+       "horizon neither pairs nor enters state") {
+    // Within one trigger the engine's late filter only knows the PREVIOUS
+    // batch's watermark, so a record older than (bucket maxTs - retention)
+    // can still reach the transition — it must be a no-op: every pairing
+    // it could make would span more than `retention` of event time.
+    val sig = (1 to TextDedup.MinHashK).map(i => f"$i%032x")
+    val rec = (id: Long, t: Long) =>
+      BandRec("b", id, sig, new java.sql.Timestamp(t))
+    val retMs = 10000L
+    val base = 1000000000L
+    // doc 1 establishes maxTs = base + 25 s
+    val (s1, out1) = TextDedup.bucketTransition(
+      Seq(rec(1, base + 25000)), BucketState(Nil, Long.MinValue), retMs)
+    assert(out1.isEmpty && s1.entries.map(_._1) == List(1L))
+    // doc 2 arrives OUT OF ORDER at base + 5 s — 20 s behind the bucket's
+    // stream time, i.e. beyond the 10 s horizon: no pair, no state entry
+    val (s2, out2) = TextDedup.bucketTransition(Seq(rec(2, base + 5000)), s1, retMs)
+    assert(out2.isEmpty, s"horizon-stale arrival must not pair; got $out2")
+    assert(s2.entries.map(_._1) == List(1L),
+      s"horizon-stale arrival must not enter state; got ${s2.entries}")
+    assert(s2.maxEventTs == base + 25000)
+    // a doc INSIDE the horizon still pairs with doc 1 (identical sigs)
+    val (s3, out3) = TextDedup.bucketTransition(Seq(rec(3, base + 20000)), s2, retMs)
+    assert(out3.map(p => (p.id_a, p.id_b)) == List((1L, 3L)))
+    assert(out3.head.est_jaccard == 1.0)
+    assert(s3.entries.map(_._1).toSet == Set(1L, 3L))
+  }
+
   test("a later-than-watermark record is dropped before the transition: " +
        "no pairs, no error") {
     // with EventTimeTimeout the engine filters late rows BEFORE the user

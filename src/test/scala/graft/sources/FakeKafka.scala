@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -78,11 +78,13 @@ class FakeKafkaTable(options: CaseInsensitiveStringMap) extends Table
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val topic = Option(opts.get("subscribe")).getOrElse(options.get("subscribe"))
+    val maxPerTrigger = Option(opts.get("maxOffsetsPerTrigger"))
+      .orElse(Option(options.get("maxOffsetsPerTrigger"))).map(_.toLong)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FakeBroker.wireSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FakeKafkaMicroBatch(topic)
+          new FakeKafkaMicroBatch(topic, maxPerTrigger)
       }
     }
   }
@@ -102,9 +104,30 @@ private case class FakeOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class FakeKafkaMicroBatch(topic: String) extends MicroBatchStream {
+/** Micro-batch stream with admission control, mirroring the real
+ * connector: `maxOffsetsPerTrigger` caps each batch's offset range (the
+ * rate limit [[KafkaTopics.ljotTopology]] maps from `scheduledCapacity`,
+ * O10), so a backlog drains over several bounded micro-batches instead of
+ * one unbounded one. As in the real source, the limit-less
+ * `latestOffset()` is never called once `SupportsAdmissionControl` is
+ * implemented (the engine always passes a ReadLimit). */
+private class FakeKafkaMicroBatch(topic: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = FakeOffset(0L)
-  override def latestOffset(): Offset = FakeOffset(FakeBroker.size(topic))
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FakeOffset].n
+    val end = FakeBroker.size(topic)
+    limit match {
+      case r: ReadMaxRows => FakeOffset(math.min(end, s + r.maxRows()))
+      case _              => FakeOffset(end)
+    }
+  }
+  override def reportLatestOffset(): Offset = FakeOffset(FakeBroker.size(topic))
   override def deserializeOffset(json: String): Offset = FakeOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FakeOffset].n.toInt

@@ -22,6 +22,26 @@ class FakeKafkaSpec extends AnyFunSuite with SparkTestHarness {
     assert(df.columns.toSeq === Seq("key", "value", "ts"))
   }
 
+  test("maxOffsetsPerTrigger bounds each micro-batch (admission control)") {
+    // the rate limit ljotTopology maps from scheduledCapacity (O10) must
+    // actually shape batches: 10 backlogged records at 3 offsets/trigger
+    // drain over >= 4 micro-batches of <= 3 rows each
+    (0 until 10).foreach(i => FakeBroker.publish("t_rate", i.toString, s"v$i", 1000L + i))
+    val df = KafkaTopics.readTopic(spark, "fake:9092", "t_rate",
+      maxOffsetsPerTrigger = Some(3L))
+    val q = df.writeStream.format("memory").queryName("rate_probe")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rate_probe").count() === 10L, "the whole backlog drains")
+      val withRows = q.recentProgress.filter(_.numInputRows > 0)
+      assert(withRows.length >= 4,
+        s"10 records at 3/trigger need >= 4 batches; got ${withRows.map(_.numInputRows).toSeq}")
+      assert(withRows.forall(_.numInputRows <= 3),
+        s"a batch exceeded the limit: ${withRows.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("ljot topology end-to-end: join branch and timeout branch reach the sink topic") {
     FakeBroker.clear()
     val cfg = LeftJoinOnTimeoutConfig(
