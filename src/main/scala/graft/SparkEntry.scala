@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, TextSql}
 import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
-import graft.operators.{AsOfJoin, Multimodal, Relational, TextDedup, VectorOps}
+import graft.operators.{AsOfJoin, Corpus, DedupClusters, Multimodal, Relational, TextDedup, VectorOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -121,6 +121,12 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
+    // cluster assignment over the minhash pair graph (connected components)
+    "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
+      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
+    // corpus management: quality pre-filter + deterministic splits
+    "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
+    "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
@@ -176,6 +182,9 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
+    "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
+    "quality_filter"      -> Corpus.qualityFilterSql("documents"),
+    "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),

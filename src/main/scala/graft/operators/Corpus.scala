@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TextSql}
+
+/**
+ * Corpus-management operators for a training-data pipeline: rule-based
+ * quality filtering (the Gopher-style pre-filter every LLM data pipeline
+ * runs before dedup) and deterministic hash-based dataset splitting.
+ *
+ * Both are pure codegen'd projections — no shuffle, no UDF, no state —
+ * so at 100 TB they run at scan speed and partition trivially. Every
+ * value is integer arithmetic, string ops, or a single IEEE double
+ * division, with exactly mirrored DuckDB SQL for the oracle compare.
+ */
+object Corpus {
+  import TextFunctions.tokens
+
+  // ---- 1. quality filter ---------------------------------------------------
+
+  /** Gopher-style rule thresholds (Rae et al. 2021, table A1 — the public
+   * heuristic family; constants tuned to this corpus's scale). */
+  val QfMinTokens = 20
+  val QfMaxTokens = 100000
+  val QfMinMeanWordLen = 3.0
+  val QfMaxMeanWordLen = 12.0
+  val QfMaxSymbolRatio = 0.1
+  val QfMinStopHits = 2
+
+  /** Per-document quality signals + the composite pass/fail verdict:
+   * (doc_id, n_tokens, mean_word_len, symbol_ratio, stop_hits, passes).
+   *
+   * Signals: token count window, mean word length window (too low =
+   * character soup, too high = machine strings), symbol ratio (non-
+   * alphanumeric-space characters over all characters), and a minimum
+   * stopword count (natural prose contains function words). Divisions
+   * are zero-guarded so empty documents fail cleanly instead of
+   * propagating NaN (which would also diverge between engines). */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("bigint")
+    // total token chars via the joined token string: an exact integer,
+    // so the mean is ONE double division (deterministic cross-engine)
+    val meanWl = when(nTok === 0, lit(0.0))
+      .otherwise(length(array_join(toks, "")).cast("double") / nTok.cast("double"))
+    val symRatio = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text")).cast("double"))
+    val stops = TextFunctions.stopHits(col("text"))
+    docs.select(col("doc_id"), nTok.as("n_tokens"), meanWl.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), stops.as("stop_hits"))
+      .withColumn("passes",
+        col("n_tokens").between(QfMinTokens, QfMaxTokens) &&
+          col("mean_word_len").between(QfMinMeanWordLen, QfMaxMeanWordLen) &&
+          col("symbol_ratio") <= QfMaxSymbolRatio &&
+          col("stop_hits") >= QfMinStopHits)
+  }
+
+  def qualityFilterSql(table: String): String = {
+    val toks = TextSql.tokens("text")
+    val nTok = s"len($toks)"
+    val meanWl = s"(CASE WHEN $nTok = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      s"CAST(length(array_to_string($toks, '')) AS DOUBLE) / CAST($nTok AS DOUBLE) END)"
+    val symR = "(CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+      "CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) " +
+      "/ CAST(length(text) AS DOUBLE) END)"
+    s"""SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_hits,
+       |  (n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens
+       |   AND mean_word_len BETWEEN $QfMinMeanWordLen AND $QfMaxMeanWordLen
+       |   AND symbol_ratio <= $QfMaxSymbolRatio
+       |   AND stop_hits >= $QfMinStopHits) AS passes
+       |FROM (
+       |  SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens, $meanWl AS mean_word_len,
+       |         $symR AS symbol_ratio, CAST(${TextSql.stopHits("text")} AS BIGINT) AS stop_hits
+       |  FROM $table)""".stripMargin
+  }
+
+  // ---- 2. deterministic split ----------------------------------------------
+
+  /** Split thresholds over the 256 md5-prefix buckets:
+   * [0, TrainUpto) = train (~89.8%), [TrainUpto, ValUpto) = val (~5.1%),
+   * [ValUpto, 256) = test (~5.1%). */
+  val TrainUpto = 230
+  val ValUpto = 243
+
+  /** Content-addressed bucket in [0, 256): the first two hex chars of
+   * md5 of the STRING rendering of the id — pure projection, identical
+   * in any engine with md5, and stable under appends/reshuffles (the
+   * property per-partition `rand()` splits lack: a row's split never
+   * depends on what other rows exist). Spliced as one SQL expression
+   * (`idCol` is a column NAME): `instr` takes arbitrary expressions
+   * only through the parser. */
+  private def hashBucket(idCol: String): Column = {
+    val h = s"md5(CAST(CAST($idCol AS STRING) AS BINARY))"
+    expr(s"CAST((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1) AS INT)")
+  }
+
+  /** (doc_id, split_bucket, split): deterministic train/val/test
+   * assignment. */
+  def sampleSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), hashBucket("doc_id").as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < TrainUpto, lit("train"))
+          .when(col("split_bucket") < ValUpto, lit("val"))
+          .otherwise(lit("test")))
+
+  def sampleSplitSql(table: String): String = {
+    val b = "CAST((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 " +
+      "+ (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 2, 1)) - 1) AS INT)"
+    s"""SELECT doc_id, split_bucket,
+       |  CASE WHEN split_bucket < $TrainUpto THEN 'train'
+       |       WHEN split_bucket < $ValUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, $b AS split_bucket FROM $table)""".stripMargin
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster assignment: connected components over a near-duplicate
+ * pair relation, labeling every document with the minimum doc_id of its
+ * component. The step every production dedup pipeline needs after pair
+ * generation — "keep one doc per cluster" requires the CLUSTER, not the
+ * pairs (a transitive chain a~b, b~c must collapse to one keeper even
+ * though (a, c) was never emitted as a pair).
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+ * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+ * and Beyond", SoCC'14), the canonical shuffle-native CC:
+ *  - large-star: every node connects its LARGER neighbors to its minimum
+ *    neighborhood node;
+ *  - small-star: every node connects its smaller-or-equal neighborhood
+ *    (and itself) to the minimum;
+ *  - alternate until the edge set reaches a fixpoint — a forest of stars
+ *    whose centers are the component minima.
+ *
+ * Scale design (the 100 TB story): each half-step is ONE groupBy shuffle
+ * on the node id (min-aggregate, map-side partial) plus an equi-join back
+ * on the same key — no driver-side graph, no collect. Convergence is
+ * O(log n) rounds on any graph (the paper's bound), each round's edge set
+ * never exceeding the input edge set's size. Per round the edge relation
+ * is `localCheckpoint`ed: iterative plans otherwise double their lineage
+ * every round until analysis itself is the bottleneck (on a cluster,
+ * substitute reliable `checkpoint` to also survive executor loss).
+ * Convergence detection is a count+hash checksum action per round —
+ * O(1) driver data, never the edges themselves.
+ */
+object DedupClusters {
+
+  /** Hard iteration cap: alternating star converges in O(log n) rounds,
+   * so 40 rounds covers any corpus this side of 2^40 components while
+   * still bounding a pathological regression. */
+  val MaxRounds = 40
+
+  /** large-star: for every node u, connect each STRICTLY LARGER neighbor
+   * v to m(u) = min(N(u) ∪ {u}). Output is again an undirected edge set
+   * (u < v canonical orientation, self-loops dropped). */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    canonical(
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  /** small-star: for every node u, connect each smaller-or-equal neighbor
+   * (and u itself) to m(u) = min(N≤(u) ∪ {u}). Operates on the
+   * smaller-endpoint orientation of the edge set. */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    val o = edges.select(greatest(col("u"), col("v")).as("u"),
+                         least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = o.groupBy("u").agg(min(col("v")).as("m"))
+    canonical(
+      o.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(mins.select(col("u").as("n"), col("m")))
+        .select(col("n").as("u"), col("m").as("v")))
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Undirected canonical form: u < v, distinct, no self-loops. */
+  private def canonical(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** O(1)-per-round convergence checksum: (edge count, order-independent
+   * hash of the edge set). Equal checksums on canonical distinct edge
+   * sets mean equal sets (modulo a 2^-64 hash collision — acceptable for
+   * a TERMINATION check: a false stop leaves a star forest one round
+   * early only if two different edge sets collide). */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // bit_xor, not sum: ANSI mode makes a long-sum of 2^63-range hashes
+    // an overflow error; xor is order-independent and never overflows
+    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Connected components of the undirected pair relation
+   * `pairs(id_a, id_b)`: returns (node, label) where label = the
+   * component's minimum node id. */
+  def components(pairs: DataFrame): DataFrame = {
+    var edges = canonical(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint()
+    var cs = checksum(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val ncs = checksum(next)
+      converged = ncs == cs
+      edges = next
+      cs = ncs
+      rounds += 1
+    }
+    require(converged,
+      s"connected components did not converge in $MaxRounds rounds")
+    // the fixpoint edge set is a star forest centered at component minima;
+    // in canonical u < v orientation every edge is (center, member), so
+    // labels are v -> u plus each center labeling itself.
+    edges.select(col("v").as("node"), col("u").as("label"))
+      .union(edges.select(col("u").as("node"), col("u").as("label")))
+      .distinct()
+  }
+
+  /** Full-corpus cluster assignment: every document labeled with its
+   * near-dup cluster id (= min doc_id of the connected component of the
+   * pair graph; singletons label themselves). `pairs` must expose
+   * id_a/id_b — any TextDedup/VectorOps pair output qualifies. */
+  def assign(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(components(pairs).withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+
+  /** DuckDB oracle: transitive closure by recursive CTE (fine at oracle
+   * scale; the Spark side's star-contraction is the at-scale algorithm),
+   * then label = LEAST(node, min reachable). `pairsSql` is a complete
+   * SELECT emitting id_a/id_b — e.g. [[TextDedup.minhashLshSql]]. */
+  def assignSql(docsTable: String, pairsSql: String): String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM ($pairsSql)
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM ($pairsSql)
+       |),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+       |),
+       |lbl AS (SELECT u AS doc_id, LEAST(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |FROM $docsTable d LEFT JOIN lbl l ON l.doc_id = d.doc_id""".stripMargin
+}
