@@ -20,11 +20,19 @@ object Explain {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // two timed runs: the first pays JIT/codegen warm-up, the second is
+    // the steady-state number comparable to the bench's warm medians
+    var n = 0L
+    val times = (1 to 2).map { _ =>
+      spark.catalog.clearCache()
+      // construction INSIDE the timed window: iterative operators (e.g.
+      // dedup_clusters) run their driver loop while building the plan
+      val t0 = System.nanoTime()
+      n = SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    println(f"[explain] $name: $n rows, cold ${times(0)}%.2f s, warm ${times(1)}%.2f s")
     spark.stop()
   }
 }

@@ -124,6 +124,8 @@ object SparkEntry {
     // cluster assignment over the minhash pair graph (connected components)
     "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
+    "cluster_keepers"     -> ((s, d) => DedupClusters.keepers(
+      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
@@ -183,6 +185,7 @@ object SparkEntry {
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
+    "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),

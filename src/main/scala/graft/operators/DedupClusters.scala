@@ -40,21 +40,26 @@ object DedupClusters {
   val MaxRounds = 40
 
   /** large-star: for every node u, connect each STRICTLY LARGER neighbor
-   * v to m(u) = min(N(u) ∪ {u}). Output is again an undirected edge set
-   * (u < v canonical orientation, self-loops dropped). */
+   * v to m(u) = min(N(u) ∪ {u}). Output edges are oriented (u > v each
+   * row) but NOT deduplicated — the consumer is [[smallStar]], whose
+   * min-aggregate absorbs duplicates map-side for free, so a distinct
+   * exchange here would pay a full shuffle to remove rows the next
+   * aggregate ignores anyway. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val sym = symmetrize(edges)
     val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    canonical(
-      sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
   }
 
   /** small-star: for every node u, connect each smaller-or-equal neighbor
    * (and u itself) to m(u) = min(N≤(u) ∪ {u}). Operates on the
-   * smaller-endpoint orientation of the edge set. */
+   * smaller-endpoint orientation of the edge set; tolerates duplicate
+   * input edges (min-aggregate) and emits the round's canonical
+   * deduplicated edge set. */
   private[operators] def smallStar(edges: DataFrame): DataFrame = {
     val o = edges.select(greatest(col("u"), col("v")).as("u"),
                          least(col("u"), col("v")).as("v"))
@@ -95,11 +100,14 @@ object DedupClusters {
   def components(pairs: DataFrame): DataFrame = {
     var edges = canonical(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))).localCheckpoint()
-    var cs = checksum(edges)
+    var cs = checksum(edges) // reads the checkpointed blocks — no recompute
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = cs._1 == 0L // empty graph: nothing to contract
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // LAZY checkpoint: the checksum action below materializes the round
+      // AND snapshots it in one job, instead of an eager-checkpoint job
+      // followed by a checksum job
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val ncs = checksum(next)
       converged = ncs == cs
       edges = next
@@ -124,6 +132,41 @@ object DedupClusters {
     docs.select(col("doc_id"))
       .join(components(pairs).withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+
+  /** Canonical-document selection: collapse every near-dup cluster of
+   * size ≥ 2 to its best member — the longest document (token count),
+   * ties to the smallest doc_id. Output (cluster_id, keeper_id, n_docs).
+   *
+   * ONE aggregate shuffle on cluster_id past the labeling: the arg-max
+   * rides a struct-max accumulator (map-side partial), never a window
+   * sort — at 100 TB a cluster is small but cluster COUNT is huge, and a
+   * partial-aggregating max beats a per-partition sort over the corpus. */
+  def keepers(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val labeled = assign(docs, pairs)
+      .join(docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens")), "doc_id")
+    labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"), col("n_docs"))
+  }
+
+  /** DuckDB mirror of [[keepers]] — window rank instead of struct-max
+   * (engine-local shape; the full ORDER BY makes the pick identical). */
+  def keepersSql(docsTable: String, pairsSql: String): String =
+    s"""WITH lt AS (
+       |  SELECT a.doc_id, a.cluster_id, ${graft.functions.TextSql.tokenCount("d.text")} AS n_tokens
+       |  FROM (${assignSql(docsTable, pairsSql)}) a
+       |  JOIN $docsTable d ON d.doc_id = a.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id,
+       |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM lt)
+       |SELECT cluster_id, doc_id AS keeper_id, n_docs
+       |FROM ranked WHERE rn = 1 AND n_docs >= 2""".stripMargin
 
   /** DuckDB oracle: transitive closure by recursive CTE (fine at oracle
    * scale; the Spark side's star-contraction is the at-scale algorithm),

@@ -75,6 +75,20 @@ class DedupClustersSpec extends AnyFunSuite with SparkTestHarness {
     assert(got === Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("keepers: longest doc wins, ties to smallest id, singletons dropped") {
+    val docs = Seq(
+      (1L, "one two three four five"),          // cluster {1,3,5}: 3 has most tokens
+      (2L, "lonely"),                           // singleton: excluded
+      (3L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"), // ties 3 on tokens; 3 < 5 wins
+      (8L, "aa bb"), (9L, "aa bb")              // cluster {8,9}: tie -> 8
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = DedupClusters.keepers(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 3L), (8L, 8L, 2L)))
+  }
+
   test("end-to-end over minhash pairs: clusters refine the pair graph") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
