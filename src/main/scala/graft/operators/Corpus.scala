@@ -90,14 +90,20 @@ object Corpus {
    * md5 of the STRING rendering of the id — pure projection, identical
    * in any engine with md5, and stable under appends/reshuffles (the
    * property per-partition `rand()` splits lack: a row's split never
-   * depends on what other rows exist). Spliced as one SQL expression
-   * (`idCol` is a column NAME): `instr` takes arbitrary expressions
-   * only through the parser. */
-  private def hashBucket(idCol: String): Column = {
-    val h = s"md5(CAST(CAST($idCol AS STRING) AS BINARY))"
+   * depends on what other rows exist). `salt` decorrelates independent
+   * uses (splitting vs sampling must not share buckets, or the sample
+   * would draw only from one split's id population). Spliced as one SQL
+   * expression (`idCol` is a column NAME): `instr` takes arbitrary
+   * expressions only through the parser. */
+  private def hashBucket(idCol: String, salt: String = ""): Column = {
+    val h = s"md5(CAST(CONCAT('$salt', CAST($idCol AS STRING)) AS BINARY))"
     expr(s"CAST((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1) AS INT)")
   }
+
+  private def hashBucketSqlDuck(idCol: String, salt: String = ""): String =
+    s"CAST((instr('0123456789abcdef', substring(md5('$salt' || $idCol::VARCHAR), 1, 1)) - 1) * 16 " +
+      s"+ (instr('0123456789abcdef', substring(md5('$salt' || $idCol::VARCHAR), 2, 1)) - 1) AS INT)"
 
   /** (doc_id, split_bucket, split): deterministic train/val/test
    * assignment. */
@@ -108,13 +114,46 @@ object Corpus {
           .when(col("split_bucket") < ValUpto, lit("val"))
           .otherwise(lit("test")))
 
-  def sampleSplitSql(table: String): String = {
-    val b = "CAST((instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 " +
-      "+ (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 2, 1)) - 1) AS INT)"
+  def sampleSplitSql(table: String): String =
     s"""SELECT doc_id, split_bucket,
        |  CASE WHEN split_bucket < $TrainUpto THEN 'train'
        |       WHEN split_bucket < $ValUpto THEN 'val'
        |       ELSE 'test' END AS split
-       |FROM (SELECT doc_id, $b AS split_bucket FROM $table)""".stripMargin
+       |FROM (SELECT doc_id, ${hashBucketSqlDuck("doc_id")} AS split_bucket FROM $table)""".stripMargin
+
+  // ---- 3. stratified sampling ----------------------------------------------
+
+  /** Salt decorrelating the sampling buckets from the split buckets. */
+  val StratSalt = "strat:"
+  /** Default stratum keep-rates in buckets-of-256: downsample the
+   * dominant language to a quarter, keep the long-tail languages whole —
+   * the classic multilingual rebalance. */
+  val StratKeep: Map[String, Int] = Map("en" -> 64)
+
+  /** Deterministic per-stratum downsampling: keep a row iff its salted
+   * content bucket falls under its stratum's threshold (buckets of 256).
+   * Same append-stability story as [[sampleSplit]]; the salt keeps the
+   * sample independent of the split assignment. Pure projection+filter —
+   * scan-speed at any scale, exact expected rates per stratum. */
+  def stratifiedSample(docs: DataFrame,
+                       keep: Map[String, Int] = StratKeep,
+                       defaultKeep: Int = 256): DataFrame = {
+    val thr = keep.foldLeft(lit(defaultKeep): Column) { case (acc, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"),
+        hashBucket("doc_id", StratSalt).as("b"))
+      .filter(col("b") < thr)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def stratifiedSampleSql(table: String,
+                          keep: Map[String, Int] = StratKeep,
+                          defaultKeep: Int = 256): String = {
+    val cases = keep.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, ${hashBucketSqlDuck("doc_id", StratSalt)} AS b FROM $table)
+       |WHERE b < (CASE $cases ELSE $defaultKeep END)""".stripMargin
   }
 }

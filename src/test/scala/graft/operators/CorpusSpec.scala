@@ -8,6 +8,7 @@ import graft.sources.Tables
 
 class CorpusSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -42,6 +43,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(bad === 0L)
   }
 
+  test("stratified sample: dominant language downsampled, tail kept whole") {
+    val docs = Tables.documents(spark, dir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Corpus.stratifiedSample(docs).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps ~64/256 = 25%; binomial slack for a few hundred docs
+    val enRate = after("en").toDouble / before("en")
+    assert(enRate > 0.12 && enRate < 0.40, s"en keep rate $enRate, want ~0.25")
+    // every other language is kept verbatim
+    (before.keySet - "en").foreach { l =>
+      assert(after.getOrElse(l, 0L) === before(l), s"lang $l must be kept whole")
+    }
+  }
+
   test("sample split is content-addressed: independent of the surrounding rows") {
     // the split of doc 42 computed over the full corpus equals the split
     // computed over a single-row relation — appends can never reshuffle
@@ -50,5 +66,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
       .filter(col("doc_id") === 42L).select("split").head().getString(0)
     val alone = Corpus.sampleSplit(Seq(42L).toDF("doc_id")).select("split").head().getString(0)
     assert(full === alone)
+  }
+
+  test("corpus projections run unchanged on a stream (stateless, append)") {
+    // quality filter + split are pure projections, so the SAME operator
+    // works on a crawl-ingest stream with no watermark/state — prove it
+    // and pin stream ≡ batch on identical rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((1L, "the quick brown fox jumps over the lazy dog and then " +
+      "it runs far away to the hills for a day of rest in the sun"),
+      (2L, "x"), (3L, "short text only"))
+    val in = MemoryStream[(Long, String)]
+    val stream = Corpus.qualityFilter(in.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("qf_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qf_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      val batch = Corpus.qualityFilter(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+      assert(got === batch)
+    } finally q.stop()
   }
 }
