@@ -107,6 +107,8 @@ object DedupClusters {
       // LAZY checkpoint: the checksum action below materializes the round
       // AND snapshots it in one job, instead of an eager-checkpoint job
       // followed by a checksum job
+      // prior rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once their round's DataFrame goes unreferenced
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val ncs = checksum(next)
       converged = ncs == cs
