@@ -75,16 +75,18 @@ object SparkEntry {
     }
 
     /** Text-analysis scalar pipeline (language-ID, quality, whitespace +
-     * BPE-ish token counts, fingerprint) — one codegen'd projection, no
-     * shuffle. */
+     * BPE-ish token counts, fingerprint) — no shuffle. The token array is
+     * materialized ONCE through a Generate barrier
+     * ([[TextFunctions.withTokens]]); the naive flat projection
+     * re-tokenized per derived column after CollapseProject inlining. */
     def textStats(s: SparkSession, dir: String): DataFrame =
-      Tables.documents(s, dir).select(
+      TextFunctions.withTokens(Tables.documents(s, dir), "text", "toks").select(
         col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenCountFromToks(col("toks")).as("n_tokens"),
         TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
-        TextFunctions.langId(col("text")).as("lang_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
+        TextFunctions.langIdFromToks(col("toks")).as("lang_id"),
+        TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("quality"),
+        TextFunctions.fingerprintFromToks(col("toks")).as("fp"))
 
     /** Rolling-hash winnowing fingerprint per document — the
      * shift-invariant near-dup sketch (no shuffle; a dedup would

@@ -46,6 +46,37 @@ object TextFunctions {
     toCol(graft.plans.TokenSeq(toExpr(text)))
   }
 
+  /** Materialize the token array ONCE as a real attribute through a
+   * Generate barrier. A plain two-step projection does not survive the
+   * optimizer — `CollapseProject` re-inlines the `tokens` alias into
+   * every consumer, re-running tokenization per derived column (4-6× per
+   * row in a stats projection) — but a single-element `explode` is a
+   * `Generate` node, whose output attribute is a genuine row slot that
+   * downstream projections read instead of recompute. */
+  def withTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 toksCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(toksCol, explode(array(tokens(col(textCol)))))
+
+  /** Toks-based twins for stats pipelines that materialized the token
+   * array via [[withTokens]]. */
+  def tokenCountFromToks(toks: Column): Column = size(toks).cast("bigint")
+  def stopHitsFromToks(toks: Column): Column =
+    size(filter(toks, t => array_contains(stopArray, t))).cast("bigint")
+  def stopRatioFromToks(toks: Column): Column =
+    stopHitsFromToks(toks).cast("double") / tokenCountFromToks(toks).cast("double")
+  def langIdFromToks(toks: Column): Column =
+    when(tokenCountFromToks(toks) === 0, lit("und"))
+      .when(stopRatioFromToks(toks) >= EnStopRatio, lit("en"))
+      .otherwise(lit("und"))
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
+    val lenScore = least(tokenCountFromToks(toks).cast("double") / lit(QualityLenNorm), lit(1.0))
+    val alnumRatio =
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double")
+    lit(0.5) * lenScore + lit(0.3) * stopRatioFromToks(toks) + lit(0.2) * alnumRatio
+  }
+  def fingerprintFromToks(toks: Column): Column = md5(array_join(toks, " "))
+
   /** Whitespace-normalized document text (tokens re-joined). */
   def normText(text: Column): Column = array_join(tokens(text), " ")
 

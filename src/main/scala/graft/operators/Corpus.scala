@@ -39,8 +39,10 @@ object Corpus {
    * are zero-guarded so empty documents fail cleanly instead of
    * propagating NaN (which would also diverge between engines). */
   def qualityFilter(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("bigint")
+    // token array materialized ONCE through a Generate barrier — the flat
+    // composition re-tokenized per signal after CollapseProject inlining
+    val toks = col("toks")
+    val nTok = TextFunctions.tokenCountFromToks(toks)
     // total token chars via the joined token string: an exact integer,
     // so the mean is ONE double division (deterministic cross-engine)
     val meanWl = when(nTok === 0, lit(0.0))
@@ -49,8 +51,9 @@ object Corpus {
       .otherwise(
         length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
           length(col("text")).cast("double"))
-    val stops = TextFunctions.stopHits(col("text"))
-    docs.select(col("doc_id"), nTok.as("n_tokens"), meanWl.as("mean_word_len"),
+    val stops = TextFunctions.stopHitsFromToks(toks)
+    TextFunctions.withTokens(docs, "text", "toks")
+      .select(col("doc_id"), nTok.as("n_tokens"), meanWl.as("mean_word_len"),
         symRatio.as("symbol_ratio"), stops.as("stop_hits"))
       .withColumn("passes",
         col("n_tokens").between(QfMinTokens, QfMaxTokens) &&
