@@ -132,6 +132,7 @@ object SparkEntry {
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
+    "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
@@ -192,6 +193,7 @@ object SparkEntry {
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),
+    "decontaminate"       -> Corpus.decontaminateSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),

@@ -159,4 +159,58 @@ object Corpus {
        |  SELECT doc_id, lang, ${hashBucketSqlDuck("doc_id", StratSalt)} AS b FROM $table)
        |WHERE b < (CASE $cases ELSE $defaultKeep END)""".stripMargin
   }
+
+  // ---- 4. benchmark decontamination ----------------------------------------
+
+  /** Minimum shared sampled grams before a (train doc, benchmark doc)
+   * pair counts as contamination — one shared 16-char window can be a
+   * idiom; two is a lifted passage. */
+  val ContamMinShared = 2
+
+  /** Benchmark decontamination: flag training documents sharing character
+   * n-gram content with an evaluation/benchmark set — the leakage check
+   * every LLM data pipeline runs before training. Output
+   * (doc_id, bench_id, n_shared) for corpus docs sharing ≥
+   * [[ContamMinShared]] sampled grams with a benchmark doc.
+   *
+   * Shape: both sides run the SAME native sampled-gram pass as the
+   * n-gram dedup ([[graft.plans.CharGramSeq]] — per-doc-distinct,
+   * content-defined 1-in-4 sampling, so a lifted passage samples the
+   * same grams on both sides), then an equi-join on the gram. The
+   * benchmark side is an eval suite — thousands of docs against a
+   * 100 TB corpus — so AQE broadcasts it and the corpus never shuffles;
+   * no hint, so a genuinely huge benchmark degrades to a shuffle join
+   * instead of a driver OOM. */
+  def decontaminate(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")),
+        TextDedup.CharGram, TextDedup.SampleHexMax))).as("gr"))
+    val bench = grams(docs.filter(col("source") === benchSource))
+      .withColumnRenamed("doc_id", "bench_id")
+    val corpus = grams(docs.filter(col("source") =!= benchSource))
+    // grams are per-doc distinct, so the per-pair count is the number of
+    // DISTINCT shared sampled grams — no double counting
+    corpus.join(bench, "gr")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+  }
+
+  def decontaminateSql(table: String, benchSource: String = "src0"): String = {
+    val cg = TextDedup.CharGram
+    val nt = TextSql.normText("text")
+    def grams(cond: String) =
+      s"""(SELECT DISTINCT doc_id, gr FROM (
+         |   SELECT doc_id, unnest(CASE WHEN length(nt) >= $cg THEN
+         |     [substring(nt, i, $cg) for i in range(1, length(nt) - ${cg - 2})]
+         |     ELSE [] END) AS gr
+         |   FROM (SELECT doc_id, $nt AS nt FROM $table WHERE $cond))
+         | WHERE instr('0123456789abcdef', substring(md5(gr), 1, 1)) <= ${TextDedup.SampleHexMax})""".stripMargin
+    s"""SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM ${grams(s"source <> '$benchSource'")} c
+       |JOIN ${grams(s"source = '$benchSource'")} b ON c.gr = b.gr
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $ContamMinShared""".stripMargin
+  }
 }

@@ -68,6 +68,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(full === alone)
   }
 
+  test("decontaminate flags lifted passages, ignores unrelated docs") {
+    val passage = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strange potions in the misty mountain caves at midnight"
+    val docs = Seq(
+      (100L, passage, "en", "src0"),                       // the benchmark doc
+      (1L, s"intro text then $passage and a conclusion", "en", "srcX"), // lifted
+      (2L, "completely different content about databases and query " +
+        "optimization with nothing in common at all here", "en", "srcX")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.decontaminate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L)),
+      s"doc 1 lifts the passage, doc 2 shares nothing; got $got")
+    // threshold: a pair below ContamMinShared shared grams must not appear
+    val n = Corpus.decontaminate(docs).filter(col("doc_id") === 1L)
+      .select("n_shared").head().getLong(0)
+    assert(n >= Corpus.ContamMinShared)
+  }
+
   test("corpus projections run unchanged on a stream (stateless, append)") {
     // quality filter + split are pure projections, so the SAME operator
     // works on a crawl-ingest stream with no watermark/state — prove it
