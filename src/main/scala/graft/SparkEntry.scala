@@ -133,6 +133,8 @@ object SparkEntry {
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
+    "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
@@ -194,6 +196,8 @@ object SparkEntry {
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
+    "pii_scan"            -> Corpus.piiScanSql("documents"),
+    "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),

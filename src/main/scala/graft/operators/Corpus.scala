@@ -160,6 +160,88 @@ object Corpus {
        |WHERE b < (CASE $cases ELSE $defaultKeep END)""".stripMargin
   }
 
+  // ---- PII scan ------------------------------------------------------------
+
+  /** RE2-safe ASCII patterns, identical semantics in Spark (java.util
+   * .regex) and DuckDB (RE2): no lookaround, no backreferences. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** Per-document PII surface counts — the scan a redaction stage runs
+   * before training. Pure regexp projection (codegen'd `regexp_count`,
+   * no shuffle, scan speed at any corpus size). Output
+   * (doc_id, n_emails, n_ipv4, n_phones, has_pii). */
+  def piiScan(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("bigint").as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Pattern)).cast("bigint").as("n_ipv4"),
+        regexp_count(col("text"), lit(PhonePattern)).cast("bigint").as("n_phones"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+
+  def piiScanSql(table: String): String = {
+    // DuckDB single-quoted literals pass backslashes through verbatim —
+    // only quotes need escaping (same convention as tokenCountBpe's SQL)
+    def cnt(p: String) = s"CAST(len(regexp_extract_all(text, '${p.replace("'", "''")}')) AS BIGINT)"
+    s"""SELECT doc_id, n_emails, n_ipv4, n_phones,
+       |       (n_emails + n_ipv4 + n_phones > 0) AS has_pii
+       |FROM (SELECT doc_id, ${cnt(EmailPattern)} AS n_emails,
+       |             ${cnt(Ipv4Pattern)} AS n_ipv4,
+       |             ${cnt(PhonePattern)} AS n_phones
+       |      FROM $table)""".stripMargin
+  }
+
+  // ---- within-document repetition ------------------------------------------
+
+  /** Within-document repetition signals (the remaining Gopher family:
+   * machine-generated and boilerplate text repeats itself):
+   * `dup_token_frac` = 1 − distinct/total as an exact ratio of bigints,
+   * `top_token_frac` = occurrences of the most frequent token / total.
+   * One materialized-token pass; the top-token count is a LINEAR
+   * run-length fold over the sorted array (a naive
+   * per-distinct-token `filter` count would be O(n·d) interpreted
+   * lambda evaluations per row). DuckDB mirror counts relationally
+   * (its lambdas cannot nest). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val n = TextFunctions.tokenCountFromToks(toks)
+    val nd = size(array_distinct(toks)).cast("bigint")
+    val top = {
+      val sorted = sort_array(toks)
+      val step = (acc: Column, x: Column) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        step, acc => acc.getField("best"))
+    }
+    TextFunctions.withTokens(docs, "text", "toks")
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
+        ((n - nd).cast("double") / n.cast("double")).as("dup_token_frac"),
+        (top.cast("double") / n.cast("double")).as("top_token_frac"))
+  }
+
+  def repetitionStatsSql(table: String): String = {
+    val toks = TextSql.tokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM $table),
+       |tf AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM tf),
+       |cnts AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |               CAST(count(*) AS BIGINT) AS nd,
+       |               CAST(max(c) AS BIGINT) AS top
+       |        FROM cnts GROUP BY doc_id)
+       |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+       |       (CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE)) AS dup_token_frac,
+       |       (CAST(top AS DOUBLE) / CAST(n AS DOUBLE)) AS top_token_frac
+       |FROM agg""".stripMargin
+  }
+
   // ---- 4. benchmark decontamination ----------------------------------------
 
   /** Minimum shared sampled grams before a (train doc, benchmark doc)

@@ -87,6 +87,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(n >= Corpus.ContamMinShared)
   }
 
+  test("pii scan counts emails, IPv4s and phone numbers; clean docs pass") {
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@example-corp.co.uk or bob@test.org today"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1, version 1.2 is not an ip"),
+      (3L, "call 555-867-5309 or +1 415.555.2671 x99"),
+      (4L, "perfectly clean text with no personal information at all")
+    ).toDF("doc_id", "text")
+    val got = Corpus.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((2L, 0L, 0L, true)), s"emails: ${got(1L)}")
+    assert(got(2L)._2 === 2L, s"ipv4s: ${got(2L)}")
+    assert(got(2L)._4 === true)
+    assert(got(3L)._3 >= 1L, s"phones: ${got(3L)}")
+    assert(got(4L) === ((0L, 0L, 0L, false)))
+  }
+
+  test("repetition stats: dup and top-token fractions, exact on crafted docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam eggs"),            // 5 tokens, 2 distinct, top=4
+      (2L, "all five tokens are distinct"),        // 5 tokens, 5 distinct, top=1
+      (3L, "")                                     // tokenless: excluded
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((5L, 2L, 3.0 / 5.0, 4.0 / 5.0)), s"${got(1L)}")
+    assert(got(2L) === ((5L, 5L, 0.0, 1.0 / 5.0)), s"${got(2L)}")
+  }
+
   test("corpus projections run unchanged on a stream (stateless, append)") {
     // quality filter + split are pure projections, so the SAME operator
     // works on a crawl-ingest stream with no watermark/state — prove it
