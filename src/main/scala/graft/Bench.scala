@@ -79,8 +79,11 @@ object Bench {
     // most noise episodes
     // A failed run is NOT a sample: its (typically fast) wall-time would
     // ride into the median and make a broken query read as a speedup.
-    // Failed queries are excluded from the total and surfaced in a
-    // "failures" list so the driver can't mistake breakage for speed.
+    // A query with ZERO successful reps appears as null in "queries"
+    // (visibly broken, excluded from the total — a consumer diffing the
+    // per-query map sees the null instead of a phantom speedup); a query
+    // listed in "failures" with a numeric median failed only some reps
+    // and its median covers the successful ones.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val failures = scala.collection.mutable.Map.empty[String, Int]
     for (r <- 1 to reps; (name, fn) <- queries) {
@@ -94,16 +97,20 @@ object Bench {
       else failures(name) = failures.getOrElse(name, 0) + 1
       System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s${if (ok) "" else "  FAILED"}")
     }
-    val results = queries.flatMap { case (name, _) =>
-      samples.get(name).map { ss =>
-        val dt = ss.sorted.apply(ss.size / 2) // median: stall-immune
-        System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${ss.map(s => f"$s%.3f").mkString(" ")})")
-        name -> dt
+    val results = queries.map { case (name, _) =>
+      samples.get(name) match {
+        case Some(ss) =>
+          val dt = ss.sorted.apply(ss.size / 2) // median: stall-immune
+          System.err.println(f"[bench] $name%-22s $dt%8.3f s  (samples ${ss.map(s => f"$s%.3f").mkString(" ")})")
+          name -> Some(dt)
+        case None =>
+          System.err.println(f"[bench] $name%-22s FAILED all $reps reps")
+          name -> None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val failed = failures.keys.toSeq.sorted
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILURES: ${failed.map(n => s"$n(${failures(n)}/$reps)").mkString(", ")}")

@@ -80,37 +80,30 @@ object TextFunctions {
   /** Whitespace-normalized document text (tokens re-joined). */
   def normText(text: Column): Column = array_join(tokens(text), " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+  // The text-based forms DELEGATE to the toks-based twins below (each
+  // formula lives in exactly one place); use them for single-column
+  // contexts, and [[withTokens]] + the twins when several derived
+  // columns share one document (the delegates re-tokenize per column).
+  def tokenCount(text: Column): Column = tokenCountFromToks(tokens(text))
 
   /** Stopword hits over the token list (BIGINT). */
-  def stopHits(text: Column): Column =
-    size(filter(tokens(text), t => array_contains(stopArray, t))).cast("bigint")
+  def stopHits(text: Column): Column = stopHitsFromToks(tokens(text))
 
   /** Stopword ratio in [0, 1]; NaN on empty docs (guarded by callers). */
-  def stopRatio(text: Column): Column =
-    stopHits(text).cast("double") / tokenCount(text).cast("double")
+  def stopRatio(text: Column): Column = stopRatioFromToks(tokens(text))
 
   /** N-gram-heuristic language ID: `en` when the stopword ratio clears
    * [[EnStopRatio]], else `und` (synthetic corpus is English-jargon soup —
    * the structure, not the lexicon, is what scales). */
-  def langId(text: Column): Column =
-    when(tokenCount(text) === 0, lit("und"))
-      .when(stopRatio(text) >= EnStopRatio, lit("en"))
-      .otherwise(lit("und"))
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
 
   /** Composite quality score in [0, 1]:
    * 0.5·min(tokens/64, 1) + 0.3·stopRatio + 0.2·alnumRatio. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(QualityLenNorm), lit(1.0))
-    val alnumRatio =
-      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") /
-        length(text).cast("double")
-    lit(0.5) * lenScore + lit(0.3) * stopRatio(text) + lit(0.2) * alnumRatio
-  }
+  def qualityScore(text: Column): Column = qualityScoreFromToks(text, tokens(text))
 
   /** Content-defined document fingerprint: md5 of the normalized text.
    * Robust to whitespace/punctuation-only edits. */
-  def fingerprint(text: Column): Column = md5(normText(text))
+  def fingerprint(text: Column): Column = fingerprintFromToks(tokens(text))
 
   /** BPE-ish subword count: the GPT-2 pre-tokenizer regex family reduced
    * to its ASCII core (contractions | space-prefixed letter runs |

@@ -153,11 +153,16 @@ object Corpus {
   def stratifiedSampleSql(table: String,
                           keep: Map[String, Int] = StratKeep,
                           defaultKeep: Int = 256): String = {
-    val cases = keep.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+    // an empty keep map must not emit a zero-WHEN CASE (a parse error);
+    // the Spark twin handles the same configuration as a plain literal
+    val thr =
+      if (keep.isEmpty) defaultKeep.toString
+      else "(CASE " + keep.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ") +
+        s" ELSE $defaultKeep END)"
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, ${hashBucketSqlDuck("doc_id", StratSalt)} AS b FROM $table)
-       |WHERE b < (CASE $cases ELSE $defaultKeep END)""".stripMargin
+       |WHERE b < $thr""".stripMargin
   }
 
   // ---- PII scan ------------------------------------------------------------
@@ -279,20 +284,10 @@ object Corpus {
       .filter(col("n_shared") >= ContamMinShared)
   }
 
-  def decontaminateSql(table: String, benchSource: String = "src0"): String = {
-    val cg = TextDedup.CharGram
-    val nt = TextSql.normText("text")
-    def grams(cond: String) =
-      s"""(SELECT DISTINCT doc_id, gr FROM (
-         |   SELECT doc_id, unnest(CASE WHEN length(nt) >= $cg THEN
-         |     [substring(nt, i, $cg) for i in range(1, length(nt) - ${cg - 2})]
-         |     ELSE [] END) AS gr
-         |   FROM (SELECT doc_id, $nt AS nt FROM $table WHERE $cond))
-         | WHERE instr('0123456789abcdef', substring(md5(gr), 1, 1)) <= ${TextDedup.SampleHexMax})""".stripMargin
+  def decontaminateSql(table: String, benchSource: String = "src0"): String =
     s"""SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
-       |FROM ${grams(s"source <> '$benchSource'")} c
-       |JOIN ${grams(s"source = '$benchSource'")} b ON c.gr = b.gr
+       |FROM ${TextDedup.sampledGramPostingsSql(table, s"source <> '$benchSource'")} c
+       |JOIN ${TextDedup.sampledGramPostingsSql(table, s"source = '$benchSource'")} b ON c.gr = b.gr
        |GROUP BY 1, 2
        |HAVING count(*) >= $ContamMinShared""".stripMargin
-  }
 }

@@ -148,11 +148,15 @@ object DedupClusters {
     val labeled = assign(docs, pairs)
       .join(docs.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens")), "doc_id")
+    // tie-break via bitwise NOT, not negation: ~id is monotonically
+    // DECREASING in id and total on all longs (-Long.MinValue overflows —
+    // wraps silently non-ANSI, throws under ANSI), so max(struct) picks
+    // max n_tokens then min doc_id for any id domain
     labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+        max(struct(col("n_tokens"), bitwise_not(col("doc_id")).as("not_id"))).as("best"))
       .filter(col("n_docs") >= 2)
-      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"), col("n_docs"))
+      .select(col("cluster_id"), bitwise_not(col("best.not_id")).as("keeper_id"), col("n_docs"))
   }
 
   /** DuckDB mirror of [[keepers]] — window rank instead of struct-max

@@ -363,10 +363,13 @@ object TextDedup {
    *    kept, oldest dropped — the streaming analog of the batch
    *    mega-bucket cap: duplicate MASS beyond the cap is an exact-dedup
    *    concern, not a pairwise one) and evicts entries older than
-   *    `retention` behind the bucket's max event time — the check is
-   *    symmetric: an out-of-order ARRIVAL older than that horizon
-   *    neither pairs nor enters state, so no emitted pair spans more
-   *    than `retention` of event time;
+   *    `retention` behind the bucket's max event time; pair emission is
+   *    additionally guarded per pair by |ts_a − ts_b| ≤ retention, so an
+   *    out-of-order arrival pairs with exactly the surviving entries
+   *    within retention of ITSELF — no emitted pair ever spans more
+   *    than `retention` of event time, and an arrival behind the bucket
+   *    horizon does not enter state (the next eviction would remove it
+   *    before it could pair);
    *  - a bucket idle past the watermark clears its state entirely via an
    *    event-time timeout — total state is bounded by
    *    (active buckets × MaxBucket).
@@ -436,26 +439,30 @@ object TextDedup {
       // bucket's current stream time must not pair, even within
       // one trigger (the horizon is event-time, not trigger-time)
       entries = entries.filter(_._3 >= maxTs - retMs)
-      // the ARRIVING record is horizon-checked too: an out-of-order
-      // record older than the horizon (still >= watermark, so not
-      // dropped by the engine's late filter) must neither pair with
-      // the in-horizon entries — every such pairing would span more
-      // than `retention` — nor enter state (the next arrival's
-      // eviction would remove it before it could ever pair)
-      if (t >= maxTs - retMs) {
-        entries.foreach { case (oid, osig, ots) =>
-          if (oid != r.doc_id) {
-            var agree = 0
-            var i = 0
-            while (i < MinHashK) {
-              if (osig(i) == r.sig(i)) agree += 1
-              i += 1
-            }
-            val (ia, ib) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
-            out += CandPair(ia, ib, agree.toDouble / MinHashK,
-              new java.sql.Timestamp(math.max(ots, t)))
+      // pair emission is guarded PER PAIR by the event-time span: an
+      // out-of-order arrival (older than some entries, still >= the
+      // watermark) pairs with exactly the entries within `retention` of
+      // ITSELF — never with entries farther than retMs away (the
+      // advisor-flagged leak), and without losing the pairs that ARE
+      // within retention of each other (an earlier blanket skip of
+      // horizon-stale arrivals dropped those too)
+      entries.foreach { case (oid, osig, ots) =>
+        if (oid != r.doc_id && math.abs(ots - t) <= retMs) {
+          var agree = 0
+          var i = 0
+          while (i < MinHashK) {
+            if (osig(i) == r.sig(i)) agree += 1
+            i += 1
           }
+          val (ia, ib) = if (oid < r.doc_id) (oid, r.doc_id) else (r.doc_id, oid)
+          out += CandPair(ia, ib, agree.toDouble / MinHashK,
+            new java.sql.Timestamp(math.max(ots, t)))
         }
+      }
+      // the record enters state only inside the bucket horizon — beyond
+      // it the next arrival's eviction would remove it before it could
+      // ever pair, so inserting would only churn the cap logic
+      if (t >= maxTs - retMs) {
         entries = (r.doc_id, r.sig, t) :: entries
         if (entries.lengthCompare(MaxBucket) > 0) {
           // bounded state: drop the oldest by EVENT TIME (arrival
@@ -727,15 +734,22 @@ object TextDedup {
       .filter(col("jaccard") >= NgramThreshold)
   }
 
+  /** Complete parenthesized SELECT of the DISTINCT sampled (doc_id, gr)
+   * postings of `table` rows matching `cond` — the single relational
+   * mirror of [[graft.plans.CharGramSeq]]'s window+sampling pass, shared
+   * by this oracle and [[Corpus.decontaminateSql]] so the two cannot
+   * silently diverge. */
+  private[operators] def sampledGramPostingsSql(table: String,
+                                                cond: String = "TRUE"): String =
+    s"""(SELECT DISTINCT doc_id, gr FROM (
+       |   SELECT doc_id, unnest(CASE WHEN length(nt) >= $CharGram THEN
+       |     [substring(nt, i, $CharGram) for i in range(1, length(nt) - ${CharGram - 2})]
+       |     ELSE [] END) AS gr
+       |   FROM (SELECT doc_id, ${TextSql.normText("text")} AS nt FROM $table WHERE $cond))
+       | WHERE instr('0123456789abcdef', substring(md5(gr), 1, 1)) <= $SampleHexMax)""".stripMargin
+
   def ngramJaccardSql(table: String): String =
-    s"""WITH nt AS (SELECT doc_id, ${TextSql.normText("text")} AS nt FROM $table),
-       |gr0 AS (
-       |  SELECT doc_id, unnest(CASE WHEN length(nt) >= $CharGram THEN
-       |           [substring(nt, i, $CharGram) for i in range(1, length(nt) - ${CharGram - 2})]
-       |           ELSE [] END) AS gr
-       |  FROM nt),
-       |postings AS (SELECT DISTINCT doc_id, gr FROM gr0
-       |  WHERE instr('0123456789abcdef', substring(md5(gr), 1, 1)) <= $SampleHexMax),
+    s"""WITH postings AS ${sampledGramPostingsSql(table)},
        |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM postings GROUP BY gr)
        |         WHERE df >= 2 AND df <= $DfMax),
        |rp AS (SELECT p.doc_id, p.gr FROM postings p JOIN rare r ON p.gr = r.gr),

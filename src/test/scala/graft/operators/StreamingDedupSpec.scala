@@ -81,33 +81,39 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
-  test("bucket transition: an out-of-order arrival behind the bucket " +
-       "horizon neither pairs nor enters state") {
+  test("bucket transition: out-of-order arrivals pair exactly within " +
+       "retention of themselves and stale arrivals never enter state") {
     // Within one trigger the engine's late filter only knows the PREVIOUS
     // batch's watermark, so a record older than (bucket maxTs - retention)
-    // can still reach the transition — it must be a no-op: every pairing
-    // it could make would span more than `retention` of event time.
+    // can still reach the transition. It must pair with the surviving
+    // entries within `retention` of ITSELF — no more (the advisor-flagged
+    // leak: pairs spanning > retention), no fewer (a blanket skip would
+    // drop genuine within-retention pairs).
     val sig = (1 to TextDedup.MinHashK).map(i => f"$i%032x")
     val rec = (id: Long, t: Long) =>
       BandRec("b", id, sig, new java.sql.Timestamp(t))
     val retMs = 10000L
     val base = 1000000000L
-    // doc 1 establishes maxTs = base + 25 s
+    // docs 1+4 establish maxTs = base + 25 s with an entry at +16 s
     val (s1, out1) = TextDedup.bucketTransition(
-      Seq(rec(1, base + 25000)), BucketState(Nil, Long.MinValue), retMs)
-    assert(out1.isEmpty && s1.entries.map(_._1) == List(1L))
-    // doc 2 arrives OUT OF ORDER at base + 5 s — 20 s behind the bucket's
-    // stream time, i.e. beyond the 10 s horizon: no pair, no state entry
-    val (s2, out2) = TextDedup.bucketTransition(Seq(rec(2, base + 5000)), s1, retMs)
-    assert(out2.isEmpty, s"horizon-stale arrival must not pair; got $out2")
-    assert(s2.entries.map(_._1) == List(1L),
+      Seq(rec(1, base + 25000), rec(4, base + 16000)),
+      BucketState(Nil, Long.MinValue), retMs)
+    assert(out1.map(p => (p.id_a, p.id_b)) == List((1L, 4L))) // span 9 s
+    assert(s1.entries.map(_._1).toSet == Set(1L, 4L))
+    // doc 2 arrives OUT OF ORDER at base + 14 s: 11 s behind the bucket's
+    // stream time (beyond the horizon) — it pairs with doc 4 (span 2 s)
+    // but NOT doc 1 (span 11 s > retention), and does not enter state
+    val (s2, out2) = TextDedup.bucketTransition(Seq(rec(2, base + 14000)), s1, retMs)
+    assert(out2.map(p => (p.id_a, p.id_b)) == List((2L, 4L)),
+      s"stale arrival pairs only within retention of itself; got $out2")
+    assert(s2.entries.map(_._1).toSet == Set(1L, 4L),
       s"horizon-stale arrival must not enter state; got ${s2.entries}")
     assert(s2.maxEventTs == base + 25000)
-    // a doc INSIDE the horizon still pairs with doc 1 (identical sigs)
+    // a doc INSIDE the horizon pairs with both surviving entries
     val (s3, out3) = TextDedup.bucketTransition(Seq(rec(3, base + 20000)), s2, retMs)
-    assert(out3.map(p => (p.id_a, p.id_b)) == List((1L, 3L)))
-    assert(out3.head.est_jaccard == 1.0)
-    assert(s3.entries.map(_._1).toSet == Set(1L, 3L))
+    assert(out3.map(p => (p.id_a, p.id_b)).toSet == Set((1L, 3L), (3L, 4L)))
+    assert(out3.forall(_.est_jaccard == 1.0))
+    assert(s3.entries.map(_._1).toSet == Set(1L, 3L, 4L))
   }
 
   test("a later-than-watermark record is dropped before the transition: " +
