@@ -122,6 +122,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("null and empty texts flow through the dedup family without error") {
+    // a crawl corpus always contains null/empty payload rows — the
+    // operators must drop them from candidates, never throw
+    val docs = spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, null),
+          org.apache.spark.sql.Row(2L, ""),
+          org.apache.spark.sql.Row(3L, "real text with several actual words here")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+    assert(TextDedup.minhashLsh(docs).collect().isEmpty)
+    assert(TextDedup.simhashDedup(docs).collect().isEmpty)
+    assert(TextDedup.ngramJaccard(docs).collect().isEmpty)
+    assert(TextDedup.exact(docs).count() === 3) // null, "", and real each a group
+    assert(Corpus.piiScan(docs).count() === 3)  // null counts stay null, no throw
+    assert(Corpus.repetitionStats(docs).count() === 1) // tokenless rows excluded
+  }
+
   test("negative doc ids survive dedup: sentinels ride a dedicated column") {
     // drop metrics are flagged by `is_sentinel`, never by the id value
     // space — a corpus with negative ids must keep all its real pairs
