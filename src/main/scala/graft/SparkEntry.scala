@@ -116,6 +116,15 @@ object SparkEntry {
     "approx_distinct_users" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+    // corpus distribution profiling: EXACT per-language length quantiles
+    // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
+    // linear-interpolation definition — verified value-identical)
+    "length_quantiles" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.25)).as("q25"),
+          percentile(col("n_chars"), lit(0.5)).as("q50"),
+          percentile(col("n_chars"), lit(0.9)).as("q90"),
+          count(lit(1)).as("n_docs"))),
     // text analysis + dedup (training-data pipeline ops)
     "text_stats"          -> ((s, d) => Queries.textStats(s, d)),
     "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),
@@ -186,6 +195,12 @@ object SparkEntry {
          | ${TextSql.fingerprint("text")} AS fp
          |FROM documents""".stripMargin,
     "fingerprint_rolling" -> TextSql.rollingFingerprintSql("documents"),
+    "length_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.25) AS q25,
+        | quantile_cont(n_chars, 0.5) AS q50,
+        | quantile_cont(n_chars, 0.9) AS q90,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
     "dedup_exact"         -> TextDedup.exactSql("documents"),
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
