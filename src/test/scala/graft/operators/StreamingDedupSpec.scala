@@ -116,6 +116,50 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     assert(s3.entries.map(_._1).toSet == Set(1L, 3L, 4L))
   }
 
+  test("bucket transition is batching-invariant: random chunkings of the " +
+       "same record sequence emit identical candidates (5 seeds)") {
+    // trigger boundaries are an accident of arrival timing — they must
+    // not change WHAT the operator emits, only when
+    import scala.util.Random
+    val retMs = 10000L
+    val base = 1000000000L
+    val sigs = (0 until 4).map(k => (1 to TextDedup.MinHashK).map(i => f"${i + k * 100}%032x"))
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      // 60 records, mostly in order with mild jitter, a few sig groups so
+      // some pairs agree; spans cross the retention horizon repeatedly
+      val recs = (0 until 60).map { i =>
+        BandRec("b", i.toLong, sigs(rnd.nextInt(sigs.size)),
+          new java.sql.Timestamp(base + i * 700 + rnd.nextInt(500)))
+      }
+      def run(chunks: List[List[BandRec]]): (Set[(Long, Long)], BucketState) = {
+        var st = BucketState(Nil, Long.MinValue)
+        val out = Set.newBuilder[(Long, Long)]
+        chunks.foreach { c =>
+          val (s2, pairs) = TextDedup.bucketTransition(c, st, retMs)
+          st = s2
+          pairs.foreach(p => out += ((p.id_a, p.id_b)))
+        }
+        (out.result(), st)
+      }
+      // one record per call vs random chunk sizes vs one giant batch
+      val single = run(recs.map(List(_)).toList)
+      val giant = run(List(recs.toList))
+      var rest = recs.toList
+      var chunks = List.empty[List[BandRec]]
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(7)
+        chunks = chunks :+ rest.take(k)
+        rest = rest.drop(k)
+      }
+      val random = run(chunks)
+      assert(single._1 === giant._1, s"seed $seed: single vs giant")
+      assert(random._1 === giant._1, s"seed $seed: random vs giant")
+      assert(single._2 === giant._2 && random._2 === giant._2,
+        s"seed $seed: final state must not depend on chunking")
+    }
+  }
+
   test("a later-than-watermark record is dropped before the transition: " +
        "no pairs, no error") {
     // with EventTimeTimeout the engine filters late rows BEFORE the user
