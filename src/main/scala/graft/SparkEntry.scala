@@ -132,6 +132,8 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
+    // incremental (cross-corpus) dedup: new crawl vs existing corpus
+    "dedup_incremental"   -> ((s, d) => TextDedup.incremental(Tables.documents(s, d))),
     // cluster assignment over the minhash pair graph (connected components)
     "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
@@ -144,6 +146,9 @@ object SparkEntry {
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
     "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
+    // corpus profiling: training-mixture table + vocabulary heavy hitters
+    "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
+    "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
@@ -205,6 +210,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
+    "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
@@ -213,6 +219,8 @@ object SparkEntry {
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
     "pii_scan"            -> Corpus.piiScanSql("documents"),
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
+    "source_mix"          -> Corpus.sourceMixSql("documents"),
+    "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),

@@ -247,6 +247,74 @@ object Corpus {
        |FROM agg""".stripMargin
   }
 
+  // ---- training-mixture profile ----------------------------------------------
+
+  /** Training-mixture profile: per (source, lang) document counts, token
+   * budgets (whitespace + BPE-ish subword proxy) and the stratum's share
+   * of corpus documents — the table a mixture-weighting stage consumes to
+   * plan "what do we train on, and how many tokens does each slice cost".
+   *
+   * Shape: one codegen'd token-count projection feeding a partial-agg
+   * groupBy — the grouped relation is (sources × langs), a few hundred
+   * rows at ANY corpus size, so the unpartitioned window computing the
+   * share total is a single trivially-small final stage, not a scale
+   * hazard. Shares are one double division of exact bigint sums —
+   * bit-deterministic cross-engine. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("tw"),
+        TextFunctions.tokenCountBpe(col("text")).as("tb"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tw")).as("tokens_ws"),
+        sum(col("tb")).as("tokens_bpe"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+  }
+
+  def sourceMixSql(table: String): String =
+    s"""SELECT source, lang, n_docs, tokens_ws, tokens_bpe,
+       |       (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)) AS doc_share
+       |FROM (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |         CAST(sum(${TextSql.tokenCount("text")}) AS BIGINT) AS tokens_ws,
+       |         CAST(sum(${TextSql.tokenCountBpe("text")}) AS BIGINT) AS tokens_bpe
+       |  FROM $table GROUP BY source, lang)""".stripMargin
+
+  // ---- vocabulary heavy hitters ----------------------------------------------
+
+  /** Result size for [[vocabTopK]]. */
+  val VocabK = 20
+
+  /** Corpus-wide token heavy hitters: the top-k tokens by total
+   * occurrences, with document frequency — the vocabulary/boilerplate
+   * profile (a token whose df approaches the corpus size is template
+   * text; the frequency head drives tokenizer and stopword choices).
+   *
+   * Shape: explode tokens → hash-aggregate on the token. The partial
+   * aggregate combines map-side, so the shuffle carries one row per
+   * (partition, distinct token) — vocabulary-sized, not corpus-sized —
+   * and a natural-language vocabulary follows Zipf's law into a few
+   * million entries no matter how many petabytes feed it. The final
+   * top-k is a TakeOrdered over the vocabulary relation. Deterministic:
+   * ties broken by token, so the k-set is total-ordered. The df count
+   * (exact distinct) rides the same aggregate via Spark's two-phase
+   * distinct expansion; still vocabulary-keyed. */
+  def vocabTopK(docs: DataFrame, k: Int = VocabK): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  def vocabTopKSql(table: String, k: Int = VocabK): String =
+    s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
   // ---- 4. benchmark decontamination ----------------------------------------
 
   /** Minimum shared sampled grams before a (train doc, benchmark doc)

@@ -479,6 +479,125 @@ object TextDedup {
     (BucketState(entries, maxTs), out.result())
   }
 
+  // ---- incremental (cross-corpus) dedup --------------------------------------
+
+  /** The `source` value playing the NEW-crawl role in the checked query. */
+  val IncrementalNewSource = "src5"
+
+  /** Incremental dedup: drop documents of a NEW crawl that duplicate the
+   * EXISTING corpus — the production shape at 100 TB, where re-running
+   * full-corpus dedup per crawl is a non-starter; only new×old work is
+   * done, never old×old. Output (doc_id, reason) of DROPPED new docs:
+   * `exact` (content fingerprint already in the corpus) wins over `near`
+   * (verified trigram Jaccard ≥ [[MinHashThreshold]] against some
+   * existing doc via MinHash-LSH band agreement), one row per dropped doc.
+   *
+   * Scale shape:
+   *  - exact pass: a semi-join on the 128-bit content fingerprint —
+   *    shuffle on a hash key (skew-free); in a real deployment the old
+   *    side is a precomputed fingerprint index read back from storage,
+   *    not recomputed (bucketBy the index on `fp` and the join is
+   *    exchange-free on the corpus side — see BucketedTables);
+   *  - near pass: band postings on BOTH sides, equi-join new→old on the
+   *    band value — the same one-shuffle-per-side plan as the batch
+   *    self-dedup, but candidates never form within a side. Old-side
+   *    band buckets past [[MaxBucket]] are duplicate mass (the existing
+   *    corpus is assumed already deduped; a hot band there is template
+   *    boilerplate) and are dropped from candidate generation, bounding
+   *    the join fan-out per new posting to MaxBucket rows;
+   *  - verify recomputes shingles only for candidate docs (a join on
+   *    candidate ids), exactly like [[minhashLsh]];
+   *  - within-new-crawl duplication is deliberately out of scope: run
+   *    [[exact]]/[[minhashLsh]] over the surviving new docs next.
+   *
+   * Dropping a new doc that matches a CAPPED old band can be missed only
+   * if every shared band is oversize — the same documented miss the
+   * self-dedup accepts for mega-buckets. */
+  def incremental(docs: DataFrame,
+                  newSource: String = IncrementalNewSource): DataFrame = {
+    val newDocs = docs.filter(col("source") === newSource)
+    val oldDocs = docs.filter(col("source") =!= newSource)
+
+    // exact: new fingerprints that already exist in the corpus
+    val newFp = newDocs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val oldFp = oldDocs.select(fingerprint(col("text")).as("fp"))
+    val exactDropped = newFp
+      .join(oldFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+
+    // near: cross-side LSH candidates, old-side buckets bounded
+    def bandsOf(side: DataFrame) = shingleDf(side).select(col("doc_id"),
+      explode(lshBands(minhashSignature(col("sh")))).as("bv"))
+    val newBands = bandsOf(newDocs)
+    val oldBands = bandsOf(oldDocs)
+    val okOld = oldBands.groupBy(col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= MaxBucket).select("bv")
+    val cand = newBands
+      .join(oldBands.join(okOld, "bv").select(col("bv"), col("doc_id").as("old_id")), "bv")
+      .select(col("doc_id").as("new_id"), col("old_id"))
+      .distinct()
+    val newSh = shingleDf(newDocs.join(
+      cand.select(col("new_id").as("doc_id")).distinct(), "doc_id"))
+    val oldSh = shingleDf(oldDocs.join(
+      cand.select(col("old_id").as("doc_id")).distinct(), "doc_id"))
+    val nearDropped = cand
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("sh_b")), "old_id")
+      .select(col("new_id"),
+        intersectSize(col("sh_a"), col("sh_b")).as("ji"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .filter(jaccardFrom(col("ji"), col("na"), col("nb")) >= MinHashThreshold)
+      .select(col("new_id").as("doc_id"))
+      .distinct()
+
+    exactDropped.withColumn("reason", lit("exact"))
+      .unionByName(
+        nearDropped.join(exactDropped, Seq("doc_id"), "left_anti")
+          .withColumn("reason", lit("near")))
+  }
+
+  /** Oracle — same relational minhash shape as [[minhashLshSql]], with
+   * the band join restricted to new×old and the old side bucket-capped. */
+  def incrementalSql(table: String,
+                     newSource: String = IncrementalNewSource): String =
+    s"""WITH toks AS (SELECT doc_id, source, ${TextSql.tokens("text")} AS toks FROM $table),
+       |fp AS (SELECT doc_id, source, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+       |exact_drop AS (
+       |  SELECT DISTINCT n.doc_id AS doc_id FROM fp n
+       |  WHERE n.source = '$newSource'
+       |    AND EXISTS (SELECT 1 FROM fp o WHERE o.source <> '$newSource' AND o.fp = n.fp)),
+       |sh0 AS (SELECT doc_id, source, ${shinglesFromToksSql("toks")} AS sh FROM toks),
+       |shf AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+       |shrow AS (SELECT doc_id, unnest(sh) AS s FROM shf),
+       |sigrow AS (
+       |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+       |  FROM shrow, (SELECT unnest(range(1, ${MinHashK + 1})) AS j)
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM sigrow GROUP BY doc_id),
+       |banded AS (
+       |  SELECT s.doc_id, f.source,
+       |         unnest([md5(j::VARCHAR || '|' || sig[j*$LshRows-1] || '|' || sig[j*$LshRows])
+       |                 for j in range(1, ${LshBands + 1})]) AS bv
+       |  FROM sig s JOIN shf f ON f.doc_id = s.doc_id),
+       |oldb AS (SELECT doc_id, bv FROM banded WHERE source <> '$newSource'),
+       |okb AS (SELECT bv FROM (SELECT bv, count(*) AS n FROM oldb GROUP BY 1)
+       |        WHERE n <= $MaxBucket),
+       |newb AS (SELECT doc_id, bv FROM banded WHERE source = '$newSource'),
+       |cand AS (
+       |  SELECT DISTINCT nw.doc_id AS new_id, ob.doc_id AS old_id
+       |  FROM newb nw JOIN (SELECT o.* FROM oldb o JOIN okb USING (bv)) ob
+       |    ON nw.bv = ob.bv),
+       |near_drop AS (
+       |  SELECT DISTINCT c.new_id AS doc_id
+       |  FROM cand c
+       |  JOIN shf sa ON sa.doc_id = c.new_id
+       |  JOIN shf sb ON sb.doc_id = c.old_id
+       |  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinHashThreshold)
+       |SELECT doc_id, 'exact' AS reason FROM exact_drop
+       |UNION ALL
+       |SELECT doc_id, 'near' AS reason FROM near_drop
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)""".stripMargin
+
   // ---- 3. SimHash ----------------------------------------------------------
 
   /** SimHash width in bits (top 64 bits of each token's md5). */
