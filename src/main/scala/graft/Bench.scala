@@ -47,6 +47,8 @@ object Bench {
       // per-pair work onto a single core; a 64k floor keeps local[32]
       // busy. Irrelevant at cluster scale, where partitions dwarf 1 MB.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -36,9 +36,14 @@ object SparkEntry {
               col("event_id").cast("string").as("value"),
               col("ts"))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   * The driver builds this session itself, so the nanos-timestamp read
+   * flag (see [[Tables.events]]) is set here — the one entry point whose
+   * session build graft does not own. */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Queries.ljotEvents(spark, "/root/testdata/sf0.001")
+  }
 
   object Queries {
     /** O5: the novel operator, batch restatement — left-join-on-timeout of

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

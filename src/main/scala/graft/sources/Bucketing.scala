@@ -34,10 +34,21 @@ object Bucketing {
   /** Equi-join two tables previously written by [[writeBucketed]] with
    * the SAME bucket count on their respective keys. Plans as a
    * sort-merge join with NO shuffle exchange on either side (asserted in
-   * `BucketingSpec`). */
+   * `BucketingSpec`).
+   *
+   * Each side is bound ONCE: building the join condition from fresh
+   * `spark.table()` calls relied on the catalog's relation cache handing
+   * back identical attribute ids — a cache invalidation between calls
+   * fails analysis with a missing attribute. A self-join needs alias
+   * disambiguation the binding below deliberately doesn't attempt, so it
+   * is rejected up front instead of failing analysis as ambiguous. */
   def bucketedJoin(spark: SparkSession, leftTable: String, leftKey: String,
-                   rightTable: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable),
-        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+                   rightTable: String, rightKey: String): DataFrame = {
+    require(leftTable != rightTable,
+      s"bucketedJoin: self-join on '$leftTable' needs explicit aliases; " +
+        "bind spark.table twice with .alias and join on qualified columns")
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

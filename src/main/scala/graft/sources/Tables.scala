@@ -9,16 +9,17 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-   * reader rejects. Read it as epoch-nanos long
-   * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-   * exactly what DuckDB's parquet reader does natively, so the oracle sees
-   * identical values. All other tables are TIMESTAMP(MILLIS) and unaffected
-   * by the flag. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+   * reader rejects. The session must carry
+   * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session BUILD by
+   * every graft entry point — Bench, Verify, SparkTestHarness,
+   * SparkEntry.entry — never mutated here: a load-time conf write would
+   * surprise any workload sharing the session); the loader then reads
+   * epoch-nanos longs and truncates to microseconds — exactly what
+   * DuckDB's parquet reader does natively, so the oracle sees identical
+   * values. All other tables are TIMESTAMP(MILLIS) and unaffected. */
+  def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
 
   /** Small single-file tables arrive as ONE scan partition (one parquet
    * row group = one task — Spark's byte-range file splits cannot divide a

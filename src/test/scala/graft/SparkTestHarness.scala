@@ -20,6 +20,8 @@ trait SparkTestHarness extends BeforeAndAfterAll { self: AnyFunSuite =>
     .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   override protected def afterAll(): Unit = {
