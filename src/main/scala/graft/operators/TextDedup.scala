@@ -134,7 +134,7 @@ object TextDedup {
   private val SentinelOversizeBuckets = 0L
   private val SentinelOversizeDocs    = 1L
 
-  private def isSentinel: Column = col("is_sentinel")
+  private[operators] def isSentinel: Column = col("is_sentinel")
 
   /** [[bucketPairs]] with a HARD bucket-size bound enforced BEFORE any list
    * is collected. An adversarial corpus — a million byte-identical crawl
@@ -166,7 +166,7 @@ object TextDedup {
    * run [[exact]] as the pre-pass so byte-identical mass is collapsed
    * before fuzzy matching, leaving genuine near-dup clusters (bounded by
    * construction) in the buckets. */
-  private def boundedBucketPairs(postings: DataFrame, bucketCol: String,
+  private[operators] def boundedBucketPairs(postings: DataFrame, bucketCol: String,
                                  minBucket: Int, maxBucket: Int): DataFrame = {
     val (ok, sentinels) = bucketBound(postings, bucketCol, minBucket, maxBucket)
     bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
@@ -206,7 +206,7 @@ object TextDedup {
    * the `CollectMetrics` node (that would change observed values), and
    * the sentinel branch guarantees a non-empty input, so AQE cannot
    * empty-propagate the metrics away. */
-  private def observeDrops(result: DataFrame, metricName: String): DataFrame =
+  private[operators] def observeDrops(result: DataFrame, metricName: String): DataFrame =
     result
       .observe(metricName,
         max(when(isSentinel && col("id_a") === SentinelOversizeBuckets, col("id_b")))
@@ -218,7 +218,7 @@ object TextDedup {
 
   /** DuckDB mirror of the bucket-size cap: keep only buckets whose posting
    * count is within [2, maxBucket] before the candidate self-join. */
-  private def boundedSql(postingsCte: String, bucketCol: String, maxBucket: Int): String =
+  private[operators] def boundedSql(postingsCte: String, bucketCol: String, maxBucket: Int): String =
     s"""(SELECT p.* FROM $postingsCte p JOIN (
        |   SELECT $bucketCol FROM (SELECT $bucketCol, count(*) AS n FROM $postingsCte GROUP BY 1)
        |   WHERE n >= 2 AND n <= $maxBucket) okb USING ($bucketCol))""".stripMargin

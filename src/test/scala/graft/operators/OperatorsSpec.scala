@@ -78,6 +78,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       "near-dup candidate stage must be an equi-join on the band key")
   }
 
+  test("near-dup band width derives from corpus size, clamped, table-backed") {
+    // R = ceil(log2(ceil(n/256))) clamped to [2, 6] — the key cardinality
+    // (B * 2^R) must grow with the corpus for the 100x story
+    assert(VectorOps.nearDupRowsFor(1) === 2)
+    assert(VectorOps.nearDupRowsFor(500) === 2)    // the sf0.01 corpus
+    assert(VectorOps.nearDupRowsFor(2000) === 3)   // the sf0.1 corpus
+    assert(VectorOps.nearDupRowsFor(256L * 64) === 6)
+    assert(VectorOps.nearDupRowsFor(1000000000L) === VectorOps.NearDupRowsMax)
+    // band table: every R has an entry, B grows with R (recall holds as
+    // per-band match probability shrinks), pool covers the largest case
+    (2 to VectorOps.NearDupRowsMax).sliding(2).foreach { case Seq(a, b) =>
+      assert(VectorOps.NearDupBandTable(a) < VectorOps.NearDupBandTable(b))
+    }
+    assert(VectorOps.NearDupMaxPlanes ===
+      VectorOps.NearDupRowsMax * VectorOps.NearDupBandTable(VectorOps.NearDupRowsMax))
+  }
+
+  test("adversarial: 300 identical embeddings drop the mega-bucket, drops observed") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        observed ++= qe.observedMetrics
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // one embedding re-ingested 300 times: every band key collides, so
+      // each of the B=5 (n=300 -> R=2) band buckets holds all 300 postings
+      // — past NearDupMaxBucket, dropped before any O(n^2) pair expansion
+      val emb = spark.range(300).select(col("id").as("vec_id"),
+        typedLit(Array.fill(VectorOps.Dim)(0.5f)).as("embedding"))
+      assert(VectorOps.embeddingNearDup(emb).collect().isEmpty,
+        "mega-buckets are duplicate mass for the exact pre-pass, not O(n^2) pairs")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!observed.contains("graft_embneardup_buckets") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(observed.contains("graft_embneardup_buckets"),
+        s"drop metrics never surfaced; observed keys: ${observed.keySet}")
+      val m = observed("graft_embneardup_buckets")
+      val bands = VectorOps.NearDupBandTable(VectorOps.nearDupRowsFor(300)).toLong
+      assert(m.getAs[Long]("oversize_buckets") === bands)
+      assert(m.getAs[Long]("oversize_docs") === 300L * bands)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("adversarial: 500 identical docs drop the mega-bucket, drops observed") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
