@@ -139,6 +139,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     // incremental (cross-corpus) dedup: new crawl vs existing corpus
     "dedup_incremental"   -> ((s, d) => TextDedup.incremental(Tables.documents(s, d))),
+    // sub-document (line-level) boilerplate removal
+    "line_dedup"          -> ((s, d) => TextDedup.lineDedup(Tables.documents(s, d))),
     // cluster assignment over the minhash pair graph (connected components)
     "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
@@ -216,6 +218,7 @@ object SparkEntry {
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
     "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
+    "line_dedup"          -> TextDedup.lineDedupSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),

@@ -882,4 +882,89 @@ object TextDedup {
        |  JOIN garr ga ON ga.doc_id = c.id_a
        |  JOIN garr gb ON gb.doc_id = c.id_b)
        |WHERE jaccard >= $NgramThreshold""".stripMargin
+
+  // ---- 5. line-level (sub-document) dedup ----------------------------------
+
+  /** Pseudo-line width in tokens. The shared corpus is flat prose with no
+   * physical newlines, so a "line" is a fixed window of [[LineTokens]]
+   * consecutive tokens — the semantics (drop line-granularity text whose
+   * fingerprint repeats across the corpus, keep the rest of each
+   * document) are exactly the Lee et al. 2022 / CCNet boilerplate-removal
+   * pass; on a corpus with real newlines, swap the segmenter for
+   * `split(text, '\n')` and nothing downstream changes. */
+  val LineTokens = 10
+  /** A line present in at least this many DISTINCT documents is dropped
+   * as boilerplate. 2 = any cross-document repetition (sub-document
+   * dedup); a crawl pipeline removing only true boilerplate would raise
+   * it. */
+  val LineDfMax = 2
+
+  /** Line-level dedup: segment each document into [[LineTokens]]-token
+   * lines, drop every line whose md5 fingerprint appears in ≥
+   * [[LineDfMax]] distinct documents, reassemble the surviving lines in
+   * order. The document-granularity dedups (exact/minhash/simhash/ngram)
+   * cannot do this — a page that is 90% unique prose + 10% shared
+   * boilerplate is no near-dup of anything, yet the boilerplate should
+   * not be trained on twice.
+   *
+   * Scale shape, stage by stage: segmentation is a Generate (corpus ×
+   * tokens/[[LineTokens]] rows, map-side); document frequency is the
+   * two-phase distinct — shuffle once on the UNIFORM (fp, doc_id) pair,
+   * then a partial-agg count per fp — never a count-distinct expand over
+   * a hot boilerplate key; the drop set (df ≥ threshold) joins back on
+   * fp; reassembly is ONE groupBy(doc_id) with a sorted struct collect.
+   * Nothing touches the driver. Documents whose every line is dropped
+   * disappear from the output (mirrored by the oracle's HAVING).
+   *
+   * Output (doc_id, clean_text, n_kept, n_dropped). */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val nseg = (size(col("toks")) + lit(LineTokens - 1)).divide(lit(LineTokens)).cast("int")
+    val seg = toks
+      .select(col("doc_id"), posexplode(transform(sequence(lit(1), nseg),
+        s => array_join(slice(col("toks"), (s - 1) * LineTokens + 1, lit(LineTokens)), " ")))
+        .as(Seq("i", "line")))
+      .select(col("doc_id"), col("i"), col("line"), md5(col("line")).as("fp"))
+      .persist() // feeds the df count AND the flag join
+    val df = seg.select(col("fp"), col("doc_id")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+    val dropped = df.filter(col("df") >= LineDfMax).select(col("fp"), lit(true).as("dropped"))
+    seg.join(dropped, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("dropped").isNull, struct(col("i"), col("line"))))),
+          x => x("line")), " ").as("clean_text"),
+        count(when(col("dropped").isNull, lit(1))).as("n_kept"),
+        count(when(col("dropped"), lit(1))).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
+  /** Oracle: parallel unnests zip the line index with the token-window
+   * list (same length by construction), then the identical df-count /
+   * drop / ordered string_agg pipeline. */
+  def lineDedupSql(table: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, toks, (len(toks) + ${LineTokens - 1}) // $LineTokens AS nseg
+       |  FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table)
+       |  WHERE len(toks) > 0),
+       |seg AS (
+       |  SELECT doc_id, unnest(range(1, nseg + 1)) AS i,
+       |         unnest([array_to_string(toks[(k - 1) * $LineTokens + 1 : k * $LineTokens], ' ')
+       |                 for k in range(1, nseg + 1)]) AS line
+       |  FROM toks),
+       |dfc AS (
+       |  SELECT fp, count(*) AS df FROM (
+       |    SELECT DISTINCT md5(line) AS fp, doc_id FROM seg) GROUP BY fp),
+       |flagged AS (
+       |  SELECT s.doc_id, s.i, s.line, (d.df >= $LineDfMax) AS dropped
+       |  FROM seg s JOIN dfc d ON md5(s.line) = d.fp)
+       |SELECT doc_id,
+       |       string_agg(CASE WHEN NOT dropped THEN line END, ' ' ORDER BY i) AS clean_text,
+       |       count(CASE WHEN NOT dropped THEN 1 END) AS n_kept,
+       |       count(CASE WHEN dropped THEN 1 END) AS n_dropped
+       |FROM flagged GROUP BY doc_id
+       |HAVING count(CASE WHEN NOT dropped THEN 1 END) > 0""".stripMargin
 }

@@ -169,6 +169,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("line dedup removes the shared header, keeps unique prose, in order") {
+    // three docs share a 10-token header (one pseudo-line); each has a
+    // unique tail. One doc is ALL boilerplate and must vanish.
+    val header = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"$header lambda mu nu xi omicron pi rho sigma tau upsilon unique one"),
+      (2L, s"$header phi chi psi omega aleph bet gimel dalet he vav unique two"),
+      (3L, header),
+      (4L, "completely original prose with no repeated window at all here"))).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!out.contains(3L), "an all-boilerplate doc must vanish")
+    assert(out(1L) === (("lambda mu nu xi omicron pi rho sigma tau upsilon unique one", 2L, 1L)))
+    assert(out(2L) === (("phi chi psi omega aleph bet gimel dalet he vav unique two", 2L, 1L)))
+    assert(out(4L)._3 === 0L, "unique docs drop nothing")
+    assert(out(4L)._1 === "completely original prose with no repeated window at all here")
+  }
+
   test("null and empty texts flow through the dedup family without error") {
     // a crawl corpus always contains null/empty payload rows — the
     // operators must drop them from candidates, never throw
