@@ -121,6 +121,9 @@ object SparkEntry {
     "approx_distinct_users" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+    // deterministic KMV bottom-k sketch — the oracle-checkable
+    // approximate-distinct (Relational.kmvDistinctUsers)
+    "kmv_distinct_users"  -> ((s, d) => Relational.kmvDistinctUsers(s, d)),
     // corpus distribution profiling: EXACT per-language length quantiles
     // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
     // linear-interpolation definition — verified value-identical)
@@ -247,5 +250,6 @@ object SparkEntry {
     "window_running_rev"  -> Relational.runningRevenueSql,
     "rollup_customers"    -> Relational.customerRollupSql,
     "distinct_customers"  -> Relational.distinctCustomersSql,
+    "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,
   )
 }

@@ -270,4 +270,67 @@ object Relational {
 
   def distinctCustomersSql: String =
     "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY 1"
+
+  // ---- KMV (bottom-k) distinct sketch --------------------------------------
+
+  /** Sketch size. Relative standard error ≈ 1/√(k−1) ≈ 6.3%. */
+  val KmvK = 256
+
+  /** First 13 hex chars of `h` as an exact BIGINT (52 bits — exact in
+   * double too). Pure `instr`/`substring` arithmetic, valid verbatim in
+   * BOTH Spark SQL and DuckDB — the one string is the cross-engine
+   * contract (the `simhashStr` trick). */
+  private def hexVal13(h: String): String =
+    (1 to 13).map { i =>
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1L << (4 * (13 - i))}"
+    }.mkString("(", " + ", ")")
+
+  /** KMV estimate from (m = |bottom-k|, hk = k-th smallest hash or null):
+   * fewer than k distinct hashes → m IS the exact count; otherwise
+   * (k−1) / (hk as a fraction of the hash space). Two correctly-rounded
+   * IEEE divisions, identical text on both engines. */
+  private def kmvEstimator: String =
+    s"""CASE WHEN hk IS NULL OR ${hexVal13("hk")} = 0 THEN CAST(m AS DOUBLE)
+       |ELSE CAST(${KmvK - 1} AS DOUBLE) /
+       |     (CAST(${hexVal13("hk")} AS DOUBLE) / ${1L << 52}.0) END""".stripMargin
+
+  /** Distinct users per event type by a KMV (bottom-k) sketch — the
+   * deterministic, engine-portable alternative to
+   * `approx_count_distinct`: HyperLogLog internals differ per engine, so
+   * that query can only ever be rows-checked, while the k minima of
+   * md5(user_id) are a pure function of the data (Beyer et al. 2007,
+   * "On synopses for distinct-value estimation under multiset
+   * operations").
+   *
+   * Scale shape: one distinct on the uniform (event_type, h) pair, then
+   * bottom-k in two levels — k minima within each (event_type, 2-hex-char
+   * salt) sub-partition first, so no single reducer ever sorts a whole
+   * event type's hash set; the global pass ranks at most 256·k
+   * survivors per group (the global bottom-k is a subset of the union of
+   * salt-local bottom-ks, so the result is IDENTICAL to the oracle's
+   * single-window form — the salt level exists only to bound sort
+   * memory). */
+  def kmvDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val uh = Tables.events(s, dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val wLocal = Window.partitionBy(col("event_type"), substring(col("h"), 1, 2))
+      .orderBy(col("h"))
+    val wGlobal = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    uh.withColumn("rn1", row_number().over(wLocal)).filter(col("rn1") <= KmvK)
+      .withColumn("rn", row_number().over(wGlobal)).filter(col("rn") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .select(col("event_type"), expr(kmvEstimator).as("n_users_kmv"))
+  }
+
+  def kmvDistinctUsersSql: String =
+    s"""WITH uh AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |bot AS (SELECT event_type, h,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |        FROM uh),
+       |agg AS (SELECT event_type, count(*) AS m,
+       |               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |        FROM bot WHERE rn <= $KmvK GROUP BY event_type)
+       |SELECT event_type, ${kmvEstimator.replace("\n", " ")} AS n_users_kmv FROM agg""".stripMargin
 }

@@ -169,6 +169,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("KMV sketch estimates distinct users within its error bound") {
+    import graft.operators.Relational
+    val est = Relational.kmvDistinctUsers(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (et, n) =>
+      val e = est(et)
+      if (n < Relational.KmvK) assert(e === n.toDouble, s"$et: below k must be exact")
+      else {
+        // 5 sigma at RSE 1/sqrt(k-1): generous, deterministic data
+        val rse = 1.0 / math.sqrt(Relational.KmvK - 1.0)
+        assert(math.abs(e - n) / n <= 5 * rse, s"$et: est $e vs exact $n")
+      }
+    }
+  }
+
   test("line dedup removes the shared header, keeps unique prose, in order") {
     // three docs share a 10-token header (one pseudo-line); each has a
     // unique tail. One doc is ALL boilerplate and must vanish.
