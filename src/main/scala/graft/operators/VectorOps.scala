@@ -46,8 +46,16 @@ object VectorOps {
   val QueryStride = 50
   val BruteK = 5
   val LshK = 3
-  /** Number of LSH hyperplanes (bucket key width in bits). */
+  /** LSH bucket-key width (hyperplane count) floor, ceiling, and the
+   * expected-bucket-size target the derived width aims for. The width is
+   * DERIVED from the corpus size ([[lshPlanesFor]]) so each query's probe
+   * cost (its bucket, ~n/2^P rows) stays bounded as the corpus grows —
+   * a fixed 8-bit key scanned corpus/256 per query, unbounded at 100×.
+   * More planes also lower ANN recall (the standard cost dial); the
+   * ceiling keeps the key from outrunning the plane pool. */
   val LshPlanes = 8
+  val LshPlanesMax = 24
+  val LshTargetBucket = 256
 
   // ---- quantization --------------------------------------------------------
 
@@ -314,31 +322,47 @@ object VectorOps {
       }
     }
   }
-  lazy val hyperplanes: Seq[Seq[Int]] = hyperplanesN(LshPlanes)
+  /** Canonical LSH plane pool — plane k is [[hyperplanesN]]'s k-th
+   * element on both engines, so a derived width P always means "the
+   * first P canonical planes". */
+  lazy val lshPlanePool: Seq[Seq[Int]] = hyperplanesN(LshPlanesMax)
 
-  /** 8-char '0'/'1' bucket key: sign bits of the hyperplane dot products
-   * (integer-exact on quantized vectors). Native [[graft.plans.LongDot]]
-   * against literal planes — value-identical to the `aggregate`/`zip_with`
-   * composition it replaces, but codegen'd. */
-  def lshBucket(q: Column): Column = {
-    val bits = hyperplanes.map { h =>
+  /** Bucket-key width for a corpus of `n` vectors: integer-exact
+   * ceil(log2(ceil(n/target))) via bit-length (the
+   * `TextDedup.simhashChunksFor` contract — the oracle's CEIL(LOG2(m))
+   * derives the identical value), clamped to
+   * [[[LshPlanes]], [[LshPlanesMax]]]. */
+  def lshPlanesFor(n: Long, targetBucket: Int = LshTargetBucket): Int = {
+    val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket
+    val w = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(LshPlanes, math.min(LshPlanesMax, w))
+  }
+
+  /** `planes`-char '0'/'1' bucket key: sign bits of the hyperplane dot
+   * products (integer-exact on quantized vectors). Native
+   * [[graft.plans.LongDot]] against literal planes — value-identical to
+   * the `aggregate`/`zip_with` composition it replaces, but codegen'd. */
+  def lshBucket(q: Column, planes: Int = LshPlanes): Column = {
+    val bits = lshPlanePool.take(planes).map { h =>
       val d = dot(q, typedLit(h.map(_.toLong)))
       when(d >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
 
-  private def lshBucketSql(q: String): String = {
-    val bits = hyperplanes.map { h =>
+  /** Full-pool bit string; the oracle substrings it by the SQL-derived
+   * width (variadic concat — see [[embeddingNearDupSql]]). */
+  private def lshBitsSql(q: String): String =
+    lshPlanePool.map { h =>
       val lit = h.mkString("[", ", ", "]")
       s"(CASE WHEN list_sum([$q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
-    }
-    bits.mkString("(", " || ", ")")
-  }
+    }.mkString("concat(", ", ", ")")
 
   /** Approximate top-[[LshK]]: rank only within the query's hyperplane
-   * bucket. The bucket key is the shuffle key — at scale each bucket holds
-   * ~1/2^[[LshPlanes]] of the corpus and buckets are probed independently.
+   * bucket. The bucket key is the shuffle key — its width derives from a
+   * plan-time corpus count ([[lshPlanesFor]]), holding the expected
+   * bucket at ≤ [[LshTargetBucket]] vectors, and buckets are probed
+   * independently.
    * No broadcast hint on the query side: it is a fixed FRACTION of the
    * corpus (1/[[QueryStride]]), so a hint that is convenient at test scale
    * is a guaranteed driver OOM at 100× — the bucket equi-join lets the
@@ -346,7 +370,8 @@ object VectorOps {
    * a shuffle join (AQE picks shuffled-hash) beyond it.
    * Output (query_id, neighbor_id, rank, sim). */
   def annLshTopK(embeddings: DataFrame): DataFrame = {
-    val qb = quantized(embeddings).withColumn("bucket", lshBucket(col("q")))
+    val planes = lshPlanesFor(corpusSize(embeddings))
+    val qb = quantized(embeddings).withColumn("bucket", lshBucket(col("q"), planes))
     val queries = qb.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("n2").as("nq"), col("bucket"))
@@ -475,7 +500,13 @@ object VectorOps {
 
   def annLshTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
-       |qb AS (SELECT vec_id, q, n2, ${lshBucketSql("q")} AS bucket FROM qn),
+       |params AS (
+       |  SELECT GREATEST($LshPlanes, LEAST($LshPlanesMax,
+       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS p
+       |  FROM (SELECT (count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket AS m
+       |        FROM $table)),
+       |qb AS (SELECT vec_id, q, n2, substr(${lshBitsSql("q")}, 1, p) AS bucket
+       |       FROM qn CROSS JOIN params),
        |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, bucket FROM qb WHERE vec_id % $QueryStride = 0),
        |scored AS (
        |  SELECT query_id, c.vec_id AS neighbor_id,

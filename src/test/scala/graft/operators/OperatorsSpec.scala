@@ -93,6 +93,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(VectorOps.NearDupMaxPlanes ===
       VectorOps.NearDupRowsMax * VectorOps.NearDupBandTable(VectorOps.NearDupRowsMax))
+    // ANN bucket-key width: floor at the test scale, grows past 64k
+    // vectors, ceiling at the plane pool
+    assert(VectorOps.lshPlanesFor(2000) === VectorOps.LshPlanes)
+    assert(VectorOps.lshPlanesFor(256L << 8) === 8)
+    assert(VectorOps.lshPlanesFor(256L << 12) === 12)
+    assert(VectorOps.lshPlanesFor(Long.MaxValue / 2) === VectorOps.LshPlanesMax)
   }
 
   test("adversarial: 300 identical embeddings drop the mega-bucket, drops observed") {
