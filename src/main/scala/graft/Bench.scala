@@ -31,6 +31,29 @@ import org.apache.spark.sql.SparkSession
  *      samples the length of a whole pass apart, so an episode costs at
  *      most one sample per query and the median discards it. */
 object Bench {
+  /** Cumulative pressure-stall totals (µs) from /proc/pressure —
+   * (io some, io full, cpu some). Three rounds running, the driver's
+   * BENCH numbers have diverged 2-5× from quiet-machine truth with no
+   * way to tell episode from plan cost; deltas of these counters around
+   * each sample let a reader do that adjudication from the artifact
+   * alone. cpu-some is included because the timed inputs live on tmpfs —
+   * a host episode can surface as scheduler starvation with zero io
+   * pressure. -1 when PSI is unavailable (non-Linux, psi=0 boot). */
+  private def psiStall(): (Long, Long, Long) = {
+    def total(file: String, prefix: String): Long =
+      try {
+        val it = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(s"/proc/pressure/$file")).iterator()
+        var v = -1L
+        while (it.hasNext) {
+          val l = it.next()
+          if (l.startsWith(prefix)) v = l.substring(l.indexOf("total=") + 6).trim.toLong
+        }
+        v
+      } catch { case _: Throwable => -1L }
+    (total("io", "some"), total("io", "full"), total("cpu", "some"))
+  }
+
   def main(args: Array[String]): Unit = {
     val rawSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfDir = SparkLocal.stageInput(rawSfDir)
@@ -87,17 +110,27 @@ object Bench {
     // listed in "failures" with a numeric median failed only some reps
     // and its median covers the successful ones.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // per-sample (seconds, io-some ms, io-full ms, cpu-some ms): the
+    // host-pressure telemetry that lets a reader separate an episode-hit
+    // sample from plan cost without a control rerun
+    val telemetry = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long, Long)]]
     val failures = scala.collection.mutable.Map.empty[String, Int]
     for (r <- 1 to reps; (name, fn) <- queries) {
+      val (ioS0, ioF0, cpu0) = psiStall()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
       val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      else failures(name) = failures.getOrElse(name, 0) + 1
-      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s${if (ok) "" else "  FAILED"}")
+      val (ioS1, ioF1, cpu1) = psiStall()
+      def delta(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else (b - a) / 1000
+      val (ioS, ioF, cpu) = (delta(ioS0, ioS1), delta(ioF0, ioF1), delta(cpu0, cpu1))
+      if (ok) {
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+        telemetry(name) = telemetry.getOrElse(name, Vector.empty) :+ ((dt, ioS, ioF, cpu))
+      } else failures(name) = failures.getOrElse(name, 0) + 1
+      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s  stall io ${ioS}ms/${ioF}ms cpu ${cpu}ms${if (ok) "" else "  FAILED"}")
     }
     val results = queries.map { case (name, _) =>
       samples.get(name) match {
@@ -112,12 +145,26 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val sampleJson = results.collect { case (k, Some(_)) =>
+      "\"" + k + "\":" + telemetry.getOrElse(k, Vector.empty)
+        .map { case (s, io, iof, cpu) => // ROOT locale: a comma decimal separator would break the JSON
+          String.format(java.util.Locale.ROOT, "[%.3f,%d,%d,%d]",
+            Double.box(s), Long.box(io), Long.box(iof), Long.box(cpu)) }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val completed = results.count(_._2.nonEmpty)
+    // a query with ZERO successful reps shrinks the sum's denominator —
+    // "value" goes null so a failure-laden run can never read as a
+    // speedup; per-query medians remain for the queries that did run
+    val total: Option[Double] =
+      if (results.exists(_._2.isEmpty)) None else Some(results.flatMap(_._2).sum)
     val failed = failures.keys.toSeq.sorted
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILURES: ${failed.map(n => s"$n(${failures(n)}/$reps)").mkString(", ")}")
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failJson,"sf":"$rawSfDir"}"""
+    val json = s"""{"metric":"total","value":${total.map(_.toString).getOrElse("null")},""" +
+      s""""unit":"sec","completed":$completed,"queries":$qs,"samples":$sampleJson,""" +
+      s""""failures":$failJson,"sf":"$rawSfDir"}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
