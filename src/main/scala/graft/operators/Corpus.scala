@@ -95,18 +95,21 @@ object Corpus {
    * property per-partition `rand()` splits lack: a row's split never
    * depends on what other rows exist). `salt` decorrelates independent
    * uses (splitting vs sampling must not share buckets, or the sample
-   * would draw only from one split's id population). Spliced as one SQL
-   * expression (`idCol` is a column NAME): `instr` takes arbitrary
-   * expressions only through the parser. */
-  private def hashBucket(idCol: String, salt: String = ""): Column = {
-    val h = s"md5(CAST(CONCAT('$salt', CAST($idCol AS STRING)) AS BINARY))"
-    expr(s"CAST((instr('0123456789abcdef', substring($h, 1, 1)) - 1) * 16 + " +
-      s"(instr('0123456789abcdef', substring($h, 2, 1)) - 1) AS INT)")
-  }
+   * would draw only from one split's id population). `idCol` is a column
+   * NAME on both sides; `salt` rides as a `lit` on the Spark side and is
+   * quote-escaped on the DuckDB side, so arbitrary salt strings are
+   * safe. */
+  private def hashBucket(idCol: String, salt: String = ""): Column =
+    conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 2),
+      16, 10).cast("int")
+
+  /** Single-quote doubling for a DuckDB string literal. */
+  private[operators] def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
 
   private def hashBucketSqlDuck(idCol: String, salt: String = ""): String =
-    s"CAST((instr('0123456789abcdef', substring(md5('$salt' || $idCol::VARCHAR), 1, 1)) - 1) * 16 " +
-      s"+ (instr('0123456789abcdef', substring(md5('$salt' || $idCol::VARCHAR), 2, 1)) - 1) AS INT)"
+    s"CAST((instr('0123456789abcdef', substring(md5(${sqlLit(salt)} || $idCol::VARCHAR), 1, 1)) - 1) * 16 " +
+      s"+ (instr('0123456789abcdef', substring(md5(${sqlLit(salt)} || $idCol::VARCHAR), 2, 1)) - 1) AS INT)"
 
   /** (doc_id, split_bucket, split): deterministic train/val/test
    * assignment. */
@@ -158,7 +161,7 @@ object Corpus {
     val thr =
       if (keep.isEmpty) defaultKeep.toString
       else "(CASE " + keep.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ") +
+        .map { case (k, v) => s"WHEN lang = ${sqlLit(k)} THEN $v" }.mkString(" ") +
         s" ELSE $defaultKeep END)"
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, ${hashBucketSqlDuck("doc_id", StratSalt)} AS b FROM $table)
