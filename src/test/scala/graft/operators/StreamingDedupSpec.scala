@@ -19,7 +19,25 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-  test("streaming candidates cover the batch verified pairs; estimates sane") {
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with the given state-store provider, restoring the session's
+   * previous setting afterwards (the conf is read at query START, so
+   * per-test scoping is sound). */
+  private def withStateProvider[T](cls: String)(f: => T): T = {
+    val old = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, cls)
+    try f finally old match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** The full-corpus coverage scenario, parameterized so it can run under
+   * more than one state-store provider. */
+  private def coverageScenario(queryName: String): Unit = {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
@@ -33,7 +51,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     // 1 ms apart: the whole corpus fits comfortably inside retention
     val out = TextDedup.streamingMinhashCandidates(
       in.toDF(), Duration.ofHours(1))
-    val q = out.writeStream.format("memory").queryName("stream_cand")
+    val q = out.writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
     try {
       docs.grouped(100).zipWithIndex.foreach { case (chunk, ci) =>
@@ -41,7 +59,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
           DocRec(id, text, new Timestamp(base + ci * 100 + (id % 100))) }.toSeq: _*)
         q.processAllAvailable()
       }
-      val cand = spark.table("stream_cand").collect()
+      val cand = spark.table(queryName).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val candSet = cand.map(t => (t._1, t._2)).toSet
       assert(batchPairs.subsetOf(candSet),
@@ -54,6 +72,33 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
         assert(estByPair(p) >= 0.5, s"pair $p est ${estByPair(p)} too low for J>=0.8")
       }
     } finally q.stop()
+  }
+
+  test("streaming candidates cover the batch verified pairs; estimates sane") {
+    coverageScenario("stream_cand")
+  }
+
+  test("streaming dedup runs e2e under the RocksDB state store — the " +
+       "disk-backed state path the 100 TB story assumes") {
+    withStateProvider(RocksDbProvider) {
+      coverageScenario("stream_cand_rocks")
+      // the built-in watermark-dedup state operator under the same provider
+      val base = 1000000000L
+      val in = MemoryStream[DocRec]
+      val out = graft.streaming.StreamingOps.dedupWithinWatermark(
+        in.toDF(), "10 seconds", Seq("text"))
+      val q = out.writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(DocRec(1, "same text", new Timestamp(base)),
+                   DocRec(2, "same text", new Timestamp(base + 1000)),
+                   DocRec(3, "other text", new Timestamp(base + 2000)))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"query died under RocksDB: ${q.exception}")
+        val ids = spark.table("dedup_rocks").collect().map(_.getLong(0)).toSeq.sorted
+        assert(ids === Seq(1L, 3L), "each text survives exactly once inside the watermark")
+      } finally q.stop()
+    }
   }
 
   test("retention evicts: a doc outside the horizon no longer pairs") {
