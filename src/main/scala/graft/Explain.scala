@@ -18,6 +18,8 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // two timed runs: the first pays JIT/codegen warm-up, the second is

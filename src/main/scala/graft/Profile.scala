@@ -20,6 +20,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkLocal.dir)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // stage timing: wall duration vs summed task time exposes stalls that
