@@ -273,16 +273,24 @@ object Relational {
 
   // ---- KMV (bottom-k) distinct sketch --------------------------------------
 
-  /** Sketch size. Relative standard error ≈ 1/√(k−1) ≈ 6.3%. */
-  val KmvK = 256
+  /** Sketch size. Relative standard error ≈ 1/√(k−1) ≈ 12.6%. Sized so
+   * the shared sf0.01 data (150 distinct users per event type) takes the
+   * ESTIMATOR branch under the driver's oracle gate — k=256 left hk null
+   * everywhere the oracle looked and the estimator went to production
+   * untested (it overflowed at sf0.1; see [[hexVal13]]). */
+  val KmvK = 64
 
   /** First 13 hex chars of `h` as an exact BIGINT (52 bits — exact in
    * double too). Pure `instr`/`substring` arithmetic, valid verbatim in
    * BOTH Spark SQL and DuckDB — the one string is the cross-engine
-   * contract (the `simhashStr` trick). */
+   * contract (the `simhashStr` trick). Each positional weight is CAST to
+   * BIGINT: Spark parses sub-2³¹ literals as INT, and digit × 2²⁸
+   * overflows INT under ANSI mode (DuckDB silently promotes — the
+   * divergence only bites when hk is non-null). */
   private def hexVal13(h: String): String =
     (1 to 13).map { i =>
-      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1L << (4 * (13 - i))}"
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (13 - i))} AS BIGINT)"
     }.mkString("(", " + ", ")")
 
   /** KMV estimate from (m = |bottom-k|, hk = k-th smallest hash or null):

@@ -175,21 +175,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("KMV sketch estimates distinct users within its error bound") {
+  test("KMV sketch estimates distinct users within its error bound, both branches") {
     import graft.operators.Relational
-    val est = Relational.kmvDistinctUsers(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val exact = Tables.events(spark, dir)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est.keySet === exact.keySet)
-    exact.foreach { case (et, n) =>
-      val e = est(et)
-      if (n < Relational.KmvK) assert(e === n.toDouble, s"$et: below k must be exact")
-      else {
-        // 5 sigma at RSE 1/sqrt(k-1): generous, deterministic data
-        val rse = 1.0 / math.sqrt(Relational.KmvK - 1.0)
-        assert(math.abs(e - n) / n <= 5 * rse, s"$et: est $e vs exact $n")
+    // sf0.001 has 15 users per type (< k: exact branch); sf0.01 has 150
+    // (> k: estimator branch) — both paths must hold
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val est = Relational.kmvDistinctUsers(spark, d).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = Tables.events(spark, d)
+        .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.keySet === exact.keySet)
+      exact.foreach { case (et, n) =>
+        val e = est(et)
+        if (n < Relational.KmvK) assert(e === n.toDouble, s"$d/$et: below k must be exact")
+        else {
+          // 5 sigma at RSE 1/sqrt(k-1): generous, deterministic data
+          val rse = 1.0 / math.sqrt(Relational.KmvK - 1.0)
+          assert(math.abs(e - n) / n <= 5 * rse, s"$d/$et: est $e vs exact $n")
+        }
       }
     }
   }
