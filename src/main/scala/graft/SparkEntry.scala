@@ -154,6 +154,8 @@ object SparkEntry {
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    // sequence packing: docs -> (bucket, bin, offset) under a token budget
+    "pack_sequences"      -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
     "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
     // corpus profiling: training-mixture table + vocabulary heavy hitters
@@ -228,6 +230,7 @@ object SparkEntry {
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
+    "pack_sequences"      -> Corpus.packSequencesSql("documents"),
     "pii_scan"            -> Corpus.piiScanSql("documents"),
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),

@@ -168,6 +168,67 @@ object Corpus {
        |WHERE b < $thr""".stripMargin
   }
 
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Token budget per packed bin (a context-window's worth). */
+  val PackBinTokens = 512
+  /** Pack parallelism: documents are hashed into this many independent
+   * streams and packed within each — the dial that avoids a GLOBAL sort.
+   * 16 keeps several docs per bucket at the sf0.01 gate so bins actually
+   * fill; a 100 TB run raises it to ~the cluster's partition count (the
+   * packing quality loss is negligible — bins fragment only at the
+   * per-bucket tail). */
+  val PackBuckets = 16
+  private val PackSalt = "pack:"
+
+  /** Sequence packing: assign each document a (bucket, bin, offset) under
+   * a running token budget — the pack-documents-into-context-windows
+   * step a training pipeline runs between corpus assembly and
+   * tokenization. Greedy by running total in a content-addressed order:
+   * docs hash into [[PackBuckets]] independent streams (no global sort —
+   * each bucket's window sorts in parallel), within a bucket they order
+   * by (md5, doc_id) — append-stable like every split in this file — and
+   * a doc starts in the bin where its cumulative token count begins.
+   * Output (doc_id, pack_bucket, bin_idx, tok_offset, n_tokens); one
+   * shuffle on the bucket key. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val h = md5(concat(lit(PackSalt), col("doc_id").cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), h.as("h"),
+        coalesce(TextFunctions.tokenCount(col("text")), lit(0L)).as("n_tokens"))
+      .withColumn("pack_bucket",
+        (conv(substring(col("h"), 1, 1), 16, 10).cast("int") % PackBuckets))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("pack_bucket"),
+        expr(s"CAST((cum - n_tokens) DIV $PackBinTokens AS BIGINT)").as("bin_idx"),
+        expr(s"CAST((cum - n_tokens) % $PackBinTokens AS BIGINT)").as("tok_offset"),
+        col("n_tokens"))
+  }
+
+  def packSequencesSql(table: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, md5('$PackSalt' || doc_id::VARCHAR) AS h,
+       |         COALESCE(${TextSql.tokenCount("text")}, 0) AS n_tokens
+       |  FROM $table),
+       |b AS (
+       |  SELECT doc_id, n_tokens, h,
+       |         CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) % $PackBuckets AS INT)
+       |           AS pack_bucket
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, pack_bucket, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY h, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM b)
+       |SELECT doc_id, pack_bucket,
+       |       CAST((cum - n_tokens) // $PackBinTokens AS BIGINT) AS bin_idx,
+       |       CAST((cum - n_tokens) % $PackBinTokens AS BIGINT) AS tok_offset,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM c""".stripMargin
+
   // ---- PII scan ------------------------------------------------------------
 
   /** RE2-safe ASCII patterns, identical semantics in Spark (java.util

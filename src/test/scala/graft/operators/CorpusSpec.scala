@@ -116,6 +116,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(got(2L) === ((5L, 5L, 0.0, 1.0 / 5.0)), s"${got(2L)}")
   }
 
+  test("sequence packing: contiguous bins under the token budget, stable order") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.packSequences(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === docs.count())
+    out.groupBy(_._2).foreach { case (bucket, rows) =>
+      // within a bucket: offsets are the running token total mod the
+      // budget, bins are its div — reconstruct the greedy packing and
+      // demand an exact match
+      val ordered = rows.sortBy(t => (t._3, t._4, t._1)) // (bin, offset, id)
+      var cum = 0L
+      ordered.foreach { case (id, _, bin, off, n) =>
+        assert(bin === cum / Corpus.PackBinTokens, s"bucket $bucket doc $id bin")
+        assert(off === cum % Corpus.PackBinTokens, s"bucket $bucket doc $id offset")
+        cum += n
+      }
+    }
+    // content-addressed: the assignment of a doc must not depend on the
+    // other rows present (same property as sample_split)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val packedHalf = Corpus.packSequences(half).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fullBuckets = out.map(t => t._1 -> t._2).toMap
+    packedHalf.foreach { case (id, b) =>
+      assert(b === fullBuckets(id), s"doc $id changed bucket when corpus shrank")
+    }
+  }
+
   test("corpus projections run unchanged on a stream (stateless, append)") {
     // quality filter + split are pure projections, so the SAME operator
     // works on a crawl-ingest stream with no watermark/state — prove it
