@@ -144,6 +144,8 @@ object SparkEntry {
     "dedup_incremental"   -> ((s, d) => TextDedup.incremental(Tables.documents(s, d))),
     // sub-document (line-level) boilerplate removal
     "line_dedup"          -> ((s, d) => TextDedup.lineDedup(Tables.documents(s, d))),
+    // shift-invariant substring dedup (winnowing / MOSS sketch)
+    "dedup_winnow"        -> ((s, d) => TextDedup.winnowDedup(Tables.documents(s, d))),
     // cluster assignment over the minhash pair graph (connected components)
     "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
@@ -224,6 +226,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
     "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
     "line_dedup"          -> TextDedup.lineDedupSql("documents"),
+    "dedup_winnow"        -> TextDedup.winnowDedupSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),

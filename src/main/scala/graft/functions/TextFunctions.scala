@@ -127,6 +127,13 @@ object TextFunctions {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     toCol(graft.plans.RollingWinnow(toExpr(text), RollingW, RollingK, joined = true))
   }
+
+  /** The same winnowing sketch as an ARRAY<BIGINT> — the joinable form
+   * [[graft.operators.TextDedup.winnowDedup]] builds postings from. */
+  def rollingFingerprintArr(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.plans.RollingWinnow(toExpr(text), RollingW, RollingK, joined = false))
+  }
 }
 
 /** DuckDB mirrors of [[TextFunctions]] — same constants, same expression
@@ -171,11 +178,14 @@ object TextSql {
    * lambdas cannot nest, so windows × chars is a self-join on position
    * with the SAME precomputed power table as the native expression. Emits
    * a full SELECT over `table`; output (doc_id, rolling_fp). */
-  def rollingFingerprintSql(table: String): String = {
+  /** The shared CTE chain (normalized text → per-window polynomial hash →
+   * sorted distinct hash list per doc), used by both the fingerprint
+   * mirror and the winnow-dedup oracle so the two cannot diverge. */
+  private def rollingChainSql(table: String): String = {
     val w = RollingW
     val pows = graft.plans.RollingWinnow.powers(w).mkString("[", ", ", "]")
     val m = graft.plans.RollingWinnow.M
-    s"""WITH nt AS (SELECT doc_id, ${normText("text")} AS nt FROM $table),
+    s"""nt AS (SELECT doc_id, ${normText("text")} AS nt FROM $table),
        |chars AS (
        |  SELECT doc_id, unnest(range(1, length(nt) + 1)) AS i FROM nt),
        |coded AS (
@@ -192,9 +202,19 @@ object TextSql {
        |  GROUP BY a.doc_id, a.i),
        |sk AS (
        |  SELECT doc_id, list_sort(list_distinct(list(h))) AS hs
-       |  FROM wh GROUP BY doc_id)
+       |  FROM wh GROUP BY doc_id)""".stripMargin
+  }
+
+  def rollingFingerprintSql(table: String): String =
+    s"""WITH ${rollingChainSql(table)}
        |SELECT n.doc_id AS doc_id,
        |       coalesce(array_to_string(sk.hs[1:$RollingK], '-'), '') AS rolling_fp
        |FROM nt n LEFT JOIN sk ON sk.doc_id = n.doc_id""".stripMargin
-  }
+
+  /** Parenthesized SELECT of (doc_id, hs = the K minimal window hashes as
+   * BIGINT list) — docs with no window (shorter than W chars) excluded,
+   * matching the Spark side's size filter. */
+  def rollingHashListSql(table: String): String =
+    s"""(WITH ${rollingChainSql(table)}
+       | SELECT doc_id, hs[1:$RollingK] AS hs FROM sk WHERE len(hs) > 0)""".stripMargin
 }

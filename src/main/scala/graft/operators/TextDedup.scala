@@ -883,7 +883,65 @@ object TextDedup {
        |  JOIN garr gb ON gb.doc_id = c.id_b)
        |WHERE jaccard >= $NgramThreshold""".stripMargin
 
-  // ---- 5. line-level (sub-document) dedup ----------------------------------
+  // ---- 5. winnowing (shift-invariant substring) dedup ----------------------
+
+  /** Candidate/verify threshold: shared minimal window hashes (of
+   * [[TextFunctions.RollingK]] = 4). Min-wise sketches of near-identical
+   * character streams share most minima; 2-of-4 tolerates one divergent
+   * region. */
+  val WinnowShareMin = 2
+
+  /** Near-duplicate pairs by winnowing fingerprint (Schleimer et al.
+   * 2003, the MOSS sketch): per doc the [[TextFunctions.RollingK]]
+   * MINIMAL [[TextFunctions.RollingW]]-char rolling hashes, pairs
+   * sharing ≥ [[WinnowShareMin]]. CHARACTER-stream matching, shift- and
+   * token-boundary-invariant: an inserted word shifts every token
+   * n-gram and breaks line alignment, but far-from-the-edit windows
+   * hash identically — the family member that catches copied prose
+   * inside reworked documents (complements minhash's token-set and
+   * simhash's token-multiset views).
+   *
+   * Scale shape: postings are (doc, minimal-hash) — ≤ K per doc — through
+   * the same [[boundedBucketPairs]] one-shuffle cap machinery as every
+   * other family; verify intersects the two K-element arrays via a hash
+   * join back to the narrow sketch relation. Output
+   * (id_a, id_b, n_shared), id_a < id_b. */
+  def winnowDedup(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), TextFunctions.rollingFingerprintArr(col("text")).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .persist() // feeds postings AND both verify joins
+    val postings = fps.select(col("doc_id"), explode(col("fps")).as("wfp"))
+    val staged = boundedBucketPairs(postings, "wfp", 2, MaxBucket)
+    val verified = staged.filter(!isSentinel)
+      .select(col("id_a"), col("id_b"))
+      .join(fps.select(col("doc_id").as("id_a"), col("fps").as("fa")), "id_a")
+      .join(fps.select(col("doc_id").as("id_b"), col("fps").as("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("fa"), col("fb"))).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= WinnowShareMin)
+    observeDrops(
+      verified.withColumn("is_sentinel", lit(false))
+        .unionByName(staged.filter(isSentinel)
+          .withColumn("n_shared", lit(null).cast("bigint"))),
+      "graft_winnow_buckets")
+  }
+
+  def winnowDedupSql(table: String): String =
+    s"""WITH fps AS ${TextSql.rollingHashListSql(table)},
+       |postings AS (SELECT doc_id, unnest(hs) AS wfp FROM fps),
+       |bok AS ${boundedSql("postings", "wfp", MaxBucket)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bok a JOIN bok b ON a.wfp = b.wfp AND a.doc_id < b.doc_id)
+       |SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |       CAST(len(list_intersect(fa.hs, fb.hs)) AS BIGINT) AS n_shared
+       |FROM cand c
+       |JOIN fps fa ON fa.doc_id = c.id_a
+       |JOIN fps fb ON fb.doc_id = c.id_b
+       |WHERE len(list_intersect(fa.hs, fb.hs)) >= $WinnowShareMin""".stripMargin
+
+  // ---- 6. line-level (sub-document) dedup ----------------------------------
 
   /** Pseudo-line width in tokens. The shared corpus is flat prose with no
    * physical newlines, so a "line" is a fixed window of [[LineTokens]]

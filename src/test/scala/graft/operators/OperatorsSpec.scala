@@ -64,6 +64,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(mh.nonEmpty && recall >= 0.7, s"recall $recall; missing ${mh -- sh}")
   }
 
+  test("winnow dedup recalls most minhash near-dups (shift-invariant view)") {
+    val docs = Tables.documents(spark, dir)
+    val mh = TextDedup.minhashLsh(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wn = TextDedup.winnowDedup(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 minimal window hashes over the char stream is a much coarser
+    // sketch than trigram Jaccard — demand solid but not total agreement
+    val recall = (mh & wn).size.toDouble / mh.size
+    assert(mh.nonEmpty && recall >= 0.6, s"recall $recall; missing ${mh -- wn}")
+    // and the shift-invariance claim itself: one inserted word breaks
+    // every token trigram near the edit, but far windows still match
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val shifted = "INSERTED " + base
+    val pair = spark.createDataFrame(Seq((1L, base), (2L, shifted))).toDF("doc_id", "text")
+    val got = TextDedup.winnowDedup(pair).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)), "a prefix insertion must not break the sketch")
+  }
+
   test("banded LSH near-dup: subset of brute force, recall >= 0.85, no cartesian") {
     val emb = Tables.embeddings(spark, dir)
     val brute = VectorOps.embeddingNearDupBrute(emb)
