@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, DedupClusters, TextDedup}
+import graft.sources.Tables
+
+/** The README's "training-data pipeline in five lines", run end-to-end as
+ * one composition — each operator is oracle-checked alone, but THIS is
+ * how a user actually strings them together, and a column-name or
+ * contract drift between stages would pass every per-operator check
+ * while breaking the composition. */
+class PipelineSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("corpus-preparation flow composes: dedup -> quality -> sample -> split") {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+
+    // near-dup pairs -> one canonical doc per duplicate cluster
+    val pairs = TextDedup.minhashLsh(docs)
+    val keep = DedupClusters.keepers(docs, pairs)
+    val keepers = keep.select("keeper_id").collect().map(_.getLong(0)).toSet
+    val clustered = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(keepers.nonEmpty && keepers.subsetOf(clustered),
+      "every keeper comes from a dup cluster")
+
+    // keep = corpus minus non-keeper cluster members, then quality-filter
+    val deduped = docs.join(
+      pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+        .join(keep.select(col("keeper_id").as("doc_id")), Seq("doc_id"), "left_anti"),
+      Seq("doc_id"), "left_anti")
+    val nDeduped = deduped.count()
+    assert(nDeduped < nDocs && nDeduped >= nDocs - clustered.size + keepers.size)
+
+    val clean = Corpus.qualityFilter(deduped).filter(col("passes"))
+      .select("doc_id").join(deduped, "doc_id")
+    assert(clean.count() > 0 && clean.count() <= nDeduped)
+
+    // rebalance + deterministic split over the cleaned corpus
+    val split = Corpus.sampleSplit(Corpus.stratifiedSample(clean)
+      .join(clean, Seq("doc_id", "lang")))
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L),
+      "train must dominate the split")
+    assert(bySplit.values.sum === Corpus.stratifiedSample(clean).count(),
+      "split partitions the sampled corpus exactly")
+  }
+}
