@@ -253,9 +253,12 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(TextDedup.minhashLsh(docs).collect().isEmpty)
     assert(TextDedup.simhashDedup(docs).collect().isEmpty)
     assert(TextDedup.ngramJaccard(docs).collect().isEmpty)
+    assert(TextDedup.winnowDedup(docs).collect().isEmpty)   // sketchless rows excluded
+    assert(TextDedup.lineDedup(docs).count() === 1)         // only the real doc survives
     assert(TextDedup.exact(docs).count() === 3) // null, "", and real each a group
     assert(Corpus.piiScan(docs).count() === 3)  // null counts stay null, no throw
     assert(Corpus.repetitionStats(docs).count() === 1) // tokenless rows excluded
+    assert(Corpus.packSequences(docs).count() === 3) // tokenless rows pack at offset 0
   }
 
   test("negative doc ids survive dedup: sentinels ride a dedicated column") {
