@@ -133,8 +133,8 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
         cum += n
       }
     }
-    // content-addressed: the assignment of a doc must not depend on the
-    // other rows present (same property as sample_split)
+    // content-addressed WITHIN a bucket-count tier: both corpora derive
+    // the clamped minimum stream count, so assignments must agree
     val half = docs.filter(col("doc_id") % 2 === 0)
     val packedHalf = Corpus.packSequences(half).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -142,6 +142,11 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     packedHalf.foreach { case (id, b) =>
       assert(b === fullBuckets(id), s"doc $id changed bucket when corpus shrank")
     }
+    // stream count derives from corpus size, clamped — bounded window
+    // sorts at any scale
+    assert(Corpus.packBucketsFor(500) === Corpus.PackBucketsMin)
+    assert(Corpus.packBucketsFor(1000000) === 245)
+    assert(Corpus.packBucketsFor(Long.MaxValue / 4) === Corpus.PackBucketsMax)
   }
 
   test("corpus projections run unchanged on a stream (stateless, append)") {
