@@ -23,6 +23,7 @@ import graft.ljot.{LeftJoinOnTimeout, LeftJoinOnTimeoutConfig}
  * Emits one JSON line, and appends to SPARK_GRAFT_STREAM_OUT when set. */
 object StreamBench {
   case class Ev(key: Long, value: String, ts: Timestamp)
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
@@ -68,9 +69,43 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // streaming minhash-LSH candidate detection: synthetic docs with a
+    // 10% near-dup rate through the band-keyed flatMapGroupsWithState
+    def runDedup(nDocs: Int): Double = {
+      val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+      def text(seed: Long): String = {
+        val r = new scala.util.Random(seed)
+        (0 until 30).map(_ => words(r.nextInt(words.length))).mkString(" ")
+      }
+      val in = MemoryStream[Doc]
+      val out = graft.operators.TextDedup.streamingMinhashCandidates(
+        in.toDF(), Duration.ofHours(1))
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        var i = 0
+        val dChunk = math.max(1, chunk / 10) // docs are ~30 tokens, not single events
+        while (i < nDocs) {
+          val m = math.min(dChunk, nDocs - i)
+          in.addData((0 until m).map { j =>
+            val id = (i + j).toLong
+            // every 10th doc repeats an earlier doc's text: candidate work
+            Doc(id, text(if (id % 10 == 0) id / 10 else id), new Timestamp(base + id))
+          })
+          q.processAllAvailable()
+          i += m
+        }
+        nDocs.toDouble / ((System.nanoTime() - t0) / 1e9)
+      } finally q.stop()
+    }
+
     run() // warm-up: state store init, codegen, JIT
     val eps = run()
-    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk}}"""
+    val nDocs = n / 10
+    runDedup(nDocs) // warm-up
+    val dps = runDedup(nDocs)
+    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
