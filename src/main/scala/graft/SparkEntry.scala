@@ -151,6 +151,9 @@ object SparkEntry {
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
     "cluster_keepers"     -> ((s, d) => DedupClusters.keepers(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
+    // leakage-safe split: train/val/test hashed on the dup CLUSTER id
+    "cluster_safe_split"  -> ((s, d) => Corpus.clusterSafeSplit(DedupClusters.assign(
+      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d))))),
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
@@ -229,6 +232,8 @@ object SparkEntry {
     "dedup_winnow"        -> TextDedup.winnowDedupSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
+    "cluster_safe_split"  -> Corpus.clusterSafeSplitSql(
+      DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents"))),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),

@@ -127,6 +127,37 @@ object Corpus {
        |       ELSE 'test' END AS split
        |FROM (SELECT doc_id, ${hashBucketSqlDuck("doc_id")} AS split_bucket FROM $table)""".stripMargin
 
+  /** Salt decorrelating cluster-level split buckets from the doc-level
+   * ones. */
+  val ClusterSplitSalt = "csplit:"
+
+  /** Leakage-safe split: train/val/test assignment hashed on the
+   * near-dup CLUSTER id, not the document id — near-duplicates that a
+   * doc-level split would scatter across train and test (the classic
+   * eval-contamination bug: the model "generalizes" to a near-copy of a
+   * training doc) land in the SAME split by construction. Input is
+   * [[DedupClusters.assign]]'s (doc_id, cluster_id) labeling; singleton
+   * docs hash on their own id (cluster_id = doc_id). Pure projection
+   * past the labeling — same append-stable, engine-portable assignment
+   * as [[sampleSplit]]. Output (doc_id, cluster_id, split_bucket,
+   * split). */
+  def clusterSafeSplit(labeled: DataFrame): DataFrame =
+    labeled.select(col("doc_id"), col("cluster_id"),
+        hashBucket("cluster_id", ClusterSplitSalt).as("split_bucket"))
+      .withColumn("split",
+        when(col("split_bucket") < TrainUpto, lit("train"))
+          .when(col("split_bucket") < ValUpto, lit("val"))
+          .otherwise(lit("test")))
+
+  def clusterSafeSplitSql(labeledSql: String): String =
+    s"""SELECT doc_id, cluster_id, split_bucket,
+       |  CASE WHEN split_bucket < $TrainUpto THEN 'train'
+       |       WHEN split_bucket < $ValUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster_id,
+       |        ${hashBucketSqlDuck("cluster_id", ClusterSplitSalt)} AS split_bucket
+       |      FROM ($labeledSql))""".stripMargin
+
   // ---- 3. stratified sampling ----------------------------------------------
 
   /** Salt decorrelating the sampling buckets from the split buckets. */

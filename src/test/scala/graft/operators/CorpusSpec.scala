@@ -149,6 +149,23 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(Corpus.packBucketsFor(Long.MaxValue / 4) === Corpus.PackBucketsMax)
   }
 
+  test("cluster-safe split: near-dup pairs never straddle train/test") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLsh(docs)
+    val split = Corpus.clusterSafeSplit(DedupClusters.assign(docs, pairs))
+    val splitOf = split.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ps = pairs.select("id_a", "id_b").collect()
+    assert(ps.nonEmpty)
+    ps.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(splitOf(a) === splitOf(b),
+        s"near-dups $a/$b split across ${splitOf(a)}/${splitOf(b)} — eval leakage")
+    }
+    // still a split: every doc assigned, all three splits populated
+    assert(splitOf.size === docs.count())
+    assert(splitOf.values.toSet === Set("train", "val", "test"))
+  }
+
   test("corpus projections run unchanged on a stream (stateless, append)") {
     // quality filter + split are pure projections, so the SAME operator
     // works on a crawl-ingest stream with no watermark/state — prove it
