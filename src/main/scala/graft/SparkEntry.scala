@@ -168,6 +168,8 @@ object SparkEntry {
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
+    // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
+    "semantic_dedup"      -> ((s, d) => VectorOps.semanticDedup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
@@ -187,6 +189,8 @@ object SparkEntry {
     "window_running_rev"  -> ((s, d) => Relational.runningRevenue(s, d)),
     "rollup_customers"    -> ((s, d) => Relational.customerRollup(s, d)),
     "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
+    // key-skew profile: heavy hitters on the flagship join key
+    "skew_profile"        -> ((s, d) => Relational.eventKeySkew(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -244,6 +248,7 @@ object SparkEntry {
     "source_mix"          -> Corpus.sourceMixSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
+    "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
@@ -262,5 +267,6 @@ object SparkEntry {
     "rollup_customers"    -> Relational.customerRollupSql,
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,
+    "skew_profile"        -> Relational.eventKeySkewSql,
   )
 }

@@ -271,6 +271,48 @@ object Relational {
   def distinctCustomersSql: String =
     "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY 1"
 
+  // ---- key-skew profiling --------------------------------------------------
+
+  /** Top-[[SkewTopN]] heavy-hitter keys of `keyCol` with their share of
+   * the table — the diagnostic run BEFORE a big join or aggregation to
+   * decide the skew strategy (salt, AQE skew split, broadcast, or
+   * nothing): a top key holding >1% of a 100 TB table means its shuffle
+   * partition alone is ~1 TB and the plan needs salting.
+   *
+   * Scale shape: the per-key count is a partial (map-side combining)
+   * aggregate — the hot key itself never concentrates rows before being
+   * reduced to ONE (key, n) row per map task — and the top-N is
+   * `TakeOrdered` (per-partition heap + driver merge of N·P rows), never
+   * a global sort. The only non-distributed piece is the final N-row
+   * share/rank projection. The table total comes from ONE plan-time
+   * count (the `corpusSize` precedent — metadata-cheap on parquet),
+   * mirrored by the oracle's scalar subquery; share is a single IEEE
+   * divide of two exact integers, bit-identical cross-engine. */
+  val SkewTopN = 20
+
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = SkewTopN): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc).limit(topN)
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / lit(total).cast("double")).as("share"),
+        row_number().over(Window.orderBy(col("n").desc, col("key").asc))
+          .cast("bigint").as("rank"))
+  }
+
+  /** The checked profile: event counts per user — the LJOT join key,
+   * i.e. exactly the skew that would land on the flagship join. */
+  def eventKeySkew(s: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.events(s, dir), "user_id")
+
+  def eventKeySkewSql: String =
+    s"""WITH counts AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+       |top AS (SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT $SkewTopN)
+       |SELECT key, n,
+       |       CAST(n AS DOUBLE) / CAST((SELECT count(*) FROM events) AS DOUBLE) AS share,
+       |       CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+       |FROM top""".stripMargin
+
   // ---- KMV (bottom-k) distinct sketch --------------------------------------
 
   /** Sketch size. Relative standard error ≈ 1/√(k−1) ≈ 12.6%. Sized so

@@ -206,12 +206,14 @@ object TextDedup {
    * the `CollectMetrics` node (that would change observed values), and
    * the sentinel branch guarantees a non-empty input, so AQE cannot
    * empty-propagate the metrics away. */
-  private[operators] def observeDrops(result: DataFrame, metricName: String): DataFrame =
+  private[operators] def observeDrops(result: DataFrame, metricName: String,
+                                      discCol: String = "id_a",
+                                      countCol: String = "id_b"): DataFrame =
     result
       .observe(metricName,
-        max(when(isSentinel && col("id_a") === SentinelOversizeBuckets, col("id_b")))
+        max(when(isSentinel && col(discCol) === SentinelOversizeBuckets, col(countCol)))
           .as("oversize_buckets"),
-        max(when(isSentinel && col("id_a") === SentinelOversizeDocs, col("id_b")))
+        max(when(isSentinel && col(discCol) === SentinelOversizeDocs, col(countCol)))
           .as("oversize_docs"))
       .filter(!isSentinel)
       .drop("is_sentinel")

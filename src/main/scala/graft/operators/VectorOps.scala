@@ -429,20 +429,44 @@ object VectorOps {
    * pins the search join as an equi-join and forbids CartesianProduct);
    * the search itself is a plain equi-join on `cid`, shuffling only
    * probed lists. Output (query_id, neighbor_id, rank, sim). */
-  def annIvfTopK(embeddings: DataFrame): DataFrame = {
-    val stride = ivfStrideFor(corpusSize(embeddings))
-    val qn = quantized(embeddings).persist() // feeds centroids, assignment, queries
-    val cents = qn.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    // nearest centroid per vector: map-side arg-max over a struct — the
-    // broadcast join's output is still partitioned by the corpus scan, so
-    // the partial aggregate reduces N·C rows to N before any exchange
-    val assign = qn.crossJoin(broadcast(cents))
+  /** Nearest-centroid assignment (vec_id → cid) by cosine, smallest cid on
+   * ties: a map-side arg-max over a (sim, −cid) struct — the broadcast
+   * join's output is still partitioned by the corpus scan, so the partial
+   * aggregate reduces N·C rows to N before any exchange. Shared by the
+   * IVF index build and [[semanticDedup]]'s clustering stage. */
+  private def nearestCentroid(qn: DataFrame, cents: DataFrame): DataFrame =
+    qn.crossJoin(broadcast(cents))
       .select(col("vec_id"), struct(
         cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("sim"),
         (lit(0L) - col("cid")).as("ncid")).as("sc"))
       .groupBy("vec_id").agg(max("sc").as("m"))
       .select(col("vec_id"), (lit(0L) - col("m.ncid")).as("cid"))
+
+  /** Oracle CTE chain `params`/`cents`/`assign` shared by
+   * [[annIvfTopKSql]] and [[semanticDedupSql]]: the same derived stride,
+   * seed centroids, and rn=1 nearest-centroid pick (ORDER BY sim DESC,
+   * cid ASC ≡ the Spark struct-max on (sim, −cid)). Expects `qn` in
+   * scope. */
+  private def ivfAssignSql(table: String): String =
+    s"""params AS (SELECT GREATEST($IvfCentroidStride,
+       |             (count(*) + ${IvfMaxCentroids - 1}) // $IvfMaxCentroids) AS stride
+       |           FROM $table),
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
+       |          WHERE vec_id % (SELECT stride FROM params) = 0),
+       |assign AS (
+       |  SELECT vec_id, q, n2, cid FROM (
+       |    SELECT v.vec_id, v.q, v.n2, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cid ASC) AS rn
+       |    FROM qn v CROSS JOIN cents c)
+       |  WHERE rn = 1)""".stripMargin
+
+  def annIvfTopK(embeddings: DataFrame): DataFrame = {
+    val stride = ivfStrideFor(corpusSize(embeddings))
+    val qn = quantized(embeddings).persist() // feeds centroids, assignment, queries
+    val cents = qn.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val assign = nearestCentroid(qn, cents)
       .join(qn, "vec_id") // recover (q, n2) for the verify stage
     val queries = qn.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
@@ -467,18 +491,7 @@ object VectorOps {
 
   def annIvfTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
-       |params AS (SELECT GREATEST($IvfCentroidStride,
-       |             (count(*) + ${IvfMaxCentroids - 1}) // $IvfMaxCentroids) AS stride
-       |           FROM $table),
-       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
-       |          WHERE vec_id % (SELECT stride FROM params) = 0),
-       |assign AS (
-       |  SELECT vec_id, q, n2, cid FROM (
-       |    SELECT v.vec_id, v.q, v.n2, c.cid,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cid ASC) AS rn
-       |    FROM qn v CROSS JOIN cents c)
-       |  WHERE rn = 1),
+       |${ivfAssignSql(table)},
        |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq FROM qn
        |            WHERE vec_id % $QueryStride = 0),
        |probes AS (
@@ -497,6 +510,87 @@ object VectorOps {
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $IvfK""".stripMargin
+
+  // ---- 5. semantic dedup (cluster-then-prune, SemDeDup) --------------------
+
+  /** Cosine threshold and in-cluster candidate cap for [[semanticDedup]].
+   * The threshold matches [[NearDupSim]] (this corpus's planted near-dups
+   * sit above 0.4; a production run at the paper's 0.95+ only shrinks the
+   * candidate mass). The cap bounds the in-cluster pair expansion exactly
+   * as every text dedup bounds its signature buckets. */
+  val SemDedupSim: Double = NearDupSim
+  val SemMaxBucket = 256
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+   * cluster the corpus by embedding, compare cosine only WITHIN a
+   * cluster, and keep one representative of every group of semantic
+   * duplicates. This is the cluster-then-prune complement to the pairwise
+   * [[embeddingNearDup]]: instead of emitting the near-dup PAIRS it emits
+   * a per-vector verdict — `(vec_id, cid, keep)` where `keep` is false
+   * iff some SMALLER-id vector in the same cluster has cosine ≥
+   * [[SemDedupSim]] (the deterministic stand-in for the paper's
+   * keep-one-per-ε-ball; smallest id survives, matching every other dedup
+   * family here). `filter($"keep")` IS the deduplicated corpus.
+   *
+   * Clustering reuses the IVF coarse index verbatim: the same
+   * corpus-size-derived centroid stride ([[ivfStrideFor]], broadcast side
+   * hard-capped at [[IvfMaxCentroids]] rows), the same N·C one-off
+   * assignment, the same (sim, −cid) arg-max. Candidate pairs ride
+   * [[TextDedup.boundedBucketPairs]] on the cluster id — ONE groupBy
+   * shuffle, per-cluster pair expansion hard-capped at [[SemMaxBucket]]
+   * postings with oversize drops surfacing as observed metrics
+   * (`graft_semdedup_buckets`) — and only in-cluster candidates pay the
+   * exact-cosine verify. Documented approximation (the paper's own
+   * trade, mirrored exactly by the oracle): a qualifying pair straddling
+   * a cluster boundary is missed — cross-cluster recall is what
+   * [[embeddingNearDup]]'s data-independent hyperplane bands provide. */
+  def semanticDedup(embeddings: DataFrame): DataFrame = {
+    val stride = ivfStrideFor(corpusSize(embeddings))
+    val qn = quantized(embeddings).persist() // feeds centroids, assignment, verify
+    val cents = qn.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    // persist: the N·C assignment feeds BOTH the candidate postings and
+    // the final verdict join — without it the most expensive stage runs
+    // twice (boundedBucketPairs' own persist only covers the pair branch)
+    val assign = nearestCentroid(qn, cents).persist()
+    val postings = assign.select(col("vec_id").as("doc_id"), col("cid"))
+    val staged = TextDedup.boundedBucketPairs(postings, "cid", 2, SemMaxBucket)
+    val dropped = staged.filter(!TextDedup.isSentinel)
+      .select(col("id_a"), col("id_b"))
+      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
+      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), "id_b")
+      .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= SemDedupSim)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    val verdict = assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("keep"))
+    val sentinels = staged.filter(TextDedup.isSentinel)
+      .select(col("id_a").as("vec_id"), col("id_b").as("cid"),
+        lit(null).cast("boolean").as("keep"), col("is_sentinel"))
+    TextDedup.observeDrops(
+      verdict.withColumn("is_sentinel", lit(false)).unionByName(sentinels),
+      "graft_semdedup_buckets", discCol = "vec_id", countCol = "cid")
+  }
+
+  /** Oracle: the shared [[ivfAssignSql]] CTEs, [[TextDedup.boundedSql]]'s
+   * identical bucket cap on the cluster id, the same in-cluster
+   * smaller-id pair qualification, and a LEFT JOIN verdict. */
+  def semanticDedupSql(table: String): String =
+    s"""WITH ${quantizedSql(table)},
+       |${ivfAssignSql(table)},
+       |postings AS (SELECT vec_id AS doc_id, cid FROM assign),
+       |bok AS ${TextDedup.boundedSql("postings", "cid", SemMaxBucket)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bok a JOIN bok b ON a.cid = b.cid AND a.doc_id < b.doc_id),
+       |dropped AS (
+       |  SELECT DISTINCT c.id_b AS vec_id
+       |  FROM cand c
+       |  JOIN qn a ON a.vec_id = c.id_a
+       |  JOIN qn b ON b.vec_id = c.id_b
+       |  WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $SemDedupSim)
+       |SELECT s.vec_id AS vec_id, s.cid AS cid, (d.vec_id IS NULL) AS keep
+       |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
 
   def annLshTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},

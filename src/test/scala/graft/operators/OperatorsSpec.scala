@@ -99,6 +99,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       "near-dup candidate stage must be an equi-join on the band key")
   }
 
+  test("key-skew profile: heavy hitters ranked with exact shares, top-N bounded") {
+    import spark.implicits._
+    // key 7 five times, key 3 three times, keys 10..17 once each = 16 rows
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(3L) ++ (10L to 17L)).toDF("k")
+    val out = Relational.keySkew(df, "k", topN = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(7L, 3L, 10L), "count desc, key asc")
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 3L, 1L))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(5.0 / 16, 3.0 / 16, 1.0 / 16))
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("semantic dedup: keep verdict matches brute in-cluster pruning exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.semanticDedup(emb).collect()
+    assert(out.length === emb.count(), "one verdict row per corpus vector")
+    val cid = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // expected: drop b iff some a<b in b's cluster has cosine >= threshold
+    // (no cluster exceeds the bucket cap at this scale, so the match is
+    // exact, not a recall bound — SemDedupSim == NearDupSim lets the
+    // brute near-dup pair set serve as the ground truth)
+    val brute = VectorOps.embeddingNearDupBrute(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedDropped = brute.collect { case (a, b) if cid(a) == cid(b) => b }
+    assert(expectedDropped.nonEmpty, "sf0.001 has planted in-cluster near-dups")
+    keep.foreach { case (v, k) =>
+      assert(k === !expectedDropped.contains(v), s"vec $v: keep=$k")
+    }
+    // every cluster with any drop still retains a keeper (SemDeDup keeps
+    // one representative per duplicate group, never empties a cluster)
+    expectedDropped.map(cid).foreach { c =>
+      assert(keep.exists { case (v, k) => k && cid(v) == c }, s"cluster $c emptied")
+    }
+  }
+
   test("near-dup band width derives from corpus size, clamped, table-backed") {
     // R = ceil(log2(ceil(n/256))) clamped to [2, 6] — the key cardinality
     // (B * 2^R) must grow with the corpus for the 100x story

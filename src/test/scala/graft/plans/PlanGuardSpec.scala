@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, SparkTestHarness}
@@ -30,17 +32,46 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
   /** Nodes that enumerate cross-products; fatal at scale. */
   private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
   private val whitelist = Set("ann_brute_topk")
-  /** name -> max BroadcastNestedLoopJoin nodes tolerated (cartesians never). */
-  private val bnljBudget = Map("ann_ivf_topk" -> 2)
+  /** name -> max BroadcastNestedLoopJoin nodes tolerated (cartesians never).
+   * semantic_dedup reuses IVF's N·C assignment build (one nested loop
+   * against the bounded centroid set — no probe stage). */
+  private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1)
+
+  /** Structural node count: one PHYSICAL instance counts once. A plain
+   * `toString` regex over-counts shared persisted subtrees (the printer
+   * re-expands an `InMemoryRelation`'s cached plan at every reference —
+   * semantic_dedup's single N·C build printed 7×), so this walks the
+   * tree instead: through the AQE wrapper, into each distinct cached
+   * relation exactly once (identity-deduped), and into expression
+   * subqueries. */
+  private def countNodes(root: SparkPlan, name: String): Int = {
+    val seenCached = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def walk(p: SparkPlan): Int = {
+      val here = if (p.nodeName.contains(name)) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case s: InMemoryTableScanExec =>
+          // dedupe on the cachedPlan: the cache manager hands each
+          // reference a fresh InMemoryRelation instance (newInstance()
+          // for fresh attribute ids) over the SAME underlying plan
+          if (seenCached.add(s.relation.cachedPlan)) Seq(s.relation.cachedPlan) else Nil
+        case _ => p.children
+      }
+      here + (kids ++ p.subqueries).map(walk).sum
+    }
+    walk(root)
+  }
 
   test("no query plans a cartesian or nested-loop join (whitelist: ann_brute_topk)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (whitelist(name)) None
       else {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val plan = fn(spark, dir).queryExecution.executedPlan
         val budget = bnljBudget.getOrElse(name, 0)
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-        val hit = (if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        val bnlj = countNodes(plan, "BroadcastNestedLoopJoin")
+        val cart = countNodes(plan, "CartesianProduct")
+        val hit = (if (cart > 0) Seq("CartesianProduct") else Nil) ++
           (if (bnlj > budget) Seq(s"BroadcastNestedLoopJoin x$bnlj (budget $budget)") else Nil)
         if (hit.nonEmpty) Some(s"$name: ${hit.mkString(", ")}") else None
       }
