@@ -187,6 +187,38 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("adversarial: semantic dedup caps the mega-cluster, keeps every vector") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed = Map.empty[String, org.apache.spark.sql.Row]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        observed ++= qe.observedMetrics
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 300 identical vectors: centroid ties resolve to cid 0, the ONE
+      // cluster's posting bucket (300 > SemMaxBucket) is dropped before
+      // pair expansion, and the sentinel counts ride the verdict union —
+      // so every vector keeps (dup mass belongs to the exact pre-pass)
+      val emb = spark.range(300).select(col("id").as("vec_id"),
+        typedLit(Array.fill(VectorOps.Dim)(0.5f)).as("embedding"))
+      val out = VectorOps.semanticDedup(emb).collect()
+      assert(out.length === 300)
+      assert(out.forall(_.getLong(1) === 0L), "ties assign to the smallest cid")
+      assert(out.forall(_.getBoolean(2)), "capped cluster must not drop anyone")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!observed.contains("graft_semdedup_buckets") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(observed.contains("graft_semdedup_buckets"),
+        s"drop metrics never surfaced; observed keys: ${observed.keySet}")
+      val m = observed("graft_semdedup_buckets")
+      assert(m.getAs[Long]("oversize_buckets") === 1L)
+      assert(m.getAs[Long]("oversize_docs") === 300L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("adversarial: 500 identical docs drop the mega-bucket, drops observed") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
