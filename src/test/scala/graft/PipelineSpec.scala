@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, DedupClusters, TextDedup}
+import graft.operators.{Corpus, DedupClusters, TextDedup, VectorOps}
 import graft.sources.Tables
 
-/** The README's "training-data pipeline in five lines", run end-to-end as
+/** The README's "training-data pipeline in six lines", run end-to-end as
  * one composition — each operator is oracle-checked alone, but THIS is
  * how a user actually strings them together, and a column-name or
  * contract drift between stages would pass every per-operator check
@@ -40,6 +40,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     val clean = Corpus.qualityFilter(deduped).filter(col("passes"))
       .select("doc_id").join(deduped, "doc_id")
     assert(clean.count() > 0 && clean.count() <= nDeduped)
+
+    // the embedding-view pass: semantic dedup's keep verdict composes by
+    // vec_id exactly like the text keepers compose by doc_id
+    val emb = Tables.embeddings(spark, dir)
+    val sem = VectorOps.semanticDedup(emb).filter(col("keep"))
+    assert(sem.count() > 0 && sem.count() < emb.count(),
+      "semantic dedup keeps a strict, non-empty subset at sf0.001")
 
     // rebalance + deterministic split over the cleaned corpus
     val split = Corpus.sampleSplit(Corpus.stratifiedSample(clean)
