@@ -42,8 +42,16 @@ object VectorOps {
   /** Cosine threshold for near-duplicate pairs (data tops out ~0.5 —
    * measured at sf0.01; planted near-dups sit above 0.4). */
   val NearDupSim = 0.4
-  /** Query subset stride and top-k sizes. */
+  /** Query subset stride, query-set budget, and top-k sizes. The query
+   * side of every ANN path is `vec_id % QueryStride == 0 AND vec_id <
+   * QueryStride * QueryBudget` — at most [[QueryBudget]] rows at ANY
+   * corpus size. A fraction-of-the-corpus query set (the pre-round-7
+   * `% stride` alone) made the brute baseline's broadcast grow linearly
+   * with the corpus — a guaranteed driver OOM at 100×; a fixed id budget
+   * keeps all three baselines runnable at any scale (and is a no-op at
+   * the shared test scales, whose ids stop well short of the cutoff). */
   val QueryStride = 50
+  val QueryBudget = 100
   val BruteK = 5
   val LshK = 3
   /** LSH bucket-key width (hyperplane count) floor, ceiling, and the
@@ -99,6 +107,15 @@ object VectorOps {
    * the two plans. */
   private def corpusSize(df: DataFrame): Long = df.count()
 
+  /** The bounded ANN query-set predicate (see [[QueryBudget]]) and its
+   * verbatim SQL mirror. */
+  private def queryBound: Column =
+    col("vec_id") % QueryStride === 0 &&
+      col("vec_id") < lit(QueryStride.toLong * QueryBudget)
+
+  private def queryBoundSql: String =
+    s"vec_id % $QueryStride = 0 AND vec_id < ${QueryStride.toLong * QueryBudget}"
+
   /** (vec_id, q, n2) projection — the one narrow map-side pass over the
    * corpus that everything else builds on. */
   private def quantized(embeddings: DataFrame): DataFrame =
@@ -143,26 +160,57 @@ object VectorOps {
    * (run exact dedup first); dropped with observed metrics. */
   val NearDupMaxBucket = 256
   val NearDupRecall = 0.9
-  val NearDupRowsMax = 6
+  /** Posting-amplification budget: a banding scheme indexes each vector
+   * into B buckets, so B is the multiplier on the one candidate shuffle.
+   * The deepest affordable R at a given threshold is the largest R whose
+   * recall-preserving band count B(R) fits this budget — the budget, not
+   * a compile-time constant, is what clamps R ([[bandRowsMaxFor]]). At
+   * this corpus's low 0.4 threshold (p ≈ 0.63, B grows ~1.6×/plane) the
+   * budget affords R = 8 → non-degenerate buckets to ~16M vectors; at a
+   * production c = 0.9 (p ≈ 0.86) it affords R = 24 → ~4×10⁹ vectors.
+   * Past the affordable R the hard [[NearDupMaxBucket]] cap still drops
+   * residual hot buckets with observed metrics. */
+  val BandBudget = 96
 
-  /** B(R) for R = 2..[[NearDupRowsMax]] at threshold [[NearDupSim]] /
-   * recall [[NearDupRecall]] — {2→5, 3→8, 4→14, 5→22, 6→36}. */
-  val NearDupBandTable: Map[Int, Int] = {
-    val p = 1.0 - math.acos(NearDupSim) / math.Pi
-    (2 to NearDupRowsMax).map { r =>
-      r -> math.ceil(math.log(1.0 - NearDupRecall) / math.log(1.0 - math.pow(p, r))).toInt
-    }.toMap
+  /** Banding table for an arbitrary cosine threshold: R → the minimal
+   * band count B reaching [[NearDupRecall]] at the threshold's per-plane
+   * agreement probability p = 1 − arccos(c)/π, i.e.
+   * B(R) = ⌈ln(1−recall)/ln(1−p^R)⌉ — for every R whose B fits
+   * [[BandBudget]]. Computed ONCE in Scala; callers splice the INTEGER
+   * entries into both engines' plans, so no arccos/ln ever evaluates
+   * cross-engine. At the default threshold this reproduces the pre-
+   * round-7 table {2→5, 3→8, 4→14, 5→22, 6→36} and extends it to 8. */
+  def bandTableFor(threshold: Double): Map[Int, Int] = {
+    require(threshold > 0.0 && threshold < 1.0, s"cosine threshold in (0,1): $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    Iterator.from(1)
+      .map { r =>
+        val bandMiss = 1.0 - math.pow(p, r)
+        r -> math.max(1,
+          math.ceil(math.log(1.0 - NearDupRecall) / math.log(bandMiss)).toInt)
+      }
+      .takeWhile(_._2 <= BandBudget)
+      .toMap
   }
+
+  /** Deepest R affordable at `threshold` under [[BandBudget]]. */
+  def bandRowsMaxFor(threshold: Double): Int = bandTableFor(threshold).keys.max
+
+  /** The table/clamp at the CHECKED query's threshold [[NearDupSim]]. */
+  val NearDupBandTable: Map[Int, Int] = bandTableFor(NearDupSim)
+  val NearDupRowsMax: Int = bandRowsMaxFor(NearDupSim)
 
   /** Hyperplanes per band for a corpus of `n` vectors: integer-exact
    * ceil(log2(ceil(n/target))) via bit-length (the
    * `TextDedup.simhashChunksFor` contract — the oracle's CEIL(LOG2(m))
    * derives the identical value for any m < 2^50), clamped to
-   * [2, [[NearDupRowsMax]]]. */
-  def nearDupRowsFor(n: Long, targetBucket: Int = NearDupTargetBucket): Int = {
+   * [2, `rowsMax`] — the caller passes the budget-derived clamp for its
+   * own threshold ([[bandRowsMaxFor]]). */
+  def nearDupRowsFor(n: Long, targetBucket: Int = NearDupTargetBucket,
+                     rowsMax: Int = NearDupRowsMax): Int = {
     val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket
     val w = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
-    math.max(2, math.min(NearDupRowsMax, w))
+    math.max(2, math.min(rowsMax, w))
   }
 
   /** Canonical plane pool: band j (0-based) always uses planes
@@ -187,20 +235,27 @@ object VectorOps {
     }: _*)
   }
 
-  /** Near-duplicate pairs with cosine ≥ [[NearDupSim]], candidates blocked
+  /** Near-duplicate pairs with cosine ≥ `threshold`, candidates blocked
    * by banded hyperplane LSH with corpus-derived (R, B) — see
-   * [[NearDupBandTable]]. Candidate generation is
-   * [[TextDedup.boundedBucketPairs]]: ONE groupBy shuffle on the band key
-   * with the [[NearDupMaxBucket]] cap enforced before any list is
-   * collected, oversize drops surfacing as observed metrics
-   * (`graft_embneardup_buckets`). Only in-bucket pairs pay the
-   * exact-cosine verify. Documented approximation (mirrored exactly by
-   * the oracle): a qualifying pair agreeing on no band is missed —
-   * 1 − recall ≈ 10% worst-case AT the threshold, much less above it.
-   * Output (id_a, id_b, sim), id_a < id_b. */
-  def embeddingNearDup(embeddings: DataFrame): DataFrame = {
-    val rows = nearDupRowsFor(corpusSize(embeddings))
-    val bands = NearDupBandTable(rows)
+   * [[bandTableFor]]. The threshold is the OPERATING POINT, not a
+   * constant: it fixes the per-plane agreement probability, hence the
+   * band table AND the deepest affordable R ([[bandRowsMaxFor]]) — the
+   * checked query runs at this corpus's measured [[NearDupSim]] = 0.4,
+   * a production crawl dedup at c ≥ 0.9 gets R up to 24 and
+   * non-degenerate buckets to ~4×10⁹ vectors from the same plane budget.
+   * Candidate generation is [[TextDedup.boundedBucketPairs]]: ONE
+   * groupBy shuffle on the band key with the [[NearDupMaxBucket]] cap
+   * enforced before any list is collected, oversize drops surfacing as
+   * observed metrics (`graft_embneardup_buckets`). Only in-bucket pairs
+   * pay the exact-cosine verify. Documented approximation (mirrored
+   * exactly by the oracle): a qualifying pair agreeing on no band is
+   * missed — 1 − recall ≈ 10% worst-case AT the threshold, much less
+   * above it. Output (id_a, id_b, sim), id_a < id_b. */
+  def embeddingNearDup(embeddings: DataFrame,
+                       threshold: Double = NearDupSim): DataFrame = {
+    val table = bandTableFor(threshold)
+    val rows = nearDupRowsFor(corpusSize(embeddings), rowsMax = table.keys.max)
+    val bands = table(rows)
     // persist: the narrow (id, q, n2) projection feeds band generation AND
     // both verify joins.
     val qn = quantized(embeddings).persist()
@@ -213,7 +268,7 @@ object VectorOps {
       .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
-      .filter(col("sim") >= NearDupSim)
+      .filter(col("sim") >= threshold)
     TextDedup.observeDrops(
       verified.withColumn("is_sentinel", lit(false))
         .unionByName(staged.filter(TextDedup.isSentinel)
@@ -264,25 +319,27 @@ object VectorOps {
   /** The exact all-pairs baseline the bucketed [[embeddingNearDup]] is
    * measured against (recall test in OperatorsSpec — NOT a checked query:
    * the O(n²) cartesian compare dies at 100× scale). */
-  private[graft] def embeddingNearDupBrute(embeddings: DataFrame): DataFrame = {
+  private[graft] def embeddingNearDupBrute(embeddings: DataFrame,
+                                           threshold: Double = NearDupSim): DataFrame = {
     val qn = quantized(embeddings)
     val a = qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na"))
     val b = qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
-      .filter(col("sim") >= NearDupSim)
+      .filter(col("sim") >= threshold)
   }
 
   // ---- 2. brute-force cosine top-k -----------------------------------------
 
-  /** Top-[[BruteK]] cosine neighbors for every stride-[[QueryStride]] query
-   * vector, self excluded; ties broken by neighbor id. The query side is
-   * tiny by construction → Spark broadcasts it and the corpus never
-   * shuffles; ranking shuffles only (query × k) candidate rows. */
+  /** Top-[[BruteK]] cosine neighbors for every query vector under the
+   * [[QueryBudget]] id bound, self excluded; ties broken by neighbor id.
+   * The query side is O(1) by construction (≤ [[QueryBudget]] rows at any
+   * corpus size) → the explicit broadcast is always safe and the corpus
+   * never shuffles; ranking shuffles only (query × k) candidate rows. */
   def annBruteTopK(embeddings: DataFrame): DataFrame = {
     val qn = quantized(embeddings)
-    val queries = qn.filter(col("vec_id") % QueryStride === 0)
+    val queries = qn.filter(queryBound)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
     val scored = broadcast(queries).join(qn, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -297,7 +354,7 @@ object VectorOps {
 
   def annBruteTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
-       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq FROM qn WHERE vec_id % $QueryStride = 0),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq FROM qn WHERE $queryBoundSql),
        |scored AS (
        |  SELECT query_id, c.vec_id AS neighbor_id,
        |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim
@@ -363,16 +420,16 @@ object VectorOps {
    * plan-time corpus count ([[lshPlanesFor]]), holding the expected
    * bucket at ≤ [[LshTargetBucket]] vectors, and buckets are probed
    * independently.
-   * No broadcast hint on the query side: it is a fixed FRACTION of the
-   * corpus (1/[[QueryStride]]), so a hint that is convenient at test scale
-   * is a guaranteed driver OOM at 100× — the bucket equi-join lets the
-   * planner broadcast below `autoBroadcastJoinThreshold` and fall back to
-   * a shuffle join (AQE picks shuffled-hash) beyond it.
+   * No broadcast hint on the query side: the [[QueryBudget]] bound keeps
+   * it O(1) so a hint WOULD be safe, but the bucket equi-join needs no
+   * forcing — the planner broadcasts below `autoBroadcastJoinThreshold`
+   * and falls back to a shuffle join (AQE picks shuffled-hash) when the
+   * user disables broadcast, which a hint would override.
    * Output (query_id, neighbor_id, rank, sim). */
   def annLshTopK(embeddings: DataFrame): DataFrame = {
     val planes = lshPlanesFor(corpusSize(embeddings))
     val qb = quantized(embeddings).withColumn("bucket", lshBucket(col("q"), planes))
-    val queries = qb.filter(col("vec_id") % QueryStride === 0)
+    val queries = qb.filter(queryBound)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("n2").as("nq"), col("bucket"))
     val scored = queries
@@ -397,21 +454,37 @@ object VectorOps {
    * identical query plan (assignment, probe, in-list search are unchanged
    * by centroid quality — only recall moves). */
   val IvfCentroidStride = 37
-  /** Hard ceiling on the centroid count: [[ivfStrideFor]] grows the
-   * stride once `corpus / IvfCentroidStride` would exceed this, keeping
-   * the only broadcast side bounded at any corpus size. */
-  val IvfMaxCentroids = 4096
+  /** Broadcast-byte budget on the centroid count, expressed in rows: a
+   * (cid, q[64], n2) centroid row is ~530 B, so 32768 rows ≈ 17 MB —
+   * comfortably broadcastable on any executor profile. Below the budget
+   * the centroid count scales with √n ([[ivfCentroidsFor]]): the classic
+   * IVF balance point where index-build cost (N·C) and per-probe list
+   * length (n/C) meet at n^1.5 / √n respectively — a FIXED 4096 ceiling
+   * (pre-round-7) made every probe list n/4096 rows, linear in the
+   * corpus, and made [[semanticDedup]]'s average cluster unbounded. */
+  val IvfCentroidBudget = 32768
   /** Centroid lists probed per query (`nprobe`). */
   val IvfProbes = 4
   val IvfK = 3
 
+  /** Centroid count for a corpus of `n` vectors: ⌈√n⌉ under the
+   * [[IvfCentroidBudget]] row cap. `sqrt` over an exact-in-double BIGINT
+   * (< 2^53) is a single correctly-rounded IEEE op — bit-identical in
+   * the JVM (`Math.sqrt` is required correctly rounded) and DuckDB
+   * (libm `sqrt`), so CEIL over it is integer-exact cross-engine, the
+   * same contract as the 3-IEEE-op [[cosine]]. */
+  def ivfCentroidsFor(n: Long): Long =
+    math.min(math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong,
+      IvfCentroidBudget.toLong)
+
   /** Centroid stride for a corpus of `n` vectors: the base stride until
-   * the centroid count would pass [[IvfMaxCentroids]], then grows
-   * linearly with the corpus. Integer-exact — mirrored verbatim by the
-   * oracle's GREATEST(stride, CEIL(n / maxC)) over the same count. */
-  def ivfStrideFor(n: Long): Long =
-    math.max(IvfCentroidStride.toLong,
-      (math.max(n, 1L) + IvfMaxCentroids - 1) / IvfMaxCentroids)
+   * the √n-scaled centroid count calls for a larger one. Integer-exact —
+   * mirrored verbatim by the oracle's
+   * GREATEST(stride, (n + c - 1) // c) over the same count. */
+  def ivfStrideFor(n: Long): Long = {
+    val c = ivfCentroidsFor(n)
+    math.max(IvfCentroidStride.toLong, (math.max(n, 1L) + c - 1) / c)
+  }
 
   /** Approximate top-[[IvfK]] by IVF-flat: each corpus vector is assigned
    * to its nearest centroid (inverted lists), a query scans only its
@@ -420,7 +493,7 @@ object VectorOps {
    * cluster structure — the standard trade (FAISS IVF-flat layout).
    *
    * Scale shape: the centroid set is the only broadcast — C =
-   * corpus / [[ivfStrideFor]](corpus), hard-capped at [[IvfMaxCentroids]]
+   * corpus / [[ivfStrideFor]](corpus), √n-scaled under [[IvfCentroidBudget]]
    * narrow rows because the stride is DERIVED from the corpus size (one
    * count at plan build, the [[TextDedup.simhashDedupAuto]] pattern, so
    * the plan the driver checks is the plan that runs at 100×); coarse
@@ -448,9 +521,11 @@ object VectorOps {
    * cid ASC ≡ the Spark struct-max on (sim, −cid)). Expects `qn` in
    * scope. */
   private def ivfAssignSql(table: String): String =
-    s"""params AS (SELECT GREATEST($IvfCentroidStride,
-       |             (count(*) + ${IvfMaxCentroids - 1}) // $IvfMaxCentroids) AS stride
-       |           FROM $table),
+    s"""params AS (SELECT GREATEST($IvfCentroidStride, (n + c - 1) // c) AS stride
+       |           FROM (SELECT count(*) AS n,
+       |                        LEAST(CAST(CEIL(SQRT(count(*))) AS BIGINT),
+       |                              $IvfCentroidBudget) AS c
+       |                 FROM $table)),
        |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
        |          WHERE vec_id % (SELECT stride FROM params) = 0),
        |assign AS (
@@ -468,7 +543,7 @@ object VectorOps {
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     val assign = nearestCentroid(qn, cents)
       .join(qn, "vec_id") // recover (q, n2) for the verify stage
-    val queries = qn.filter(col("vec_id") % QueryStride === 0)
+    val queries = qn.filter(queryBound)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(
@@ -493,7 +568,7 @@ object VectorOps {
     s"""WITH ${quantizedSql(table)},
        |${ivfAssignSql(table)},
        |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq FROM qn
-       |            WHERE vec_id % $QueryStride = 0),
+       |            WHERE $queryBoundSql),
        |probes AS (
        |  SELECT query_id, qq, nq, cid FROM (
        |    SELECT qu.query_id, qu.qq, qu.nq, c.cid,
@@ -534,7 +609,7 @@ object VectorOps {
    *
    * Clustering reuses the IVF coarse index verbatim: the same
    * corpus-size-derived centroid stride ([[ivfStrideFor]], broadcast side
-   * hard-capped at [[IvfMaxCentroids]] rows), the same N·C one-off
+   * √n-scaled under the [[IvfCentroidBudget]] row cap), the same N·C one-off
    * assignment, the same (sim, −cid) arg-max. Candidate pairs ride
    * [[TextDedup.boundedBucketPairs]] on the cluster id — ONE groupBy
    * shuffle, per-cluster pair expansion hard-capped at [[SemMaxBucket]]
@@ -601,7 +676,7 @@ object VectorOps {
        |        FROM $table)),
        |qb AS (SELECT vec_id, q, n2, substr(${lshBitsSql("q")}, 1, p) AS bucket
        |       FROM qn CROSS JOIN params),
-       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, bucket FROM qb WHERE vec_id % $QueryStride = 0),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, bucket FROM qb WHERE $queryBoundSql),
        |scored AS (
        |  SELECT query_id, c.vec_id AS neighbor_id,
        |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim

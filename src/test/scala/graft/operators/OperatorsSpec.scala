@@ -157,6 +157,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(VectorOps.lshPlanesFor(Long.MaxValue / 2) === VectorOps.LshPlanesMax)
   }
 
+  test("banding operating point: budget-derived R keeps buckets non-degenerate at scale") {
+    // the pre-round-7 compile-time clamp (R = 6) collapsed emb_neardup past
+    // ~100k vectors: every band had at most 64 keys, every bucket blew the
+    // 256-posting cap, and the operator emitted zero pairs. The clamp now
+    // derives from the plane BUDGET at the operating threshold.
+    assert(VectorOps.NearDupRowsMax === 8, "budget affords R = 8 at c = 0.4")
+    assert(VectorOps.NearDupBandTable(VectorOps.NearDupRowsMax) <= VectorOps.BandBudget)
+    // production operating point: c = 0.9 (p ~ 0.86) affords R up to 24,
+    // so million-to-billion-vector corpora derive an UNclamped R whose
+    // expected bucket stays under the posting cap — no coverage collapse
+    val t9 = VectorOps.bandTableFor(0.9)
+    val rMax9 = VectorOps.bandRowsMaxFor(0.9)
+    assert(rMax9 >= 22, s"plane budget must afford R >= 22 at c = 0.9, got $rMax9")
+    for (n <- Seq(1000000L, 1000000000L)) {
+      val r = VectorOps.nearDupRowsFor(n, rowsMax = rMax9)
+      assert(r < rMax9, s"n = $n must not hit the clamp at c = 0.9 (r = $r)")
+      assert(n.toDouble / (1L << r) <= VectorOps.NearDupTargetBucket,
+        s"n = $n: expected bucket ${n / (1L << r)} would be dropped — degenerate")
+      assert(t9(r) <= VectorOps.BandBudget)
+    }
+    // the parameterized entry point at the default threshold IS the checked
+    // query, and a tighter threshold yields a subset (its bands are a prefix
+    // of the default's plane pool, its verify bar is higher)
+    val emb = Tables.embeddings(spark, dir)
+    val atDefault = VectorOps.embeddingNearDup(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = VectorOps.embeddingNearDup(emb, VectorOps.NearDupSim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atDefault === explicit)
+    val tight = VectorOps.embeddingNearDup(emb, 0.44)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.nonEmpty, "sf0.001 has pairs above cosine 0.44 (measured 0.44-0.48)")
+    assert(tight.subsetOf(atDefault))
+  }
+
   test("adversarial: 300 identical embeddings drop the mega-bucket, drops observed") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
@@ -345,13 +380,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(sh.contains((-5L, -3L)), s"simhash too; got $sh")
   }
 
-  test("ivfStrideFor caps the centroid count at any corpus size") {
-    assert(VectorOps.ivfStrideFor(500L) === 37L)            // base stride
-    assert(VectorOps.ivfStrideFor(100000L) === 37L)         // C ~ 2.7k, under cap
-    val big = 1L << 30
+  test("ivfStrideFor scales the centroid count with sqrt(n) under the budget") {
+    assert(VectorOps.ivfStrideFor(500L) === 37L)      // base stride (sqrt asks for less)
+    assert(VectorOps.ivfCentroidsFor(1000000L) === 1000L)   // exactly sqrt(n)
+    assert(VectorOps.ivfStrideFor(1000000L) === 1000L)
+    // budget kicks in past IvfCentroidBudget^2 vectors; C stays bounded,
+    // so the broadcast side never grows past ~17 MB at ANY corpus size
+    val big = 1L << 40
+    assert(VectorOps.ivfCentroidsFor(big) === VectorOps.IvfCentroidBudget.toLong)
     val stride = VectorOps.ivfStrideFor(big)
-    assert(big / stride <= VectorOps.IvfMaxCentroids, "C must stay bounded")
+    assert(big / stride <= VectorOps.IvfCentroidBudget, "C must stay bounded")
     assert(stride >= VectorOps.IvfCentroidStride)
+    // per-probe list length is n/C = max(base, ~sqrt(n)) — at 1e9 that is
+    // ~31.6k rows per list, vs n/4096 = 244k under the pre-round-7 cap
+    assert(VectorOps.ivfStrideFor(1000000000L) === 31623L)
   }
 
   test("simhashChunksFor widens chunks as the corpus grows") {
