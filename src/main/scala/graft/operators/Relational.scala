@@ -292,11 +292,15 @@ object Relational {
 
   def keySkew(df: DataFrame, keyCol: String, topN: Int = SkewTopN): DataFrame = {
     val total = df.count()
+    // asc_nulls_last pins the tiebreak for NULL keys: Spark's bare ASC is
+    // NULLS FIRST, DuckDB's is NULLS LAST — a NULL key tied at the top-N
+    // boundary would otherwise rank differently per engine (the checked
+    // events.user_id is non-null, but keySkew is a generic helper)
     df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("key").asc).limit(topN)
+      .orderBy(col("n").desc, col("key").asc_nulls_last).limit(topN)
       .select(col("key"), col("n"),
         (col("n").cast("double") / lit(total).cast("double")).as("share"),
-        row_number().over(Window.orderBy(col("n").desc, col("key").asc))
+        row_number().over(Window.orderBy(col("n").desc, col("key").asc_nulls_last))
           .cast("bigint").as("rank"))
   }
 
@@ -307,10 +311,10 @@ object Relational {
 
   def eventKeySkewSql: String =
     s"""WITH counts AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
-       |top AS (SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT $SkewTopN)
+       |top AS (SELECT key, n FROM counts ORDER BY n DESC, key ASC NULLS LAST LIMIT $SkewTopN)
        |SELECT key, n,
        |       CAST(n AS DOUBLE) / CAST((SELECT count(*) FROM events) AS DOUBLE) AS share,
-       |       CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+       |       CAST(row_number() OVER (ORDER BY n DESC, key ASC NULLS LAST) AS BIGINT) AS rank
        |FROM top""".stripMargin
 
   // ---- KMV (bottom-k) distinct sketch --------------------------------------

@@ -595,6 +595,53 @@ object VectorOps {
    * as every text dedup bounds its signature buckets. */
   val SemDedupSim: Double = NearDupSim
   val SemMaxBucket = 256
+  /** Expected-size target a sub-divided cluster bucket aims for — the
+   * width derivation splits a cluster of m vectors into 2^s sub-buckets
+   * with s = ⌈log2(⌈m/target⌉)⌉, so the expected sub-bucket lands at or
+   * under the target while clusters that already fit UNDER THE HARD CAP
+   * get s = 0 (one exact bucket, no recall loss; the s = 0 cut-off is
+   * the cap, not this target — see [[semWidthSql]]). The target is HALF
+   * the [[SemMaxBucket]] hard cap deliberately: sign bits of the pool's
+   * fixed ±1 hyperplanes are pairwise correlated (overlap ~±√d/d), so
+   * real sub-bucket sizes skew up to ~2× the uniform expectation —
+   * measured 258 vs 134 expected on a 1071-vector cluster — and a target
+   * equal to the cap would push every skewed bucket into the drop path.
+   * Halving buys the 2× headroom so the cap only clips genuine outlier
+   * buckets. */
+  val SemTargetBucket = 128
+
+  private lazy val semBandTable: Map[Int, Int] = bandTableFor(SemDedupSim)
+  private lazy val semRowsMax: Int = bandRowsMaxFor(SemDedupSim)
+
+  /** Per-cluster sub-band width as a shared expression string: DuckDB and
+   * Spark SQL differ only in the integer-division operator, so the ONE
+   * string (modulo `intDiv`) is the cross-engine contract — the
+   * CEIL(LOG2(m)) ≡ bit-length equivalence is the established
+   * `simhashChunksFor` contract (exact for m < 2^50). */
+  private def semWidthSql(csize: String, intDiv: String): String = {
+    val m = s"(($csize + ${SemTargetBucket - 1}) $intDiv $SemTargetBucket)"
+    s"(CASE WHEN $csize <= $SemMaxBucket THEN 0 ELSE LEAST($semRowsMax, " +
+      s"GREATEST(1, CAST(CEIL(LOG2($m)) AS INT))) END)"
+  }
+
+  /** Band count for a sub-band width column — the [[bandTableFor]]
+   * INTEGER entries as a CASE, identical text on both engines; width 0
+   * (cluster fits) means one exact band. */
+  private def semBandCaseSql(s: String): String =
+    s"(CASE $s " +
+      (1 to semRowsMax).map(r => s"WHEN $r THEN ${semBandTable(r)}").mkString(" ") +
+      " ELSE 1 END)"
+
+  /** Scala twin of [[semWidthSql]] — used only to size the PLAN-TIME
+   * hyperplane prefix (the worst case is one cluster holding the whole
+   * corpus, so row-level widths never exceed this). */
+  private[operators] def semSubWidthFor(csize: Long): Int =
+    if (csize <= SemMaxBucket) 0
+    else {
+      val m = (csize + SemTargetBucket - 1) / SemTargetBucket
+      math.min(semRowsMax,
+        math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(m - 1)))
+    }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
    * cluster the corpus by embedding, compare cosine only WITHIN a
@@ -605,22 +652,38 @@ object VectorOps {
    * iff some SMALLER-id vector in the same cluster has cosine ≥
    * [[SemDedupSim]] (the deterministic stand-in for the paper's
    * keep-one-per-ε-ball; smallest id survives, matching every other dedup
-   * family here). `filter($"keep")` IS the deduplicated corpus.
+   * family here). Chain note: the rule is pairwise on ids, not
+   * keeper-anchored — in a transitive chain a~b, b~c with a≁c, vector c
+   * is still dropped by b even though b itself was dropped by a, so a
+   * dropped vector can prune a neighbor that is no near-dup of any KEPT
+   * vector (slightly more aggressive than the paper's one-per-ε-ball).
+   * `filter($"keep")` IS the deduplicated corpus.
    *
    * Clustering reuses the IVF coarse index verbatim: the same
    * corpus-size-derived centroid stride ([[ivfStrideFor]], broadcast side
    * √n-scaled under the [[IvfCentroidBudget]] row cap), the same N·C one-off
-   * assignment, the same (sim, −cid) arg-max. Candidate pairs ride
-   * [[TextDedup.boundedBucketPairs]] on the cluster id — ONE groupBy
-   * shuffle, per-cluster pair expansion hard-capped at [[SemMaxBucket]]
-   * postings with oversize drops surfacing as observed metrics
-   * (`graft_semdedup_buckets`) — and only in-cluster candidates pay the
-   * exact-cosine verify. Documented approximation (the paper's own
+   * assignment, the same (sim, −cid) arg-max. Candidate buckets compose
+   * the cluster id with a PER-CLUSTER hyperplane sub-band
+   * ([[semWidthSql]]): a cluster that fits [[SemTargetBucket]] keeps one
+   * exact bucket (width 0 — no recall loss), an oversize cluster is
+   * sub-divided into 2^s sign-bit buckets × B(s) recall-preserving bands
+   * from the canonical plane pool, so expected bucket size targets
+   * [[SemTargetBucket]] at ANY corpus size — under the pre-round-7
+   * cid-only key every √n-sized cluster blew the posting cap past ~10⁶
+   * vectors and the operator degenerated to keep-everything. Pairs ride
+   * [[TextDedup.boundedBucketPairs]] on the composite key — ONE groupBy
+   * shuffle, hard-capped at [[SemMaxBucket]] postings with residual
+   * oversize drops surfacing as observed metrics
+   * (`graft_semdedup_buckets`) — and only in-bucket candidates pay the
+   * exact-cosine verify. Documented approximations (each the paper's own
    * trade, mirrored exactly by the oracle): a qualifying pair straddling
    * a cluster boundary is missed — cross-cluster recall is what
-   * [[embeddingNearDup]]'s data-independent hyperplane bands provide. */
+   * [[embeddingNearDup]]'s data-independent hyperplane bands provide —
+   * and within an OVERSIZE cluster the sub-bands recall
+   * [[NearDupRecall]] of qualifying pairs rather than all of them. */
   def semanticDedup(embeddings: DataFrame): DataFrame = {
-    val stride = ivfStrideFor(corpusSize(embeddings))
+    val n = corpusSize(embeddings)
+    val stride = ivfStrideFor(n)
     val qn = quantized(embeddings).persist() // feeds centroids, assignment, verify
     val cents = qn.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
@@ -628,8 +691,27 @@ object VectorOps {
     // the final verdict join — without it the most expensive stage runs
     // twice (boundedBucketPairs' own persist only covers the pair branch)
     val assign = nearestCentroid(qn, cents).persist()
-    val postings = assign.select(col("vec_id").as("doc_id"), col("cid"))
-    val staged = TextDedup.boundedBucketPairs(postings, "cid", 2, SemMaxBucket)
+    // per-cluster sub-band parameters: ONE count aggregate over the
+    // assignment, ≤ centroid-count rows — always broadcastable
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("csize"))
+      .withColumn("s", expr(semWidthSql("csize", "DIV")))
+      .withColumn("b", expr(semBandCaseSql("s")))
+    // sign-bit prefix sized by the PLAN-TIME worst case (one cluster =
+    // the whole corpus); only rows of oversize clusters evaluate it (the
+    // CASE short-circuits), so small-cluster corpora never pay a dot
+    val sMaxPlan = semSubWidthFor(n)
+    val bitsCol =
+      if (sMaxPlan == 0) lit("")
+      else concat(hyperplanesN(sMaxPlan * semBandTable(sMaxPlan)).map { h =>
+        when(dot(col("q"), typedLit(h.map(_.toLong))) >= 0, lit("1")).otherwise(lit("0"))
+      }: _*)
+    val postings = assign.join(qn, "vec_id")
+      .join(broadcast(sizes), "cid")
+      .withColumn("bits", when(col("s") > 0, bitsCol).otherwise(lit("")))
+      .select(col("vec_id").as("doc_id"), explode(expr(
+        "transform(sequence(0, b - 1), j -> concat(cast(cid as string), ':', " +
+          "cast(j as string), ':', substring(bits, j * s + 1, s)))")).as("bv"))
+    val staged = TextDedup.boundedBucketPairs(postings, "bv", 2, SemMaxBucket)
     val dropped = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
       .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
@@ -647,17 +729,37 @@ object VectorOps {
       "graft_semdedup_buckets", discCol = "vec_id", countCol = "cid")
   }
 
-  /** Oracle: the shared [[ivfAssignSql]] CTEs, [[TextDedup.boundedSql]]'s
-   * identical bucket cap on the cluster id, the same in-cluster
-   * smaller-id pair qualification, and a LEFT JOIN verdict. */
-  def semanticDedupSql(table: String): String =
+  /** Oracle: the shared [[ivfAssignSql]] CTEs, the same per-cluster
+   * width/band derivation over the same count ([[semWidthSql]] modulo the
+   * int-div operator), the full canonical plane pool substring'd by the
+   * SQL-derived width (the [[embeddingNearDupSql]] convention — unused
+   * suffix bits are harmless), [[TextDedup.boundedSql]]'s identical
+   * bucket cap on the composite key, the same in-bucket smaller-id pair
+   * qualification, and a LEFT JOIN verdict. */
+  def semanticDedupSql(table: String): String = {
+    val planes = hyperplanesN(semRowsMax * semBandTable(semRowsMax))
+    val bitStr = planes.map { h =>
+      val lit = h.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum([q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
     s"""WITH ${quantizedSql(table)},
        |${ivfAssignSql(table)},
-       |postings AS (SELECT vec_id AS doc_id, cid FROM assign),
-       |bok AS ${TextDedup.boundedSql("postings", "cid", SemMaxBucket)},
+       |sizes AS (SELECT cid, count(*) AS csize FROM assign GROUP BY 1),
+       |widths AS (SELECT cid, s, ${semBandCaseSql("s")} AS b FROM
+       |           (SELECT cid, ${semWidthSql("csize", "//")} AS s FROM sizes)),
+       |bits AS (SELECT vec_id, $bitStr AS bs
+       |         FROM assign JOIN widths USING (cid) WHERE s > 0),
+       |postings AS (
+       |  SELECT a.vec_id AS doc_id,
+       |         unnest([CAST(a.cid AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR) || ':' ||
+       |                 substr(coalesce(bt.bs, ''), (j - 1) * w.s + 1, w.s)
+       |                 for j in range(1, w.b + 1)]) AS bv
+       |  FROM assign a JOIN widths w USING (cid)
+       |  LEFT JOIN bits bt ON bt.vec_id = a.vec_id),
+       |bok AS ${TextDedup.boundedSql("postings", "bv", SemMaxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bok a JOIN bok b ON a.cid = b.cid AND a.doc_id < b.doc_id),
+       |  FROM bok a JOIN bok b ON a.bv = b.bv AND a.doc_id < b.doc_id),
        |dropped AS (
        |  SELECT DISTINCT c.id_b AS vec_id
        |  FROM cand c
@@ -666,6 +768,7 @@ object VectorOps {
        |  WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $SemDedupSim)
        |SELECT s.vec_id AS vec_id, s.cid AS cid, (d.vec_id IS NULL) AS keep
        |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
+  }
 
   def annLshTopKSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
