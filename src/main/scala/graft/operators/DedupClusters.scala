@@ -143,16 +143,24 @@ object DedupClusters {
    * rides a struct-max accumulator (map-side partial), never a window
    * sort — at 100 TB a cluster is small but cluster COUNT is huge, and a
    * partial-aggregating max beats a per-partition sort over the corpus. */
-  def keepers(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def keepers(docs: DataFrame, pairs: DataFrame): DataFrame =
+    keepersFromLabeled(assign(docs, pairs), docs)
+
+  /** [[keepers]] against an ALREADY-labeled corpus — the labeling-once
+   * composition path ([[Corpus.dedupPipeline]]): `labeled` is
+   * [[assign]]'s (doc_id, cluster_id) output, computed (and typically
+   * persisted) ONCE and shared with the leakage-safe split instead of
+   * re-running pair generation + connected components per consumer. */
+  def keepersFromLabeled(labeled: DataFrame, docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val labeled = assign(docs, pairs)
+    val lt = labeled
       .join(docs.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens")), "doc_id")
     // tie-break via bitwise NOT, not negation: ~id is monotonically
     // DECREASING in id and total on all longs (-Long.MinValue overflows —
     // wraps silently non-ANSI, throws under ANSI), so max(struct) picks
     // max n_tokens then min doc_id for any id domain
-    labeled.groupBy(col("cluster_id"))
+    lt.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         max(struct(col("n_tokens"), bitwise_not(col("doc_id")).as("not_id"))).as("best"))
       .filter(col("n_docs") >= 2)

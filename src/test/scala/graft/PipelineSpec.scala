@@ -59,4 +59,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
     assert(bySplit.values.sum === Corpus.stratifiedSample(clean).count(),
       "split partitions the sampled corpus exactly")
   }
+
+  test("dedup pipeline labels once: keepers and split share one persisted labeling") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = Tables.documents(spark, dir)
+    val (labeled, keep, split) = Corpus.dedupPipeline(docs)
+    try {
+      assert(labeled.storageLevel.useMemory, "labeling must be persisted")
+      labeled.count() // populate the cache before inspecting consumers
+      // both consumers must read the SAME cached labeling: the cache
+      // manager hands each reference a fresh InMemoryRelation instance
+      // over the SAME underlying cached plan, so identity on cachedPlan
+      // proves one shared materialization (the PlanGuardSpec convention)
+      def cached(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r.cachedPlan }
+      val kc = cached(keep)
+      val sc = cached(split)
+      assert(kc.nonEmpty && sc.nonEmpty, "consumers must read the cached labeling")
+      assert(kc.exists(p => sc.exists(_ eq p)),
+        "keepers and split must share ONE cached labeling")
+      // ...and NO shingle/minhash stage survives outside the cache: the
+      // plans above the cached scan are join+agg / pure projection only
+      // (InMemoryRelation is a leaf — collect does not descend into it)
+      Seq("keepers" -> keep, "split" -> split).foreach { case (name, df) =>
+        val gen = df.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+        }
+        assert(gen.isEmpty, s"$name re-runs a generator stage outside the cache")
+      }
+      // value parity with the independent checked queries
+      val pairs = TextDedup.minhashLsh(docs)
+      val keepAlone = DedupClusters.keepers(docs, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(keep.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        === keepAlone)
+      val splitAlone = Corpus.clusterSafeSplit(DedupClusters.assign(docs, pairs))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      assert(split.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+        === splitAlone)
+    } finally labeled.unpersist()
+  }
 }
