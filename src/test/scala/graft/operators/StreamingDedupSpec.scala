@@ -101,6 +101,58 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("checkpoint stop/restart under RocksDB: bucket state and eviction " +
+       "survive recovery") {
+    // LJOT has stop/restart e2e coverage; this is the same guarantee for
+    // the streaming MinHash detector — the flatMapGroupsWithState bucket
+    // state (entries + maxEventTs) must be restored from the checkpoint
+    // by a NEW query instance, under the disk-backed provider the 100 TB
+    // story assumes, and the retention horizon must keep working on the
+    // restored state.
+    withStateProvider(RocksDbProvider) {
+      val ckpt = java.nio.file.Files.createTempDirectory("sdedup_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("sdedup_out").toString
+      val base = 1000000000L
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val in = MemoryStream[DocRec]
+      def start() = TextDedup.streamingMinhashCandidates(in.toDF(), Duration.ofSeconds(10))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      try {
+        in.addData(DocRec(1, text, new Timestamp(base)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      def pairs(): Set[(Long, Long)] =
+        spark.read.parquet(outDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val q2 = start()
+      try {
+        // doc 2 is identical and 1 s after doc 1 — it can ONLY pair if
+        // the pre-restart bucket entry for doc 1 was restored
+        in.addData(DocRec(2, text, new Timestamp(base + 1000)))
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"restarted query died: ${q2.exception}")
+        assert(pairs().contains((1L, 2L)),
+          "bucket state must survive the checkpoint restart")
+        // eviction on the RESTORED state: a minute of stream time later
+        // docs 1/2 are beyond the 10 s horizon and must not pair...
+        in.addData(DocRec(3, text, new Timestamp(base + 60000)))
+        q2.processAllAvailable()
+        // ...while state keeps accumulating normally after the restart
+        in.addData(DocRec(4, text, new Timestamp(base + 61000)))
+        q2.processAllAvailable()
+        val p = pairs()
+        assert(p.contains((3L, 4L)), "post-restart arrivals must keep pairing")
+        assert(!p.exists(pp => pp._2 == 3L && pp._1 < 3L),
+          s"pre-restart docs beyond the horizon must not pair; got $p")
+      } finally q2.stop()
+    }
+  }
+
   test("retention evicts: a doc outside the horizon no longer pairs") {
     val base = 1000000000L
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
