@@ -165,12 +165,28 @@ object Bench {
     val json = s"""{"metric":"total","value":${total.map(_.toString).getOrElse("null")},""" +
       s""""unit":"sec","completed":$completed,"queries":$qs,"samples":$sampleJson,""" +
       s""""failures":$failJson,"sf":"$rawSfDir"}"""
-    println(json)
+    // The driver records only a ~2 kB TAIL of stdout: the full-fidelity
+    // line above (full-precision doubles + per-sample telemetry) has
+    // never fit, so rounds 1-6 shipped a truncated, unparseable tail and
+    // readers had to fall back to the bench_out.json artifact. Print a
+    // COMPACT totals line (3-decimal medians, no samples — ~1.5 kB at 48
+    // queries) as the LAST stdout line so the tail always contains a
+    // standalone-parseable "metric":"total" record; the full JSON still
+    // goes to the artifact file.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qsCompact = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${total.map(fmt).getOrElse("null")},""" +
+      s""""unit":"sec","completed":$completed,"queries":$qsCompact,""" +
+      s""""failures":$failJson,"sf":"$rawSfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    println(compact)
     spark.stop()
   }
 }
