@@ -166,6 +166,9 @@ object SparkEntry {
     // corpus profiling: training-mixture table + vocabulary heavy hitters
     "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
+    "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
+    "tfidf_topk"          -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
@@ -247,6 +250,8 @@ object SparkEntry {
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
+    "budget_sample"       -> Corpus.budgetSampleSql("documents"),
+    "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),

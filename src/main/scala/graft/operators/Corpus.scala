@@ -448,6 +448,127 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  // ---- 3b. token-budget sampling -------------------------------------------
+
+  /** Salt decorrelating budget-priority buckets from split/sample uses. */
+  val BudgetSalt = "budget:"
+  /** Per-language token budget for the checked query — binds for every
+   * language of the shared corpus (smallest language mass ≈ 3.5k
+   * tokens), so both keeps and drops exercise at the oracle gate. */
+  val LangTokenBudget = 3000L
+
+  /** Token-budget-aware sampling: walk each language's documents in a
+   * deterministic content-addressed priority order (md5 bucket, then
+   * doc_id) and keep a document iff the language's token budget is not
+   * yet exhausted when its turn comes (`tokens-before-doc < budget` —
+   * kept docs form an order prefix since the running total is
+   * monotone). The standard "cap each language at N tokens" rebalance,
+   * append-stable like every split here.
+   *
+   * Scale shape: a naive per-language running sum is ONE window sort
+   * over the whole corpus — the dominant language lands in one sort
+   * partition. Instead the cumulative sum runs at TWO levels: per
+   * (lang, bucket) token sums first (a partial-aggregating groupBy —
+   * ≤ 256 rows per language), the bucket-level running total over that
+   * tiny relation, and a row-level sort ONLY inside the single boundary
+   * bucket that straddles the budget (~corpus/256 rows); every other
+   * bucket resolves to keep-all or drop-all by its bucket-level bounds
+   * alone. The oracle computes the equivalent single-level running sum
+   * — fine at oracle scale — over the same (bucket, doc_id) order.
+   * Output (doc_id, lang, n_tokens, keep). */
+  def budgetSample(docs: DataFrame, budget: Long = LangTokenBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      hashBucket("doc_id", BudgetSalt).as("pb"))
+    val bcum = base.groupBy(col("lang"), col("pb")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum_end", sum(col("bt")).over(
+        Window.partitionBy("lang").orderBy("pb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_start", col("cum_end") - col("bt"))
+      .select(col("lang"), col("pb"), col("cum_start"), col("cum_end"))
+    val j = base.join(bcum, Seq("lang", "pb"))
+    val out = Seq(col("doc_id"), col("lang"), col("n_tokens"), col("keep"))
+    // keep-all needs cum_end < budget STRICTLY: a zero-token doc at the
+    // exact budget edge belongs to the boundary bucket's row-level check
+    val keepAll = j.filter(col("cum_end") < budget)
+      .withColumn("keep", lit(true)).select(out: _*)
+    val dropAll = j.filter(col("cum_start") >= budget)
+      .withColumn("keep", lit(false)).select(out: _*)
+    val boundary = j.filter(col("cum_start") < budget && col("cum_end") >= budget)
+      .withColumn("start", col("cum_start") - col("n_tokens") +
+        sum(col("n_tokens")).over(
+          Window.partitionBy("lang", "pb").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep", col("start") < budget).select(out: _*)
+    keepAll.unionByName(dropAll).unionByName(boundary)
+  }
+
+  /** Oracle: the equivalent single-level running sum per language over
+   * the identical (bucket, doc_id) priority order. */
+  def budgetSampleSql(table: String, budget: Long = LangTokenBudget): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, ${TextSql.tokenCount("text")} AS n_tokens,
+       |         ${hashBucketSqlDuck("doc_id", BudgetSalt)} AS pb
+       |  FROM $table),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY pb, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM base)
+       |SELECT doc_id, lang, n_tokens, (cum - n_tokens) < $budget AS keep FROM c""".stripMargin
+
+  // ---- 3c. TF-IDF distinctive terms ----------------------------------------
+
+  /** Top terms per document. */
+  val TfIdfK = 3
+
+  /** Per-document top-[[TfIdfK]] distinctive terms by TF-IDF (the raw
+   * `tf · N/df` variant — monotone in any idf dampening for ranking
+   * purposes, and exactly computable cross-engine: `tf·N` is exact
+   * BIGINT, the single divide by `df` is one correctly-rounded IEEE op,
+   * so the emitted score hash-compares). Ties break on the term.
+   * Output (doc_id, term, tf, df, rank, score).
+   *
+   * Scale shape: tokenize→explode→(doc_id, term) count is the classic
+   * map-side-combining aggregate; document frequency is a second
+   * vocabulary-keyed aggregate OVER the tf relation (never re-reads the
+   * corpus); the join back is vocabulary × corpus-terms on the term key;
+   * the per-doc top-k is a rank window that WindowGroupLimit partials
+   * before the exchange. N comes from one plan-time count, the
+   * [[Relational.keySkew]] precedent, mirrored by the oracle's scalar
+   * subquery. */
+  def tfidfTopK(docs: DataFrame, k: Int = TfIdfK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfr, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * lit(nDocs)).cast("double") / col("df").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc))
+        .cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"), col("score"))
+  }
+
+  def tfidfTopKSql(table: String, k: Int = TfIdfK): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term FROM $table)
+       |  GROUP BY 1, 2),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         CAST(tf * (SELECT count(*) FROM $table) AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN dfr USING (term))
+       |SELECT doc_id, term, tf, df, rank, score FROM (
+       |  SELECT doc_id, term, tf, df, score,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   // ---- 4. benchmark decontamination ----------------------------------------
 
   /** Minimum shared sampled grams before a (train doc, benchmark doc)

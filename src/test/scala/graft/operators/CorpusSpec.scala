@@ -149,6 +149,78 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(Corpus.packBucketsFor(Long.MaxValue / 4) === Corpus.PackBucketsMax)
   }
 
+  test("budget sample: kept docs are a priority-order prefix per language") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.budgetSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === docs.count())
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val kept = rows.filter(_._4)
+      val dropped = rows.filterNot(_._4)
+      // 3000-token budget binds for every language of this corpus
+      assert(kept.nonEmpty && dropped.nonEmpty, s"$lang: budget must bind")
+      val keptTokens = kept.map(_._3).sum
+      // greedy prefix: the budget was not exhausted when each kept doc
+      // started, so the total overshoots by at most one document...
+      assert(keptTokens < Corpus.LangTokenBudget + rows.map(_._3).max,
+        s"$lang: kept $keptTokens")
+      // ...and the first dropped doc found it exhausted
+      assert(keptTokens >= Corpus.LangTokenBudget, s"$lang: kept only $keptTokens")
+    }
+    // deterministic: a second run reproduces the exact verdict set
+    val again = Corpus.budgetSample(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(again === out.map(r => (r._1, r._4)).toSet)
+  }
+
+  test("budget sample boundary: zero-token docs and exact-edge buckets agree " +
+       "with the single-level running sum") {
+    // tiny corpus engineered around the keep rule (tokens-before < B):
+    // doc ordering is (md5 bucket, doc_id) — recompute the rule naively
+    // and demand the two-level bucketed implementation matches exactly
+    val docs = spark.createDataFrame(
+      (0L until 40L).map(i => (i, if (i % 7 == 0) "" else "one two three four five")))
+      .toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    val budget = 23L // not a multiple of 5: lands mid-document
+    val out = Corpus.budgetSample(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // naive oracle: same priority order via the committed SQL contract
+    import spark.implicits._
+    val pb = docs.select(col("doc_id"),
+      conv(substring(md5(concat(lit(Corpus.BudgetSalt),
+        col("doc_id").cast("string")).cast("binary")), 1, 2), 16, 10).cast("int").as("pb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ordered = out.sortBy { case (id, _, _) => (pb(id), id) }
+    var cum = 0L
+    ordered.foreach { case (id, n, keep) =>
+      assert(keep === (cum < budget), s"doc $id at cum $cum")
+      cum += n
+    }
+  }
+
+  test("tfidf top-k ranks distinctive terms first, exact on crafted docs") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian"))).toDF("doc_id", "text")
+    // tuple: (doc_id, term, tf, df, rank, score)
+    val out = Corpus.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._5).toSeq).toMap
+    // doc 1: apple tf=2 df=1 -> 2*3/1 = 6.0 beats banana 1*3/2 = 1.5
+    assert(byDoc(1L).map(_._2) === Seq("apple", "banana"))
+    assert(byDoc(1L).head._6 === 6.0)
+    // doc 3: cherry 3*3/2 = 4.5 beats durian 1*3/1 = 3.0
+    assert(byDoc(3L).map(_._2) === Seq("cherry", "durian"))
+    // doc 2: banana and cherry tie at 1*3/2 = 1.5 -> term asc breaks it
+    assert(byDoc(2L).map(_._2) === Seq("banana", "cherry"))
+    assert(byDoc(2L).map(_._6) === Seq(1.5, 1.5))
+    // ranks are contiguous from 1 everywhere
+    byDoc.values.foreach(rows => assert(rows.map(_._5) === (1L to rows.length)))
+  }
+
   test("cluster-safe split: near-dup pairs never straddle train/test") {
     val docs = Tables.documents(spark, dir)
     val pairs = TextDedup.minhashLsh(docs)
