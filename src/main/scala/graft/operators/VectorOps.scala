@@ -705,13 +705,21 @@ object VectorOps {
       else concat(hyperplanesN(sMaxPlan * semBandTable(sMaxPlan)).map { h =>
         when(dot(col("q"), typedLit(h.map(_.toLong))) >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
-    val postings = assign.join(qn, "vec_id")
-      .join(broadcast(sizes), "cid")
-      .withColumn("bits", when(col("s") > 0, bitsCol).otherwise(lit("")))
+    // two posting branches so the common case stays NARROW: clusters that
+    // fit the cap (s = 0, ALL clusters at the shared scales) key straight
+    // off the assignment — no join against the wide quantized vectors —
+    // while only oversize-cluster rows pay the qn join + sign-bit bands
+    val withSz = assign.join(broadcast(sizes), "cid")
+    val small = withSz.filter(col("s") === 0)
+      .select(col("vec_id").as("doc_id"),
+        concat(col("cid").cast("string"), lit(":0:")).as("bv"))
+    val big = withSz.filter(col("s") > 0)
+      .join(qn, "vec_id")
+      .withColumn("bits", bitsCol)
       .select(col("vec_id").as("doc_id"), explode(expr(
         "transform(sequence(0, b - 1), j -> concat(cast(cid as string), ':', " +
           "cast(j as string), ':', substring(bits, j * s + 1, s)))")).as("bv"))
-    val staged = TextDedup.boundedBucketPairs(postings, "bv", 2, SemMaxBucket)
+    val staged = TextDedup.boundedBucketPairs(small.unionByName(big), "bv", 2, SemMaxBucket)
     val dropped = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
       .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
