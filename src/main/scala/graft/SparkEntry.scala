@@ -169,11 +169,15 @@ object SparkEntry {
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
     "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
     "tfidf_topk"          -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
+    // τ=0.5 temperature source-mixing weights (sqrt smoothing)
+    "mix_weights"         -> ((s, d) => Corpus.mixWeights(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
     "semantic_dedup"      -> ((s, d) => VectorOps.semanticDedup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
+    // kNN majority-vote auto-labeling over the bounded query set
+    "knn_label"           -> ((s, d) => VectorOps.knnLabel(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
     // multimodal plumbing
@@ -190,6 +194,8 @@ object SparkEntry {
     "orders_by_month"     -> ((s, d) => Relational.ordersByMonth(s, d)),
     "json_event_props"    -> ((s, d) => Relational.eventProps(s, d)),
     "window_running_rev"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    // gap-based sessionization (batch twin of the streaming session_window)
+    "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
     "rollup_customers"    -> ((s, d) => Relational.customerRollup(s, d)),
     "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
     // key-skew profile: heavy hitters on the flagship join key
@@ -252,9 +258,11 @@ object SparkEntry {
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
+    "mix_weights"         -> Corpus.mixWeightsSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
+    "knn_label"           -> VectorOps.knnLabelSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
@@ -269,6 +277,7 @@ object SparkEntry {
     "orders_by_month"     -> Relational.ordersByMonthSql,
     "json_event_props"    -> Relational.eventPropsSql,
     "window_running_rev"  -> Relational.runningRevenueSql,
+    "sessionize_events"   -> Relational.sessionizeEventsSql,
     "rollup_customers"    -> Relational.customerRollupSql,
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,

@@ -417,6 +417,56 @@ object Corpus {
        |         CAST(sum(${TextSql.tokenCountBpe("text")}) AS BIGINT) AS tokens_bpe
        |  FROM $table GROUP BY source, lang)""".stripMargin
 
+  // ---- temperature-scaled source mixing weights ------------------------------
+
+  /** Per-source sampling weights for temperature-rebalanced training
+   * mixes at τ = 0.5 (the sqrt smoothing of multilingual-pretraining
+   * practice: a source's sampling probability ∝ its natural share
+   * raised to τ, so head sources are down-weighted and tail sources
+   * up-weighted without the uniform-mix extreme). Emits RELATIVE
+   * weights anchored to the largest source rather than normalized
+   * shares: `weight = sqrt(tokens / tokens_max)` ∈ (0, 1] (the largest
+   * source gets exactly 1) and the per-document upsampling factor
+   * `boost = sqrt(tokens_max / tokens)` ≥ 1 — downstream samplers
+   * normalize however they batch. Output (source, n_docs, tokens,
+   * weight, boost).
+   *
+   * Determinism note (why relative, not normalized): normalizing needs
+   * Σ_s sqrt(tokens_s) — a float SUM whose value depends on addition
+   * order, which differs between engines. The anchored form needs only
+   * exact BIGINT token sums, one IEEE divide, and one IEEE sqrt per
+   * row — both correctly rounded, so the doubles hash-compare.
+   * Sources with zero tokens are dropped (their boost is unbounded and
+   * a source of empty documents has nothing to sample).
+   *
+   * Shape: a map-side-combining groupBy on `source` (a few hundred
+   * groups at ANY corpus size), then a single-row max broadcast onto
+   * the tiny grouped relation — no scale hazard anywhere. */
+  def mixWeights(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("tw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tw")).as("tokens"))
+      .filter(col("tokens") > 0)
+    val mx = counts.agg(max(col("tokens")).as("max_tokens"))
+    counts.crossJoin(broadcast(mx))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        sqrt(col("tokens").cast("double") / col("max_tokens").cast("double")).as("weight"),
+        sqrt(col("max_tokens").cast("double") / col("tokens").cast("double")).as("boost"))
+  }
+
+  def mixWeightsSql(table: String): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(${TextSql.tokenCount("text")}) AS BIGINT) AS tokens
+       |  FROM $table GROUP BY source),
+       |filtered AS (SELECT * FROM counts WHERE tokens > 0),
+       |p AS (SELECT max(tokens) AS max_tokens FROM filtered)
+       |SELECT source, n_docs, tokens,
+       |       sqrt(CAST(tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)) AS weight,
+       |       sqrt(CAST(max_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)) AS boost
+       |FROM filtered CROSS JOIN p""".stripMargin
+
   // ---- vocabulary heavy hitters ----------------------------------------------
 
   /** Result size for [[vocabTopK]]. */

@@ -240,6 +240,67 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- sessionization -------------------------------------------------------
+
+  /** Inactivity gap that closes a session: 30 minutes, in microseconds
+   * (the events table's timestamp resolution after the ns→µs truncation
+   * — see [[graft.sources.Tables.events]]). */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Gap-based sessionization — the batch twin of the streaming
+   * `session_window` aggregation in
+   * [[graft.streaming.StreamingOps]]: a user's events split into
+   * sessions wherever consecutive events are more than [[SessionGapUs]]
+   * apart, then each session aggregates to one row (user_id,
+   * session_id, n_events, session_start, session_end, total_value).
+   * `session_id` is 1-based in per-user time order.
+   *
+   * Shape: ONE shuffle on `user_id` serves both windows (the lag that
+   * detects gaps and the running sum that numbers sessions share the
+   * same partitioning and ordering) and the session aggregate — Spark
+   * plans a single Exchange followed by two Window operators and a
+   * partial-capable HashAggregate. Per-user event counts are bounded in
+   * any real event stream, so the per-partition sorts never spill
+   * corpus-scale data; `value` sums as exact DECIMAL (the stored
+   * doubles are 2-decimal prices with representation noise 11 digits
+   * below the (18,6) rounding position, so both engines round
+   * identically — the [[pricingSummary]] determinism note). */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
+  def sessionizeEventsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |              OR lag(epoch_us(ts)) OVER w IS NULL
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |       count(*) AS n_events,
+       |       min(ts) AS session_start, max(ts) AS session_end,
+       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   // ---- rollup --------------------------------------------------------------
 
   /** Customer counts with region/nation subtotals (ROLLUP). */

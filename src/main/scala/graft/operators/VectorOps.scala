@@ -365,6 +365,81 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= $BruteK""".stripMargin
 
+  // ---- 2b. kNN majority-vote labeling --------------------------------------
+
+  /** Neighbors consulted per query in [[knnLabel]]. */
+  val KnnK = 10
+
+  /** kNN auto-labeling: each query vector (the [[QueryBudget]]-bounded
+   * set) takes the majority label of its [[KnnK]] nearest labeled
+   * neighbors by exact cosine — the label-propagation / classifier-free
+   * auto-annotation step of an embedding-curated training pipeline
+   * (predict a quality/domain/topic tag for new vectors from the
+   * already-labeled corpus). Vote ties break to the SMALLEST label,
+   * neighbor-rank ties to the smallest neighbor id — fully ordered, so
+   * the result hash-compares cross-engine. Output (query_id, pred_label,
+   * votes, best_sim) where `best_sim` is the winning label's closest
+   * neighbor (an auditable confidence signal).
+   *
+   * Scale: the labeled corpus is scanned ONCE (label rides the quantize
+   * projection — no self-join) and never shuffles: queries broadcast
+   * (O(1) rows by construction), scoring is map-side, and
+   * WindowGroupLimit partials the rank-≤-k filter before the exchange,
+   * so the ranking shuffle carries ≤ queries × k rows per map task —
+   * the [[annBruteTopK]] shape with a vote aggregate (queries × ≤ k
+   * rows, trivially final) on top. For full-corpus labeling swap the
+   * scoring stage for [[annIvfTopK]]'s cell-local candidates; the vote
+   * stage is unchanged. */
+  def knnLabel(embeddings: DataFrame, k: Int = KnnK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val corpus = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+      .select(col("vec_id"), col("q"), norm2(col("q")).as("n2"), col("label"))
+    val queries = corpus.filter(queryBound)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
+    val topk = scored
+      .withColumn("rank", row_number().over(
+        W.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+    topk.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+      .withColumn("vr", row_number().over(
+        W.partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").cast("bigint").as("pred_label"),
+        col("votes"), col("best_sim"))
+  }
+
+  def knnLabelSql(table: String, k: Int = KnnK): String =
+    s"""WITH ${quantizedSql(table)},
+       |corpus AS (SELECT qn.vec_id, qn.q, qn.n2, e.label
+       |           FROM qn JOIN $table e USING (vec_id)),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq
+       |            FROM corpus WHERE $queryBoundSql),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, c.label,
+       |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim
+       |  FROM queries JOIN corpus c ON query_id <> c.vec_id),
+       |topk AS (
+       |  SELECT query_id, label, sim FROM (
+       |    SELECT query_id, label, sim,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k),
+       |votes AS (
+       |  SELECT query_id, label, count(*) AS votes, max(sim) AS best_sim
+       |  FROM topk GROUP BY query_id, label)
+       |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes, best_sim
+       |FROM (SELECT query_id, label, votes, best_sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY votes DESC, label ASC) AS vr
+       |      FROM votes)
+       |WHERE vr = 1""".stripMargin
+
   // ---- 3. LSH-bucketed ANN (the scale path) --------------------------------
 
   /** Deterministic ±1 hyperplanes: component (j, i) is +1 when the first

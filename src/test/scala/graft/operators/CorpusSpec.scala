@@ -260,4 +260,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("mix weights: largest source anchors at 1, sqrt smoothing lifts tails") {
+    val out = Corpus.mixWeights(Tables.documents(spark, dir)).collect()
+    assert(out.length > 1, "need several sources to rebalance")
+    val maxTokens = out.map(_.getLong(2)).max
+    out.foreach { r =>
+      val (t, w, b) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(t > 0)
+      assert(w === math.sqrt(t.toDouble / maxTokens), s"weight for $r")
+      assert(b === math.sqrt(maxTokens.toDouble / t), s"boost for $r")
+      assert(w > 0.0 && w <= 1.0 && b >= 1.0)
+      // sqrt smoothing: the relative weight never falls below the natural
+      // token ratio (tails are lifted toward the head, never pushed down)
+      assert(w >= t.toDouble / maxTokens - 1e-12)
+    }
+    assert(out.count(_.getDouble(3) == 1.0) >= 1, "anchor source present")
+  }
 }

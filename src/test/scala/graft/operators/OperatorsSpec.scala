@@ -540,6 +540,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("kNN labeling: majority vote over the true top-k, ties to smallest label") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.knnLabel(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (label, votes, bestSim) =>
+      assert(label >= 0 && votes >= 1 && votes <= VectorOps.KnnK)
+      assert(bestSim >= -1.0001 && bestSim <= 1.0001)
+    }
+    // driver-side reference: recount votes from the exact neighbor list.
+    // annBruteTopK returns BruteK rows; recompute with k = KnnK via a
+    // raw cosine pass over the collected vectors (sf0.001-sized).
+    val vecs = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (r.getLong(0), v, r.getInt(2))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.foreach { case (q, (pred, votes, _)) =>
+      val (_, qv, _) = byId(q)
+      val nq = qv.map(x => x * x).sum // exact BIGINT norm2, engine formula
+      val neigh = vecs.filter(_._1 != q).map { case (id, v, lab) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        (id, lab, dot.toDouble / math.sqrt(nq.toDouble * v.map(x => x * x).sum.toDouble))
+      }.sortBy { case (id, _, s) => (-s, id) }.take(VectorOps.KnnK)
+      val counted = neigh.groupBy(_._2).map { case (l, rs) => (l, rs.length) }
+      val (expLabel, expVotes) = counted.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(pred === expLabel.toLong, s"query $q")
+      assert(votes === expVotes.toLong, s"query $q")
+    }
+  }
+
   test("LSH ANN returns a subset of brute-force candidates per query") {
     val emb = Tables.embeddings(spark, dir)
     val brute = VectorOps.annBruteTopK(emb)
@@ -630,5 +661,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
         col("c_custkey") === col("o_custkey"), "left_semi").count()
     val without = Relational.customersWithoutOrders(spark, dir).count()
     assert(withOrders + without === c)
+  }
+
+  test("relational: sessionization splits exactly on >30min gaps") {
+    val out = Relational.sessionizeEvents(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // driver-side reference simulation over the raw events (sf0.001 only)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val times = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      var sid = 0L
+      var prev = Long.MinValue
+      val sizes = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      times.foreach { t =>
+        if (prev == Long.MinValue || t - prev > Relational.SessionGapUs) sid += 1
+        sizes(sid) = sizes.getOrElse(sid, 0L) + 1
+        prev = t
+      }
+      sizes.map { case (s, n) => (u, s) -> n }
+    }
+    assert(out === expected)
+    // every user's session ids are 1..max contiguous
+    out.keys.groupBy(_._1).foreach { case (u, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids === (1L to ids.max), s"user $u ids $ids")
+    }
   }
 }

@@ -34,8 +34,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
   private val whitelist = Set("ann_brute_topk")
   /** name -> max BroadcastNestedLoopJoin nodes tolerated (cartesians never).
    * semantic_dedup reuses IVF's N·C assignment build (one nested loop
-   * against the bounded centroid set — no probe stage). */
-  private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1)
+   * against the bounded centroid set — no probe stage). knn_label is the
+   * annBruteTopK shape: its one nested loop multiplies the corpus by the
+   * [[graft.operators.VectorOps.QueryBudget]]-bounded broadcast query
+   * set (O(1) rows at any corpus size). mix_weights crossJoins the tiny
+   * per-source relation with a SINGLE broadcast max row. */
+  private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1,
+    "knn_label" -> 1, "mix_weights" -> 1)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
