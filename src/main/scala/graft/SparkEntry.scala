@@ -169,6 +169,10 @@ object SparkEntry {
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
     "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
     "tfidf_topk"          -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
+    // collocation mining: corpus-wide bigram heavy hitters
+    "bigram_topk"         -> ((s, d) => Corpus.bigramTopK(Tables.documents(s, d))),
+    // per-language length-distribution outliers (exact-moment z-score)
+    "length_outliers"     -> ((s, d) => Corpus.lengthOutliers(Tables.documents(s, d))),
     // τ=0.5 temperature source-mixing weights (sqrt smoothing)
     "mix_weights"         -> ((s, d) => Corpus.mixWeights(Tables.documents(s, d))),
     // vector similarity
@@ -196,6 +200,14 @@ object SparkEntry {
     "window_running_rev"  -> ((s, d) => Relational.runningRevenue(s, d)),
     // gap-based sessionization (batch twin of the streaming session_window)
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
+    // staged conversion funnel (view -> click -> purchase, strictly ordered)
+    "funnel_stages"       -> ((s, d) => Relational.funnelStages(s, d)),
+    // per-type inter-arrival gap profile (lag window + rollup)
+    "interevent_gaps"     -> ((s, d) => Relational.intereventGaps(s, d)),
+    // wide cross-tab: languages x pinned source list, single agg pass
+    "doc_source_pivot"    -> ((s, d) => Relational.docSourcePivot(s, d)),
+    // CUBE subtotals over (status, priority)
+    "orders_cube"         -> ((s, d) => Relational.ordersCube(s, d)),
     "rollup_customers"    -> ((s, d) => Relational.customerRollup(s, d)),
     "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
     // key-skew profile: heavy hitters on the flagship join key
@@ -258,6 +270,8 @@ object SparkEntry {
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
+    "bigram_topk"         -> Corpus.bigramTopKSql("documents"),
+    "length_outliers"     -> Corpus.lengthOutliersSql("documents"),
     "mix_weights"         -> Corpus.mixWeightsSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
@@ -278,6 +292,10 @@ object SparkEntry {
     "json_event_props"    -> Relational.eventPropsSql,
     "window_running_rev"  -> Relational.runningRevenueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
+    "funnel_stages"       -> Relational.funnelStagesSql,
+    "interevent_gaps"     -> Relational.intereventGapsSql,
+    "doc_source_pivot"    -> Relational.docSourcePivotSql,
+    "orders_cube"         -> Relational.ordersCubeSql,
     "rollup_customers"    -> Relational.customerRollupSql,
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,

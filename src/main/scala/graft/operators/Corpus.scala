@@ -498,6 +498,91 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Result size for [[bigramTopK]]. */
+  val BigramK = 20
+
+  /** Corpus-wide bigram heavy hitters — the 2-gram extension of
+   * [[vocabTopK]]: collocation mining, boilerplate-phrase detection, and
+   * the count table a bigram LM smooths. Ties broken by bigram text so
+   * the k-set is total-ordered.
+   *
+   * Shape: tokenize once ([[TextFunctions.withTokens]] Generate
+   * barrier), pair each token with its successor INSIDE the array
+   * (`transform` over the n−1 prefix — 0-based `toks[i+1]` is the
+   * successor; no self-join, no per-token rows until the single
+   * explode), then the same vocabulary-keyed hash aggregate as
+   * vocabTopK: map-side combining shrinks the shuffle to the distinct-
+   * bigram relation, which Zipf-flattens far below corpus size, and the
+   * top-k is a TakeOrdered, never a global sort. */
+  def bigramTopK(docs: DataFrame, k: Int = BigramK): DataFrame =
+    TextFunctions.withTokens(docs.select(col("doc_id"), col("text")), "text", "toks")
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+
+  /** DuckDB mirror: lambdas cannot nest across an index capture, so the
+   * successor pairing is relational — unnest the 1..len−1 index range
+   * and index the SAME doc's list at i and i+1 (1-based in DuckDB). */
+  def bigramTopKSql(table: String, k: Int = BigramK): String =
+    s"""WITH tf AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |idx AS (SELECT doc_id, CAST(unnest(range(1, len(toks))) AS INT) AS i FROM tf),
+       |bg AS (SELECT concat(t.toks[x.i], ' ', t.toks[x.i + 1]) AS bigram
+       |       FROM idx x JOIN tf t ON t.doc_id = x.doc_id)
+       |SELECT bigram, count(*) AS n FROM bg
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
+
+  // ---- length-outlier flagging ---------------------------------------------
+
+  /** Z-score cut for [[lengthOutliers]]. */
+  val OutlierZ = 2.0
+
+  /** Documents whose length is a per-language statistical outlier
+   * (|z| ≥ [[OutlierZ]] against the language's length distribution) —
+   * the screen for truncated fragments and concatenation blobs that
+   * length-window filters with global constants miss on multilingual
+   * corpora (Chinese runs short in chars, German long).
+   *
+   * Shape: per-language moments from EXACT integer sums (count, Σx,
+   * Σx² as DECIMAL(38,0) — overflow-proof to ~10¹⁸ docs) — a partial
+   * aggregate to O(langs) rows, broadcast back over the scan; z is then
+   * a fixed sequence of correctly-rounded IEEE ops identical on both
+   * engines, so even the |z| ≥ cut boundary is deterministic. Two scans
+   * of the corpus, zero wide shuffles. */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val n = col("n").cast("double")
+    val mu = col("s1").cast("double") / n
+    val sigma = sqrt(col("s2").cast("double") / n - mu * mu)
+    val z = (x - mu) / sigma
+    val stats = docs.groupBy(col("lang").as("s_lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("s2"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(stats), col("lang") === col("s_lang"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= lit(OutlierZ))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
+  }
+
+  def lengthOutliersSql(table: String): String =
+    s"""WITH st AS (
+       |  SELECT lang AS s_lang, count(*) AS n, sum(n_chars) AS s1,
+       |         sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS s2
+       |  FROM $table GROUP BY lang)
+       |SELECT doc_id, lang, n_chars,
+       |       (CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |         / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+       |FROM $table JOIN st ON s_lang = lang
+       |WHERE abs((CAST(n_chars AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |         / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) >= $OutlierZ""".stripMargin
+
   // ---- 3b. token-budget sampling -------------------------------------------
 
   /** Salt decorrelating budget-priority buckets from split/sample uses. */

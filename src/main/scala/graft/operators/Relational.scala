@@ -448,4 +448,134 @@ object Relational {
        |               max(CASE WHEN rn = $KmvK THEN h END) AS hk
        |        FROM bot WHERE rn <= $KmvK GROUP BY event_type)
        |SELECT event_type, ${kmvEstimator.replace("\n", " ")} AS n_users_kmv FROM agg""".stripMargin
+
+  // ---- pivot (wide cross-tab) ----------------------------------------------
+
+  /** The document sources, pinned so [[docSourcePivot]] runs as a SINGLE
+   * aggregation pass: `pivot(col)` without explicit values launches a
+   * driver-side distinct-collect job first (and its column set would
+   * float with the data). */
+  val PivotSources: Seq[String] = (0 until 20).map(i => s"src$i")
+
+  /** Cross-tab of document counts, languages × sources — the reshape step
+   * of every mixture report. With the value list pinned this is one
+   * hash aggregate on `lang` (5 groups) whose buffer holds 20 counters —
+   * map-side combining reduces the shuffle to rows × sources, O(langs)
+   * rows total, at any corpus size. Absent combinations are 0 (not
+   * null) to match the oracle's `count(*) FILTER`. */
+  def docSourcePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("lang"), col("source"))
+      .groupBy(col("lang"))
+      .pivot("source", PivotSources)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotSources)
+
+  def docSourcePivotSql: String = {
+    val cols = PivotSources.map(v => s"count(*) FILTER (WHERE source = '$v') AS $v")
+    s"SELECT lang, ${cols.mkString(", ")} FROM documents GROUP BY lang"
+  }
+
+  // ---- cube (all grouping-set subtotals) -----------------------------------
+
+  /** Order counts and exact revenue with subtotals over EVERY subset of
+   * (status, priority) — CUBE. Spark expands the cube in one aggregate
+   * (grouping-set expansion rides the partial aggregate, so the shuffle
+   * carries ≤ 4× the 15 base groups, not 4× the input); revenue is
+   * summed as DECIMAL for cross-engine determinism, like every double
+   * aggregate here. */
+  def ordersCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+
+  def ordersCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---- funnel (staged sequential conversion) -------------------------------
+
+  /** Three-stage conversion funnel over the event stream: users who
+   * viewed, users who then clicked strictly after their first view, and
+   * users who then purchased strictly after that first qualifying click.
+   * The product-analytics staple (every "did the feature convert"
+   * dashboard) — and a sequence pattern the reference's per-key joiner
+   * could only express with three chained topologies.
+   *
+   * Shape: ONE shuffle on `user_id`, then three window passes over the
+   * same partitioning (Catalyst plans a single Exchange for all three
+   * `Window` nodes — each stage's first-qualifying timestamp is a
+   * conditional `min` over the user's partition referencing the previous
+   * stage's column), a per-user collapse riding the same partitioning,
+   * and a final all-to-one partial-aggregated count. Per-user state is
+   * three timestamps — no event list is ever materialized, so a user
+   * with millions of events costs the same as one with three. */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("vt", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("ct", min(when(col("event_type") === "click" && col("ts") > col("vt"),
+        col("ts"))).over(w))
+      .withColumn("pt", min(when(col("event_type") === "purchase" && col("ts") > col("ct"),
+        col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("vt")).as("uvt"), min(col("ct")).as("uct"), min(col("pt")).as("upt"))
+      .agg(count(col("uvt")).as("n_view"),
+        count(col("uct")).as("n_view_click"),
+        count(col("upt")).as("n_full_funnel"))
+  }
+
+  def funnelStagesSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS vt
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS ct
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS pt
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+      |SELECT (SELECT count(vt) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
+
+  // ---- inter-event gap profile (lag) ---------------------------------------
+
+  /** Per-type arrival-gap profile: for each event type, the count, mean
+   * and max of the gap between a user's consecutive events of that type.
+   * The cadence fingerprint that sizes session windows, rate limits and
+   * watermark delays (LJOT's Δ itself would be read off this table).
+   *
+   * Shape: one shuffle on (user, type), a `lag` window pass, then a
+   * partial-aggregated rollup to O(types) rows. Gaps are exact BIGINT
+   * microsecond differences; the mean is a single IEEE division at the
+   * end (sum and count stay exact), so both engines agree bitwise. */
+  def intereventGaps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(ord))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)).cast("double") / lit(1000000.0))
+          .as("avg_gap_s"),
+        (max(col("gap_us")).cast("double") / lit(1000000.0)).as("max_gap_s"))
+  }
+
+  def intereventGapsSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |       CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_gap_s,
+      |       CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin
 }

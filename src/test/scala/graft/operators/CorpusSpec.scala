@@ -277,4 +277,40 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(out.count(_.getDouble(3) == 1.0) >= 1, "anchor source present")
   }
+
+  test("bigram top-k matches a driver-side count over the same tokens") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.bigramTopK(docs).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === Corpus.BigramK)
+    val toks = docs.select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach { ts =>
+      ts.zip(ts.drop(1)).foreach { case (a, b) =>
+        val bg = s"$a $b"; counts(bg) = counts.getOrElse(bg, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (bg, n) => (-n, bg) }.take(Corpus.BigramK)
+    assert(out.toSeq === expected)
+  }
+
+  test("length outliers: exactly the docs with |z| >= cut, z from exact moments") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.lengthOutliers(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val all = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = all.groupBy(_._2)
+    val expected = all.flatMap { case (id, lang, x) =>
+      val xs = byLang(lang).map(_._3)
+      val n = xs.length.toDouble
+      val mu = xs.sum.toDouble / n
+      val v = xs.map(v => v.toDouble * v.toDouble).sum / n - mu * mu
+      val z = (x.toDouble - mu) / math.sqrt(v)
+      if (math.abs(z) >= Corpus.OutlierZ) Some(id -> z) else None
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    out.foreach { case (id, z) => assert(math.abs(z - expected(id)) < 1e-9, s"doc $id") }
+    assert(out.nonEmpty, "sf0.001 contains length outliers")
+  }
 }

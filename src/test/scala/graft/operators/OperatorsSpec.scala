@@ -690,4 +690,77 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       assert(ids === (1L to ids.max), s"user $u ids $ids")
     }
   }
+
+  test("relational: funnel stages match a driver-side replay, monotone") {
+    val Array(row) = Relational.funnelStages(spark, dir).collect()
+    val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // driver-side replay of the staged first-qualifying-timestamp rule
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var (ev2, ec2, ep2) = (0L, 0L, 0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val vt = rows.filter(_._2 == "view").map(_._3).minOption
+      val ct = vt.flatMap(v => rows.filter(r => r._2 == "click" && r._3 > v).map(_._3).minOption)
+      val pt = ct.flatMap(c => rows.filter(r => r._2 == "purchase" && r._3 > c).map(_._3).minOption)
+      if (vt.isDefined) ev2 += 1
+      if (ct.isDefined) ec2 += 1
+      if (pt.isDefined) ep2 += 1
+    }
+    assert((nView, nClick, nFull) === ((ev2, ec2, ep2)))
+    assert(nView >= nClick && nClick >= nFull, "funnel must be monotone")
+    assert(nView > 0 && nFull > 0, "both funnel ends populated on shared data")
+  }
+
+  test("relational: inter-event gaps match a driver-side lag replay") {
+    val out = Relational.intereventGaps(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set("view", "click", "purchase", "error", "signup"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((_, t), rows) =>
+      val ts = rows.sortBy(r => (r._4, r._3)).map(_._4)
+      ts.zip(ts.drop(1)).map { case (a, b) => t -> (b - a) }
+    }.groupBy(_._1).map { case (t, gaps) =>
+      val g = gaps.map(_._2)
+      t -> ((g.size.toLong, g.sum.toDouble / g.size.toDouble / 1e6, g.max.toDouble / 1e6))
+    }
+    expected.foreach { case (t, (n, avg, mx)) =>
+      val (on, oavg, omx) = out(t)
+      assert(on === n, s"$t n_gaps")
+      assert(math.abs(oavg - avg) < 1e-9, s"$t avg")
+      assert(omx === mx, s"$t max")
+    }
+  }
+
+  test("relational: source pivot cells are exact counts, rows sum to corpus") {
+    val out = Relational.docSourcePivot(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    val total = docs.count()
+    assert(out.map(r => (1 to 20).map(r.getLong).sum).sum === total,
+      "pivot cells partition the corpus")
+    val cell = docs.filter(col("lang") === "en" && col("source") === "src3").count()
+    val enRow = out.find(_.getString(0) == "en").get
+    val src3Idx = 1 + Relational.PivotSources.indexOf("src3")
+    assert(enRow.getLong(src3Idx) === cell)
+    // absent combinations are 0, never null
+    assert(out.forall(r => (1 to 20).forall(!r.isNullAt(_))))
+  }
+
+  test("relational: cube emits all four grouping sets, consistent totals") {
+    val out = Relational.ordersCube(spark, dir).collect()
+    val total = Tables.orders(spark, dir).count()
+    def part(r: org.apache.spark.sql.Row) = (r.isNullAt(0), r.isNullAt(1))
+    val grand = out.filter(part(_) == ((true, true)))
+    assert(grand.length === 1 && grand.head.getLong(2) === total)
+    val byStatus = out.filter(part(_) == ((false, true)))
+    val byPrio = out.filter(part(_) == ((true, false)))
+    val base = out.filter(part(_) == ((false, false)))
+    assert(byStatus.map(_.getLong(2)).sum === total)
+    assert(byPrio.map(_.getLong(2)).sum === total)
+    assert(base.map(_.getLong(2)).sum === total)
+    // revenue subtotals are exact (decimal sums): base rows sum to grand
+    assert(math.abs(base.map(_.getDouble(3)).sum - grand.head.getDouble(3)) < 1e-6)
+  }
 }
