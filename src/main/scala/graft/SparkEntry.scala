@@ -175,6 +175,10 @@ object SparkEntry {
     "length_outliers"     -> ((s, d) => Corpus.lengthOutliers(Tables.documents(s, d))),
     // τ=0.5 temperature source-mixing weights (sqrt smoothing)
     "mix_weights"         -> ((s, d) => Corpus.mixWeights(Tables.documents(s, d))),
+    // context-window chunking with overlap (retrieval / long-doc splitting)
+    "doc_chunks"          -> ((s, d) => Corpus.docChunks(Tables.documents(s, d))),
+    // domain-level quality profile + keep verdict (drop bad domains wholesale)
+    "source_quality"      -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
@@ -184,6 +188,8 @@ object SparkEntry {
     "knn_label"           -> ((s, d) => VectorOps.knnLabel(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
+    // embedding QA: per-label norm profile + degenerate-vector counts
+    "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
@@ -198,6 +204,8 @@ object SparkEntry {
     "orders_by_month"     -> ((s, d) => Relational.ordersByMonth(s, d)),
     "json_event_props"    -> ((s, d) => Relational.eventProps(s, d)),
     "window_running_rev"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    // RANGE-frame window: per-user trailing-hour spend
+    "window_trailing_hour" -> ((s, d) => Relational.trailingHourValue(s, d)),
     // gap-based sessionization (batch twin of the streaming session_window)
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
@@ -273,12 +281,15 @@ object SparkEntry {
     "bigram_topk"         -> Corpus.bigramTopKSql("documents"),
     "length_outliers"     -> Corpus.lengthOutliersSql("documents"),
     "mix_weights"         -> Corpus.mixWeightsSql("documents"),
+    "doc_chunks"          -> Corpus.docChunksSql("documents"),
+    "source_quality"      -> Corpus.sourceQualitySql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "knn_label"           -> VectorOps.knnLabelSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
+    "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,
@@ -291,6 +302,7 @@ object SparkEntry {
     "orders_by_month"     -> Relational.ordersByMonthSql,
     "json_event_props"    -> Relational.eventPropsSql,
     "window_running_rev"  -> Relational.runningRevenueSql,
+    "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
     "funnel_stages"       -> Relational.funnelStagesSql,
     "interevent_gaps"     -> Relational.intereventGapsSql,

@@ -747,4 +747,107 @@ object Corpus {
        |JOIN ${TextDedup.sampledGramPostingsSql(table, s"source = '$benchSource'")} b ON c.gr = b.gr
        |GROUP BY 1, 2
        |HAVING count(*) >= $ContamMinShared""".stripMargin
+
+  // ---- context-window chunking ---------------------------------------------
+
+  /** Chunk window (tokens) and stride for [[docChunks]]; the overlap
+   * [[ChunkTokens]] − [[ChunkStride]] carries boundary context between
+   * consecutive windows. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Fixed-token-window chunking with overlap — the context-window
+   * splitting step of retrieval and long-document pipelines: each
+   * document becomes windows of [[ChunkTokens]] tokens advancing by
+   * [[ChunkStride]], the LAST window being the first one that reaches the
+   * final token (`1 + ceil((n − C)/S)` windows — no trailing window that
+   * would carry only overlap). Output (doc_id, chunk_id, chunk_text,
+   * n_chunk_tokens); the id is the window ordinal so chunks reassemble in
+   * order.
+   *
+   * Shape: tokenize ONCE through the [[TextFunctions.withTokens]]
+   * Generate barrier, derive the window count arithmetically, explode one
+   * `sequence` per doc — rows = total chunks, ZERO shuffles, scan-speed
+   * parallel at any corpus size. The token count of a window is
+   * arithmetic (`least(C, n − k·S)`), not a second slice. */
+  def docChunks(docs: DataFrame): DataFrame = {
+    val c = ChunkTokens
+    val s = ChunkStride
+    TextFunctions.withTokens(docs.select(col("doc_id"), col("text")), "text", "toks")
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(greatest(n - $c, 0L) + ${s - 1}) div $s"))))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), (col("chunk_id") * s + 1).cast("int"), lit(c)), " ")
+          .as("chunk_text"),
+        least(lit(c.toLong), col("n") - col("chunk_id") * s).as("n_chunk_tokens"))
+  }
+
+  def docChunksSql(table: String): String = {
+    val c = ChunkTokens
+    val s = ChunkStride
+    s"""WITH t AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |k AS (SELECT doc_id, toks, n,
+       |             unnest(range(0, (greatest(n - $c, 0) + ${s - 1}) // $s + 1)) AS chunk_id
+       |      FROM n)
+       |SELECT doc_id, chunk_id,
+       |       array_to_string(list_slice(toks, CAST(chunk_id * $s + 1 AS BIGINT),
+       |                                  CAST(chunk_id * $s + $c AS BIGINT)), ' ') AS chunk_text,
+       |       CAST(least($c, n - chunk_id * $s) AS BIGINT) AS n_chunk_tokens
+       |FROM k""".stripMargin
+  }
+
+  // ---- domain-level quality profile ----------------------------------------
+
+  /** Per-document quality bar and the source-level keep bar for
+   * [[sourceQuality]]. */
+  val DocPassQuality = 0.5
+  val SourceKeepRate = 0.6
+
+  /** Domain-level quality profile and filter verdict — the "drop bad
+   * domains wholesale" stage (the domain blocklists of C4/RefinedWeb-
+   * style pipelines are exactly this table): per source, document count,
+   * count and rate of docs passing the quality bar, mean tokens, and a
+   * keep verdict at [[SourceKeepRate]].
+   *
+   * Shape: tokenize once, ONE partial-aggregating pass to O(sources)
+   * rows. All aggregates are exact BIGINT sums; the per-doc quality
+   * scalar is the same bit-identical IEEE sequence [[TextFunctions]]
+   * proves green in `text_stats`, and the two rates are one final
+   * divide each — so even the keep boundary is cross-engine
+   * deterministic. */
+  def sourceQuality(docs: DataFrame): DataFrame = {
+    val perDoc =
+      TextFunctions.withTokens(docs.select(col("source"), col("text")), "text", "toks")
+        .select(col("source"),
+          TextFunctions.tokenCountFromToks(col("toks")).as("n_toks"),
+          (TextFunctions.qualityScoreFromToks(col("text"), col("toks")) >= DocPassQuality)
+            .cast("long").as("pass"))
+    val rate = col("n_pass").cast("double") / col("n_docs").cast("double")
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_pass"),
+        sum(col("n_toks")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_pass"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+        rate.as("pass_rate"),
+        (rate >= SourceKeepRate).as("keep"))
+  }
+
+  def sourceQualitySql(table: String): String =
+    s"""WITH d AS (
+       |  SELECT source, ${TextSql.tokenCount("text")} AS n_toks,
+       |         CASE WHEN ${TextSql.qualityScore("text")} >= $DocPassQuality
+       |              THEN 1 ELSE 0 END AS pass
+       |  FROM $table),
+       |a AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(pass) AS BIGINT) AS n_pass,
+       |             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |      FROM d GROUP BY source)
+       |SELECT source, n_docs, n_pass, n_tokens,
+       |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+       |       CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+       |       (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)) >= $SourceKeepRate AS keep
+       |FROM a""".stripMargin
 }

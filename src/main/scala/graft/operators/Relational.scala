@@ -578,4 +578,39 @@ object Relational {
       |       CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS avg_gap_s,
       |       CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
       |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin
+
+  // ---- range-frame window (trailing-hour value) ----------------------------
+
+  /** Trailing frame width for [[trailingHourValue]]: one hour in
+   * microseconds (the table's resolution after the ns→µs truncation). */
+  val TrailUs: Long = 3600L * 1000 * 1000
+
+  /** Per-user trailing-one-hour spend — the RANGE-frame window, the
+   * capability [[runningRevenue]]'s ROWS frame does not cover: the frame
+   * is selected by the ORDER value (every event of the user in
+   * [ts − 1h, ts]), so same-timestamp peers land in each other's frames
+   * and the frame slides by TIME — which is what "spend in the last
+   * hour" rate caps and rolling-exposure features mean.
+   *
+   * Shape: one shuffle on user_id, one sort, one sliding-frame pass
+   * (Spark maintains the range frame incrementally — two moving
+   * endpoints, not a per-row rescan). The frame sum accumulates exact
+   * DECIMAL and surfaces as one double cast; ordering is on the exact
+   * BIGINT microsecond value on both engines. */
+  def trailingHourValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-TrailUs, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("hour_value"))
+  }
+
+  def trailingHourValueSql: String =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+       |   PARTITION BY user_id ORDER BY epoch_us(ts)
+       |   RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+       |FROM events""".stripMargin
 }

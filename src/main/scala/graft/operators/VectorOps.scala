@@ -872,4 +872,49 @@ object VectorOps {
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $LshK""".stripMargin
+
+  // ---- embedding QA profile ------------------------------------------------
+
+  /** Degenerate-vector bar for [[embNormProfile]]: quantized squared norm
+   * below this marks a zero/garbage embedding (‖q‖² ≈ ‖x‖²·2⁴⁰, so the
+   * bar is ‖x‖ ≲ 2⁻¹⁰ — numerically dead for similarity purposes). */
+  val DegenerateN2: Long = 1L << 20
+
+  /** Embedding-table QA profile — the sanity gate run before ANY
+   * similarity stage (a batch of zero vectors from a crashed encoder
+   * silently poisons every cosine downstream, since sim = 0/0): per
+   * label, vector count, degenerate-vector count, and the min / max /
+   * mean quantized squared norm.
+   *
+   * Shape: one narrow scan-speed projection (quantize + exact BIGINT
+   * self-dot per row), ONE partial-aggregating pass to O(labels) rows.
+   * The per-label norm sum accumulates as DECIMAL(38,0) — ‖q‖² ≤ 2⁴⁶, so
+   * a BIGINT sum would overflow past ~10⁵ vectors per label; decimal is
+   * overflow-proof to ~10²⁵ — and the mean is one final IEEE divide. */
+  def embNormProfile(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), norm2(quantize(col("embedding"))).as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("n2") < DegenerateN2).cast("long")).as("n_degenerate"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        sum(col("n2").cast("decimal(38,0)")).as("sum_n2"))
+      .select(col("label"), col("n_vecs"), col("n_degenerate"),
+        col("min_n2"), col("max_n2"),
+        (col("sum_n2").cast("double") / col("n_vecs").cast("double")).as("mean_n2"))
+
+  def embNormProfileSql(table: String): String =
+    s"""WITH v AS (
+       |  SELECT label,
+       |         CAST(list_sum([x * x for x in ${quantizeSql("embedding")}]) AS BIGINT) AS n2
+       |  FROM $table),
+       |a AS (SELECT label, count(*) AS n_vecs,
+       |             CAST(sum(CASE WHEN n2 < $DegenerateN2 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       |             min(n2) AS min_n2, max(n2) AS max_n2,
+       |             CAST(sum(n2) AS DECIMAL(38,0)) AS sum_n2
+       |      FROM v GROUP BY label)
+       |SELECT label, n_vecs, n_degenerate, min_n2, max_n2,
+       |       CAST(sum_n2 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_n2
+       |FROM a""".stripMargin
 }

@@ -313,4 +313,61 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     out.foreach { case (id, z) => assert(math.abs(z - expected(id)) < 1e-9, s"doc $id") }
     assert(out.nonEmpty, "sf0.001 contains length outliers")
   }
+
+  test("doc chunks: windows tile each document, overlap carried, order exact") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.docChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    val c = Corpus.ChunkTokens
+    val s = Corpus.ChunkStride
+    val toks = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks.nonEmpty)
+    toks.foreach { case (id, ts) =>
+      val n = ts.length
+      val nChunks = 1 + (math.max(n - c, 0) + s - 1) / s
+      val mine = out.keys.filter(_._1 == id).map(_._2).toSeq.sorted
+      assert(mine === (0L until nChunks.toLong), s"doc $id chunk ids")
+      (0 until nChunks).foreach { k =>
+        val expect = ts.slice(k * s, k * s + c)
+        val (text, nt) = out((id, k.toLong))
+        assert(text === expect.mkString(" "), s"doc $id chunk $k")
+        assert(nt === expect.length.toLong, s"doc $id chunk $k token count")
+      }
+      // the last window reaches the final token; no window is overlap-only
+      assert((nChunks - 1) * s + c >= n, s"doc $id: final token uncovered")
+      if (nChunks > 1) assert((nChunks - 1) * s < n, s"doc $id: trailing overlap-only window")
+    }
+    // overlap really binds somewhere on this corpus (docs longer than one window)
+    assert(toks.values.exists(_.length > c), "corpus must exercise multi-chunk docs")
+  }
+
+  test("source quality: aggregates recompute from per-doc stats, keep at the bar") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.sourceQuality(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    // per-doc reference via the same Column library (proven green in text_stats)
+    val perDoc = graft.functions.TextFunctions
+      .withTokens(docs.select(col("source"), col("text")), "text", "toks")
+      .select(col("source"),
+        graft.functions.TextFunctions.tokenCountFromToks(col("toks")).as("nt"),
+        graft.functions.TextFunctions.qualityScoreFromToks(col("text"), col("toks")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    perDoc.groupBy(_._1).foreach { case (src, rows) =>
+      val (nDocs, nPass, nToks, meanToks, passRate, keep) = out(src)
+      assert(nDocs === rows.length.toLong, s"$src n_docs")
+      assert(nPass === rows.count(_._3 >= Corpus.DocPassQuality).toLong, s"$src n_pass")
+      assert(nToks === rows.map(_._2).sum, s"$src n_tokens")
+      assert(meanToks === nToks.toDouble / nDocs.toDouble, s"$src mean")
+      assert(passRate === nPass.toDouble / nDocs.toDouble, s"$src rate")
+      assert(keep === (passRate >= Corpus.SourceKeepRate), s"$src keep")
+    }
+    // the verdict discriminates on this corpus (some sources kept, some not)
+    val verdicts = out.values.map(_._6).toSet
+    assert(verdicts.size === 2, s"keep verdict must discriminate; got $verdicts")
+  }
 }

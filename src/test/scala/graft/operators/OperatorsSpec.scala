@@ -763,4 +763,53 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     // revenue subtotals are exact (decimal sums): base rows sum to grand
     assert(math.abs(base.map(_.getDouble(3)).sum - grand.head.getDouble(3)) < 1e-6)
   }
+
+  test("embedding QA profile: degenerate vectors counted, norms exact") {
+    import spark.implicits._
+    // 3 healthy unit-ish vectors + 1 zero vector + 1 tiny vector, two labels
+    val mk = (v: Float) => Array.fill(VectorOps.Dim)(v)
+    val rows = Seq(
+      (1L, mk(0.5f), 0), (2L, mk(0.5f), 0), (3L, mk(0.0f), 0),   // label 0: one dead
+      (4L, mk(0.25f), 1), (5L, mk(0.0001f), 1))                  // label 1: one tiny
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.embNormProfile(emb).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // q_i = floor(0.5 * 2^20) = 524288; n2 = 64 * 524288^2
+    val n2Half = 64L * 524288L * 524288L
+    val n2Quarter = 64L * 262144L * 262144L
+    // floor(0.0001 * 2^20) = 104; n2 = 64 * 104^2 = 692,224 < 2^20
+    val n2Tiny = 64L * 104L * 104L
+    assert(n2Tiny < VectorOps.DegenerateN2 && n2Quarter > VectorOps.DegenerateN2)
+    val l0 = out(0)
+    assert(l0.getLong(1) === 3L && l0.getLong(2) === 1L)          // n_vecs, n_degenerate
+    assert(l0.getLong(3) === 0L && l0.getLong(4) === n2Half)      // min, max
+    assert(l0.getDouble(5) === (2.0 * n2Half.toDouble) / 3.0)     // mean: one divide
+    val l1 = out(1)
+    assert(l1.getLong(1) === 2L && l1.getLong(2) === 1L)
+    assert(l1.getLong(3) === n2Tiny && l1.getLong(4) === n2Quarter)
+  }
+
+  test("relational: trailing-hour RANGE frame matches a driver-side replay") {
+    val out = Relational.trailingHourValue(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.nonEmpty)
+    // reference replay: per user, sum values with ts in [t - 1h, t] —
+    // RANGE semantics: same-timestamp peers fall in each other's frames
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      rows.foreach { case (id, _, t, _) =>
+        val expect = rows.filter(r => r._3 >= t - Relational.TrailUs && r._3 <= t)
+          .map(r => BigDecimal(r._4).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        assert(math.abs(out(id) - expect) < 1e-6, s"event $id")
+      }
+    }
+    // the frame is genuinely trailing: some frame must be a strict subset
+    // of its user's full history (otherwise the window width never binds)
+    val full = ev.groupBy(_._2).map { case (u, rows) => u -> rows.map(_._4).sum }
+    val binds = ev.exists { case (id, u, _, _) => out(id) < full(u) - 1e-9 }
+    assert(binds, "one-hour frame should bind on multi-hour user histories")
+  }
 }
