@@ -2,24 +2,39 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loaders for the shared parquet tables (TESTDATA.md). One place
  * owns the physical-type quirks so every operator sees identical values to
  * the DuckDB oracle. */
 object Tables {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-   * reader rejects. The session must carry
-   * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session BUILD by
-   * every graft entry point — Bench, Verify, SparkTestHarness,
-   * SparkEntry.entry — never mutated here: a load-time conf write would
-   * surprise any workload sharing the session); the loader then reads
-   * epoch-nanos longs and truncates to microseconds — exactly what
-   * DuckDB's parquet reader does natively, so the oracle sees identical
-   * values. All other tables are TIMESTAMP(MILLIS) and unaffected. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Schema-adaptive `events` loader. The physical encoding of `events.ts`
+   * is a data-generator choice, not a contract (the reference never
+   * hard-codes serdes either — `LeftJoinOnTimeoutBuilder.java:70-77` takes
+   * them from the caller), and it has in fact drifted across testdata
+   * generations: TIMESTAMP(NANOS) (read as epoch-nanos BIGINT under
+   * `spark.sql.legacy.parquet.nanosAsLong=true`, which every graft entry
+   * point sets at session BUILD) → TIMESTAMP(MICROS, isAdjustedToUTC=false)
+   * (read as TIMESTAMP_NTZ). Branch on the loaded schema so both — and a
+   * plain UTC TIMESTAMP — normalize to one session type, TIMESTAMP, with
+   * values identical to DuckDB's native parquet read:
+   *   - BIGINT (legacy nanos-as-long): truncate nanos → micros, exactly
+   *     DuckDB's nanos handling;
+   *   - TIMESTAMP_NTZ: reinterpret the wall-clock as a UTC instant (the
+   *     session timezone is pinned to UTC at build in every entry point),
+   *     which is bit-identical to DuckDB's naive read;
+   *   - TIMESTAMP: already the target type, pass through. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts resolved as unsupported type $other; expected BIGINT (legacy nanos), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 
   /** Small single-file tables arrive as ONE scan partition (one parquet
    * row group = one task — Spark's byte-range file splits cannot divide a
