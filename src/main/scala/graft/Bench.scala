@@ -70,7 +70,7 @@ object Bench {
       // per-pair work onto a single core; a 64k floor keeps local[32]
       // busy. Irrelevant at cluster scale, where partitions dwarf 1 MB.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+      // legacy nanos events.ts encodings — see Tables.events (schema-adaptive)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -115,12 +115,21 @@ object Bench {
     // sample from plan cost without a control rerun
     val telemetry = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long, Long)]]
     val failures = scala.collection.mutable.Map.empty[String, Int]
+    // first exception line per failed query: a driver-side break must be
+    // diagnosable from the artifact alone (round 7's DATATYPE_MISMATCH was
+    // only visible in the sbt test log, not in BENCH_r07.json)
+    val failureDetail = scala.collection.mutable.Map.empty[String, String]
     for (r <- 1 to reps; (name, fn) <- queries) {
       val (ioS0, ioF0, cpu0) = psiStall()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          failureDetail.getOrElseUpdate(name,
+            s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+          false
+        }
       spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
       val dt = (System.nanoTime() - t0) / 1e9
       val (ioS1, ioF1, cpu1) = psiStall()
@@ -162,9 +171,18 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILURES: ${failed.map(n => s"$n(${failures(n)}/$reps)").mkString(", ")}")
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonEscape(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    val failDetailJson = failed.map { n =>
+      "\"" + n + "\":\"" + jsonEscape(failureDetail.getOrElse(n, "").take(500)) + "\""
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${total.map(_.toString).getOrElse("null")},""" +
       s""""unit":"sec","completed":$completed,"queries":$qs,"samples":$sampleJson,""" +
-      s""""failures":$failJson,"sf":"$rawSfDir"}"""
+      s""""failures":$failJson,"failureDetail":$failDetailJson,"sf":"$rawSfDir"}"""
     // The driver records only a ~2 kB TAIL of stdout: the full-fidelity
     // line above (full-precision doubles + per-sample telemetry) has
     // never fit, so rounds 1-6 shipped a truncated, unparseable tail and
