@@ -133,6 +133,18 @@ object SparkEntry {
           percentile(col("n_chars"), lit(0.5)).as("q50"),
           percentile(col("n_chars"), lit(0.9)).as("q90"),
           count(lit(1)).as("n_docs"))),
+    // the raw-scale form of length_quantiles: `approx_percentile` is a
+    // mergeable GK sketch with bounded per-group state (vs `percentile`
+    // buffering every group value — a memory hazard when a group holds
+    // billions of rows at 100 TB). Sketch results are engine-specific, so
+    // no SQL oracle (rows-only check); exactness is pinned by the sbt
+    // spec asserting accuracy-bound agreement with the exact query.
+    "length_quantiles_approx" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(approx_percentile(col("n_chars"), lit(0.25), lit(10000)).as("q25"),
+          approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("q50"),
+          approx_percentile(col("n_chars"), lit(0.9), lit(10000)).as("q90"),
+          count(lit(1)).as("n_docs"))),
     // text analysis + dedup (training-data pipeline ops)
     "text_stats"          -> ((s, d) => Queries.textStats(s, d)),
     "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),

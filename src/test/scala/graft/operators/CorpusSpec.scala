@@ -370,4 +370,31 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     val verdicts = out.values.map(_._6).toSet
     assert(verdicts.size === 2, s"keep verdict must discriminate; got $verdicts")
   }
+
+  test("approx length quantiles: every sketch value sits within its rank bound") {
+    // length_quantiles_approx is the raw-scale (bounded-state) form; its
+    // contract vs the exact query is the GK rank bound: with accuracy 1e4
+    // and group sizes far below 1e4, the returned element's rank must be
+    // within ±2 of the target rank (±1 for the bound itself, ±1 for the
+    // exact form's interpolation between neighbors).
+    val approx = graft.SparkEntry.queries("length_quantiles_approx")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val perLang = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet === perLang.keySet)
+    perLang.foreach { case (lang, values) =>
+      val (q25, q50, q90, nDocs) = approx(lang)
+      assert(nDocs === values.length.toLong, s"$lang n_docs")
+      Seq(0.25 -> q25, 0.5 -> q50, 0.9 -> q90).foreach { case (p, v) =>
+        assert(values.contains(v), s"$lang p$p: $v is not a group element")
+        val lo = values.count(_ < v) + 1   // 1-based rank interval of v
+        val hi = values.count(_ <= v)
+        val target = p * values.length
+        assert(lo <= target + 2 && hi >= target - 2,
+          s"$lang p$p: value $v has rank [$lo,$hi], target $target")
+      }
+    }
+  }
 }
