@@ -720,8 +720,10 @@ object VectorOps {
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
    * cluster the corpus by embedding, compare cosine only WITHIN a
-   * cluster, and keep one representative of every group of semantic
-   * duplicates. This is the cluster-then-prune complement to the pairwise
+   * cluster, and drop every vector with a smaller-id in-cluster near-dup
+   * (at least one member of each duplicate group survives; see the chain
+   * note below for where this is more aggressive than one-per-group).
+   * This is the cluster-then-prune complement to the pairwise
    * [[embeddingNearDup]]: instead of emitting the near-dup PAIRS it emits
    * a per-vector verdict — `(vec_id, cid, keep)` where `keep` is false
    * iff some SMALLER-id vector in the same cluster has cosine ≥
