@@ -642,8 +642,10 @@ object TextDedup {
    * DuckDB oracle derives the identical parameter from `count(*)`, and a
    * stale catalog statistic on the Spark side (an ANALYZE taken before an
    * append) could land the two engines on different sides of a
-   * ceil(log2(...)) boundary — a correctness FAIL on correct code. */
-  def corpusSizeEstimate(docs: DataFrame): Long = docs.count()
+   * ceil(log2(...)) boundary — a correctness FAIL on correct code.
+   * Served by [[CountCache]] so repeat launches over the same immutable
+   * scan skip the plan-time count job. */
+  def corpusSizeEstimate(docs: DataFrame): Long = CountCache.exactCount(docs)
 
   /** 64-char '0'/'1' SimHash string over the token multiset: bit_j is the
    * sign of Σ_tokens (±1 by bit j of md5(token)). A bit-string, not a

@@ -100,12 +100,12 @@ object VectorOps {
   private def cosineSql(dot: String, n2a: String, n2b: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE)))"
 
-  /** Exact corpus size — one count job at plan build (metadata-cheap on
-   * columnar sources). Deliberately NOT the optimizer's rowCount
+  /** Exact corpus size — deliberately NOT the optimizer's rowCount
    * estimate: the oracle derives the same parameter from `count(*)`, and
    * a stale catalog statistic on the Spark side would silently diverge
-   * the two plans. */
-  private def corpusSize(df: DataFrame): Long = df.count()
+   * the two plans. Served by [[CountCache]], so only the FIRST operator
+   * launch over a given scan pays the plan-time count job. */
+  private def corpusSize(df: DataFrame): Long = CountCache.exactCount(df)
 
   /** The bounded ANN query-set predicate (see [[QueryBudget]]) and its
    * verbatim SQL mirror. */
