@@ -174,6 +174,7 @@ object SparkEntry {
     // sequence packing: docs -> (bucket, bin, offset) under a token budget
     "pack_sequences"      -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
+    "pii_redact"          -> ((s, d) => Corpus.piiRedact(Tables.documents(s, d))),
     "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
     // corpus profiling: training-mixture table + vocabulary heavy hitters
     "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
@@ -202,6 +203,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
     // embedding QA: per-label norm profile + degenerate-vector counts
     "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
+    "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
@@ -285,6 +287,7 @@ object SparkEntry {
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
     "pack_sequences"      -> Corpus.packSequencesSql("documents"),
     "pii_scan"            -> Corpus.piiScanSql("documents"),
+    "pii_redact"          -> Corpus.piiRedactSql("documents"),
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
@@ -302,6 +305,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
+    "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,

@@ -253,7 +253,7 @@ object Corpus {
    * Output (doc_id, pack_bucket, bin_idx, tok_offset, n_tokens); one
    * shuffle on the bucket key. */
   def packSequences(docs: DataFrame): DataFrame = {
-    val buckets = packBucketsFor(docs.count())
+    val buckets = packBucketsFor(CountCache.exactCount(docs))
     val h = md5(concat(lit(PackSalt), col("doc_id").cast("string")).cast("binary"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_bucket")).orderBy(col("h"), col("doc_id"))
@@ -328,6 +328,40 @@ object Corpus {
        |             ${cnt(Ipv4Pattern)} AS n_ipv4,
        |             ${cnt(PhonePattern)} AS n_phones
        |      FROM $table)""".stripMargin
+  }
+
+  /** The redaction stage [[piiScan]] scouts for: every PII match replaced
+   * by a typed placeholder, in a FIXED category order (email → IPv4 →
+   * phone — order matters where matches overlap, e.g. an IPv4 inside an
+   * email's domain is consumed by the email replacement, so both engines
+   * apply the identical sequence). `n_redacted` counts matches per
+   * category on the ORIGINAL text (the scan view — under overlaps this
+   * can exceed the placeholders actually inserted; both engines compute
+   * it identically). Pure codegen'd `regexp_replace` projection — no
+   * shuffle, scan speed at any corpus size, same RE2-safe patterns as
+   * the scan. Output (doc_id, text_redacted, n_redacted). */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"),
+        PhonePattern, "[PHONE]").as("text_redacted"),
+      (regexp_count(col("text"), lit(EmailPattern)) +
+        regexp_count(col("text"), lit(Ipv4Pattern)) +
+        regexp_count(col("text"), lit(PhonePattern))).cast("bigint").as("n_redacted"))
+
+  def piiRedactSql(table: String): String = {
+    def esc(p: String) = p.replace("'", "''")
+    def cnt(p: String) = s"CAST(len(regexp_extract_all(text, '${esc(p)}')) AS BIGINT)"
+    s"""SELECT doc_id,
+       |       regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(text, '${esc(EmailPattern)}', '[EMAIL]', 'g'),
+       |           '${esc(Ipv4Pattern)}', '[IP]', 'g'),
+       |         '${esc(PhonePattern)}', '[PHONE]', 'g') AS text_redacted,
+       |       ${cnt(EmailPattern)} + ${cnt(Ipv4Pattern)} + ${cnt(PhonePattern)} AS n_redacted
+       |FROM $table""".stripMargin
   }
 
   // ---- within-document repetition ------------------------------------------
@@ -674,7 +708,7 @@ object Corpus {
    * subquery. */
   def tfidfTopK(docs: DataFrame, k: Int = TfIdfK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count()
+    val nDocs = CountCache.exactCount(docs)
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -919,4 +919,45 @@ object VectorOps {
        |SELECT label, n_vecs, n_degenerate, min_n2, max_n2,
        |       CAST(sum_n2 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_n2
        |FROM a""".stripMargin
+
+  /** Per-label embedding centroids — the class-prototype / drift profile
+   * (compare a new crawl's per-label centroid against the corpus baseline
+   * to catch encoder drift or label contamination before any expensive
+   * similarity stage; the same aggregate is the k-means M-step and the
+   * build side of a nearest-centroid classifier).
+   *
+   * Output is EXPLODED per dimension — (label, dim, n_vecs, sum_q,
+   * centroid) — not an array column: every value is a sortable scalar
+   * for the driver's row-hash compare, and the aggregate stays a plain
+   * partial-agg. Shape: one scan-speed quantize + posexplode (Dim rows
+   * per vector BEFORE map-side combining — each map task reduces to
+   * O(labels·Dim) partial rows, so the exchange carries labels·Dim rows
+   * per task, NOT corpus·Dim), one (label, dim)-keyed aggregate. Sums
+   * accumulate as DECIMAL(38,0) (|q| ≤ 2²⁰ ⇒ a BIGINT sum overflows past
+   * ~2⁴² rows per label·dim — not reachable, but decimal costs nothing
+   * here and matches [[embNormProfile]]'s convention); `centroid` is the
+   * mean in ORIGINAL embedding units via one fixed IEEE sequence,
+   * CAST(sum AS DOUBLE) / (CAST(n AS DOUBLE) * 2²⁰) — cross-engine
+   * deterministic. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qv").cast("decimal(38,0)")).as("sum_q"))
+      .select(col("label"), col("dim").cast("bigint").as("dim"),
+        col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_vecs").cast("double") * lit(QuantScale))).as("centroid"))
+
+  def labelCentroidsSql(table: String): String =
+    s"""WITH q AS (SELECT label, ${quantizeSql("embedding")} AS q FROM $table),
+       |e AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim, q[CAST(i AS INT)] AS qv
+       |      FROM q CROSS JOIN range(1, ${Dim + 1}) AS r(i)),
+       |a AS (SELECT label, dim, count(*) AS n_vecs,
+       |             CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q
+       |      FROM e GROUP BY label, dim)
+       |SELECT label, dim, n_vecs, sum_q,
+       |       CAST(sum_q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale) AS centroid
+       |FROM a""".stripMargin
 }

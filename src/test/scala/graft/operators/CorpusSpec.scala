@@ -371,6 +371,22 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(verdicts.size === 2, s"keep verdict must discriminate; got $verdicts")
   }
 
+  test("pii redact: placeholders replace matches, clean docs pass through verbatim") {
+    val docs = Seq(
+      (1L, "mail bob.smith@example.org then ping 10.0.0.1 or call +555-123-4567 now"),
+      (2L, "two mails a@b.io c@d.net"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 === "mail [EMAIL] then ping [IP] or call [PHONE] now")
+    assert(out(1L)._2 === 3L)
+    assert(out(2L)._1 === "two mails [EMAIL] [EMAIL]")
+    assert(out(2L)._2 === 2L)
+    assert(out(3L)._1 === "nothing sensitive here at all")
+    assert(out(3L)._2 === 0L)
+  }
+
   test("approx length quantiles: every sketch value sits within its rank bound") {
     // length_quantiles_approx is the raw-scale (bounded-state) form; its
     // contract vs the exact query is the GK rank bound: with accuracy 1e4

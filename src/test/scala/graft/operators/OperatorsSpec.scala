@@ -124,6 +124,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       "on the 2-count tie the non-null key must precede the null key")
   }
 
+  test("label centroids: exploded means recompute from a driver-side fold") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4)))).toMap
+    val raw = emb.select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(raw.nonEmpty)
+    raw.groupBy(_._1).foreach { case (label, vecs) =>
+      (0 until VectorOps.Dim).foreach { d =>
+        val qs = vecs.map(v => math.floor(v._2(d).toDouble * VectorOps.QuantScale).toLong)
+        val (n, sumQ, centroid) = out((label, d.toLong))
+        assert(n === vecs.length.toLong, s"label $label dim $d n_vecs")
+        assert(sumQ === qs.sum, s"label $label dim $d sum_q")
+        assert(centroid === qs.sum.toDouble / (n.toDouble * VectorOps.QuantScale),
+          s"label $label dim $d centroid")
+      }
+    }
+    assert(out.size === raw.map(_._1).distinct.length * VectorOps.Dim)
+  }
+
   test("semantic dedup: keep verdict matches brute in-cluster pruning exactly") {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.semanticDedup(emb).collect()
