@@ -204,6 +204,7 @@ object SparkEntry {
     // embedding QA: per-label norm profile + degenerate-vector counts
     "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
     "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
+    "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
@@ -306,6 +307,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
+    "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,

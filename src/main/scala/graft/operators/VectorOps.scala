@@ -960,4 +960,59 @@ object VectorOps {
        |SELECT label, dim, n_vecs, sum_q,
        |       CAST(sum_q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale) AS centroid
        |FROM a""".stripMargin
+
+  /** Upper-triangle covariance of the embedding distribution — the
+   * E-step input of PCA / whitening / anisotropy QA (a collapsed or
+   * rotated embedding space shows up here long before any ANN stage
+   * misbehaves). Output one row per dimension pair i ≤ j:
+   * (dim_i, dim_j, n_vecs, sum_qq, cov) with
+   * cov = E[x_i·x_j] − E[x_i]·E[x_j] in ORIGINAL embedding units.
+   *
+   * Shape: quantize once, two chained `posexplode`s + an i ≤ j filter
+   * expand each vector to Dim·(Dim+1)/2 (= 2 080) product rows — a
+   * MAP-LOCAL expansion (Generate → Filter → partial HashAggregate in
+   * one stage, no shuffle of expanded rows); the single exchange
+   * carries O(Dim²) partial rows per map task regardless of corpus
+   * size. All sums are exact: q_i·q_j ≤ 2⁴⁰ accumulated as
+   * DECIMAL(38,0), and `cov` is a FIXED IEEE sequence over the exact
+   * sums (each E[..] one divide, then one multiply and subtract),
+   * mirrored verbatim by the oracle — cross-engine deterministic, no
+   * order-dependent float accumulation anywhere. */
+  def embCovariance(embeddings: DataFrame): DataFrame = {
+    val scale2 = QuantScale * QuantScale
+    val n = col("n_vecs").cast("double")
+    embeddings
+      .select(quantize(col("embedding")).as("q"))
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sum_qq"),
+        sum(col("qi").cast("decimal(38,0)")).as("sum_qi"),
+        sum(col("qj").cast("decimal(38,0)")).as("sum_qj"))
+      .select(col("i").cast("bigint").as("dim_i"), col("j").cast("bigint").as("dim_j"),
+        col("n_vecs"), col("sum_qq"),
+        (col("sum_qq").cast("double") / (n * lit(scale2)) -
+          (col("sum_qi").cast("double") / (n * lit(QuantScale))) *
+            (col("sum_qj").cast("double") / (n * lit(QuantScale)))).as("cov"))
+  }
+
+  def embCovarianceSql(table: String): String =
+    s"""WITH q AS (SELECT ${quantizeSql("embedding")} AS q FROM $table),
+       |e AS (SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j,
+       |             q[CAST(i AS INT)] AS qi, q[CAST(j AS INT)] AS qj
+       |      FROM q CROSS JOIN range(1, ${Dim + 1}) AS r(i)
+       |             CROSS JOIN range(1, ${Dim + 1}) AS s(j)
+       |      WHERE j >= i),
+       |a AS (SELECT dim_i, dim_j, count(*) AS n_vecs,
+       |             CAST(sum(qi * qj) AS DECIMAL(38,0)) AS sum_qq,
+       |             CAST(sum(qi) AS DECIMAL(38,0)) AS sum_qi,
+       |             CAST(sum(qj) AS DECIMAL(38,0)) AS sum_qj
+       |      FROM e GROUP BY dim_i, dim_j)
+       |SELECT dim_i, dim_j, n_vecs, sum_qq,
+       |       CAST(sum_qq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * ($QuantScale * $QuantScale)) -
+       |       (CAST(sum_qi AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) *
+       |       (CAST(sum_qj AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) AS cov
+       |FROM a""".stripMargin
 }

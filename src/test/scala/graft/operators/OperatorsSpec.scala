@@ -145,6 +145,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.size === raw.map(_._1).distinct.length * VectorOps.Dim)
   }
 
+  test("embedding covariance: upper-triangle cells recompute from a driver-side fold") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.embCovariance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4)))).toMap
+    assert(out.size === VectorOps.Dim * (VectorOps.Dim + 1) / 2)
+    val qs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * VectorOps.QuantScale).toLong))
+    val n = qs.length.toLong
+    val s = VectorOps.QuantScale
+    // spot-check the diagonal corner, one off-diagonal, and the far corner
+    for ((i, j) <- Seq((0, 0), (0, 1), (3, 17), (63, 63))) {
+      val sumQQ = qs.map(q => q(i) * q(j)).sum
+      val sumI = qs.map(_(i)).sum
+      val sumJ = qs.map(_(j)).sum
+      val (gotN, gotQQ, gotCov) = out((i.toLong, j.toLong))
+      assert(gotN === n && gotQQ === sumQQ, s"cell ($i,$j) sums")
+      val expCov = sumQQ.toDouble / (n.toDouble * (s * s)) -
+        (sumI.toDouble / (n.toDouble * s)) * (sumJ.toDouble / (n.toDouble * s))
+      assert(gotCov === expCov, s"cell ($i,$j) cov")
+    }
+    // variance cells must be non-negative (an exact-arithmetic sanity bound)
+    (0 until VectorOps.Dim).foreach { d =>
+      assert(out((d.toLong, d.toLong))._3 >= 0.0, s"negative variance at dim $d")
+    }
+  }
+
   test("semantic dedup: keep verdict matches brute in-cluster pruning exactly") {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.semanticDedup(emb).collect()
