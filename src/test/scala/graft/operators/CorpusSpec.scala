@@ -259,6 +259,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
         .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
       assert(got === batch)
     } finally q.stop()
+
+    // the redaction stage is the same stateless shape — prove it too
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Corpus.piiRedact(in2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("redact_stream")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "reach me at jo@corp.example or 192.168.0.7"), (2L, "clean"))
+      q2.processAllAvailable()
+      val got = spark.table("redact_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) === "reach me at [EMAIL] or [IP]")
+      assert(got(2L) === "clean")
+    } finally q2.stop()
   }
 
   test("mix weights: largest source anchors at 1, sqrt smoothing lifts tails") {
