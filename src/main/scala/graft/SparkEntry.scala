@@ -178,6 +178,7 @@ object SparkEntry {
     "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
     // corpus profiling: training-mixture table + vocabulary heavy hitters
     "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
+    "dup_rate_by_source"  -> ((s, d) => Corpus.dupRateBySource(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
     "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
@@ -223,6 +224,8 @@ object SparkEntry {
     "window_trailing_hour" -> ((s, d) => Relational.trailingHourValue(s, d)),
     // gap-based sessionization (batch twin of the streaming session_window)
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
+    "event_value_hist"    -> ((s, d) => Relational.eventValueHistogram(s, d)),
+    "user_retention"      -> ((s, d) => Relational.userRetention(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
     "funnel_stages"       -> ((s, d) => Relational.funnelStages(s, d)),
     // per-type inter-arrival gap profile (lag window + rollup)
@@ -291,6 +294,7 @@ object SparkEntry {
     "pii_redact"          -> Corpus.piiRedactSql("documents"),
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),
+    "dup_rate_by_source"  -> Corpus.dupRateBySourceSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
@@ -322,6 +326,8 @@ object SparkEntry {
     "window_running_rev"  -> Relational.runningRevenueSql,
     "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
+    "event_value_hist"    -> Relational.eventValueHistogramSql,
+    "user_retention"      -> Relational.userRetentionSql,
     "funnel_stages"       -> Relational.funnelStagesSql,
     "interevent_gaps"     -> Relational.intereventGapsSql,
     "doc_source_pivot"    -> Relational.docSourcePivotSql,

@@ -451,6 +451,36 @@ object Corpus {
        |         CAST(sum(${TextSql.tokenCountBpe("text")}) AS BIGINT) AS tokens_bpe
        |  FROM $table GROUP BY source, lang)""".stripMargin
 
+  /** Per-source exact-duplication profile — which crawls/feeds are
+   * redundant BEFORE paying for near-dup machinery (a source with a 40%
+   * exact-dup rate is re-serving cached pages; the near-dup families
+   * then only need to run on what survives). Keyed on the same
+   * normalized content fingerprint as [[TextDedup.exact]], so the rates
+   * here are exactly the rows that pass would drop, per source.
+   *
+   * Shape: Spark plans the count+countDistinct pair as the standard
+   * two-phase distinct aggregate — partial distinct on (source, fp)
+   * (uniform 128-bit keys, no skew) then the per-source rollup; output
+   * is O(sources) rows and `dup_rate` is one IEEE divide of exact
+   * BIGINTs. */
+  def dupRateBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+
+  def dupRateBySourceSql(table: String): String =
+    s"""SELECT source, n_docs, n_distinct,
+       |       n_docs - n_distinct AS n_dup_docs,
+       |       CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+       |FROM (SELECT source, count(*) AS n_docs,
+       |             count(DISTINCT ${TextSql.fingerprint("text")}) AS n_distinct
+       |      FROM $table GROUP BY source)""".stripMargin
+
   // ---- temperature-scaled source mixing weights ------------------------------
 
   /** Per-source sampling weights for temperature-rebalanced training

@@ -543,6 +543,70 @@ object Relational {
       |       (SELECT count(*) FROM c) AS n_view_click,
       |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
 
+  // ---- event-value histogram -----------------------------------------------
+
+  /** Equi-width histogram bin size for [[eventValueHistogram]]. */
+  val HistBinWidth = 10.0
+
+  /** Per-type equi-width value histogram — the distribution profile a
+   * monitoring/anomaly layer reads (a payments stream whose `value`
+   * histogram shifts a bin is worth an alert long before a mean moves).
+   * Fixed-width bins (`floor(value / w)`) rather than data-derived
+   * bounds, so the aggregate is ONE partial-agg pass with no prior
+   * min/max job and bins are append-stable across runs. `floor` before
+   * the BIGINT cast on BOTH engines (Spark's double→BIGINT cast
+   * truncates, DuckDB's rounds — floor makes the value integral first,
+   * so the casts agree). Output O(types · occupied bins) rows; min/max
+   * per bin are exact (no float accumulation). */
+  def eventValueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"), col("value"))
+      .withColumn("bin", floor(col("value") / lit(HistBinWidth)).cast("bigint"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+
+  def eventValueHistogramSql: String =
+    s"""SELECT event_type, CAST(floor(value / $HistBinWidth) AS BIGINT) AS bin,
+       |       count(*) AS n, min(value) AS min_v, max(value) AS max_v
+       |FROM events GROUP BY event_type, CAST(floor(value / $HistBinWidth) AS BIGINT)""".stripMargin
+
+  // ---- weekly cohort retention ---------------------------------------------
+
+  /** Classic cohort-retention matrix over the events table: users
+   * grouped by first-seen week, counted in every week they return.
+   * The engagement table every growth dashboard draws, and a second
+   * multi-level temporal aggregate (beyond [[funnelStages]]) exercising
+   * truncation + self-alignment at scale.
+   *
+   * Shape: ALL heavy shuffles are keyed on `user_id` — the per-user
+   * cohort aggregate, then the events-side join back (co-partitioned;
+   * AQE picks the join strategy), then the (cohort, week, user) distinct
+   * whose keys are user-uniform. The final (cohort, week) rollup is
+   * O(weeks²) rows. `week_offset` is an integer day difference DIV 7 —
+   * no float anywhere. Week truncation is ISO-Monday in both engines. */
+  def userRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"), col("wk").as("active_week"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("week_offset",
+        expr("CAST(datediff(CAST(active_week AS DATE), CAST(cohort_week AS DATE)) DIV 7 AS BIGINT)"))
+  }
+
+  def userRetentionSql: String =
+    """WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id),
+      |d AS (SELECT DISTINCT w.user_id, c.cohort_week, w.wk AS active_week
+      |      FROM w JOIN c ON w.user_id = c.user_id)
+      |SELECT cohort_week, active_week, count(*) AS n_users,
+      |       CAST(datediff('day', CAST(cohort_week AS DATE), CAST(active_week AS DATE)) // 7 AS BIGINT) AS week_offset
+      |FROM d GROUP BY cohort_week, active_week""".stripMargin
+
   // ---- inter-event gap profile (lag) ---------------------------------------
 
   /** Per-type arrival-gap profile: for each event type, the count, mean

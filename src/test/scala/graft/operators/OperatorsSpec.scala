@@ -99,6 +99,51 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
       "near-dup candidate stage must be an equi-join on the band key")
   }
 
+  test("dup rate by source: rates recompute from distinct fingerprints") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "crawlA"), (2L, "alpha  beta GAMMA", "crawlA"),
+      (3L, "unique one", "crawlA"),
+      (4L, "x y z", "crawlB"), (5L, "totally different", "crawlB")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.dupRateBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // docs 1 and 2 normalize to the same fingerprint (case/whitespace)
+    assert(out("crawlA") === ((3L, 2L, 1L, 1.0 / 3.0)))
+    assert(out("crawlB") === ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("event value histogram: bins partition the value line, counts total") {
+    val ev = Tables.events(spark, dir)
+    val out = Relational.eventValueHistogram(spark, dir).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total === ev.filter(col("value").isNotNull).count())
+    out.foreach { r =>
+      val (bin, n, lo, hi) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 0)
+      val w = Relational.HistBinWidth
+      assert(math.floor(lo / w).toLong === bin && math.floor(hi / w).toLong === bin,
+        s"bin $bin must contain its own min/max ($lo, $hi)")
+    }
+  }
+
+  test("user retention: cohort matrix recomputes from a driver-side fold") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val firstWk = ev.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).minBy(_.getTime) }
+    val expected = ev.map { case (u, wk) => (u, firstWk(u), wk) }.distinct
+      .groupBy { case (_, cw, aw) => (cw, aw) }
+      .map { case (k, v) => k -> v.size.toLong }
+    val out = Relational.userRetention(spark, dir).collect()
+    assert(out.map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> r.getLong(2)).toMap === expected)
+    out.foreach { r =>
+      val off = (r.getTimestamp(1).getTime - r.getTimestamp(0).getTime) / (7L * 86400 * 1000)
+      assert(r.getLong(3) === off && off >= 0, "week_offset must be the non-negative week gap")
+    }
+  }
+
   test("key-skew profile: heavy hitters ranked with exact shares, top-N bounded") {
     import spark.implicits._
     // key 7 five times, key 3 three times, keys 10..17 once each = 16 rows
