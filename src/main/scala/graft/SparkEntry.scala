@@ -179,6 +179,7 @@ object SparkEntry {
     // corpus profiling: training-mixture table + vocabulary heavy hitters
     "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
     "dup_rate_by_source"  -> ((s, d) => Corpus.dupRateBySource(Tables.documents(s, d))),
+    "lang_confusion"      -> ((s, d) => Corpus.langConfusion(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
     "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
@@ -295,6 +296,7 @@ object SparkEntry {
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),
     "dup_rate_by_source"  -> Corpus.dupRateBySourceSql("documents"),
+    "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),

@@ -481,6 +481,35 @@ object Corpus {
        |             count(DISTINCT ${TextSql.fingerprint("text")}) AS n_distinct
        |      FROM $table GROUP BY source)""".stripMargin
 
+  /** Declared-vs-detected language confusion matrix — the label-quality
+   * audit for a multilingual corpus (a `lang` column from a crawler's
+   * HTTP header routinely disagrees with the text itself; rows off the
+   * diagonal are the mislabeled mass that poisons per-language sampling
+   * and quantile profiles). Reuses the same n-gram heuristic as
+   * `text_stats` ([[TextFunctions.langId]]), so the matrix explains
+   * exactly what every langId-consuming stage will see. One tokenize +
+   * detect projection, one partial-agg to O(langs²) rows; share is a
+   * single IEEE divide against the declared-language row total. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("lang").as("declared"),
+        TextFunctions.langId(col("text")).as("detected"))
+      .groupBy(col("declared"), col("detected"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(col("declared"))).cast("double"))
+  }
+
+  def langConfusionSql(table: String): String =
+    s"""SELECT declared, detected, n_docs,
+       |       CAST(n_docs AS DOUBLE) /
+       |       CAST(sum(n_docs) OVER (PARTITION BY declared) AS DOUBLE) AS row_share
+       |FROM (SELECT lang AS declared, ${TextSql.langId("text")} AS detected,
+       |             count(*) AS n_docs
+       |      FROM $table GROUP BY 1, 2)""".stripMargin
+
   // ---- temperature-scaled source mixing weights ------------------------------
 
   /** Per-source sampling weights for temperature-rebalanced training

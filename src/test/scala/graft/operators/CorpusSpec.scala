@@ -401,6 +401,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(out(3L)._2 === 0L)
   }
 
+  test("lang confusion: cells recompute from per-doc langId, row shares sum to 1") {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs.select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("det"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = perDoc.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = Corpus.langConfusion(docs).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === expected)
+    out.groupBy(_.getString(0)).foreach { case (declared, rows) =>
+      val share = rows.map(_.getDouble(3)).sum
+      assert(math.abs(share - 1.0) < 1e-9, s"$declared row shares sum to $share")
+    }
+  }
+
   test("approx length quantiles: every sketch value sits within its rank bound") {
     // length_quantiles_approx is the raw-scale (bounded-state) form; its
     // contract vs the exact query is the GK rank bound: with accuracy 1e4
