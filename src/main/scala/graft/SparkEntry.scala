@@ -211,6 +211,7 @@ object SparkEntry {
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
     "q1_pricing"          -> ((s, d) => Relational.pricingSummary(s, d)),
+    "shipping_priority"   -> ((s, d) => Relational.shippingPriority(s, d)),
     "topk_orders"         -> ((s, d) => Relational.topOrdersPerSegment(s, d)),
     "revenue_nation"      -> ((s, d) => Relational.revenueByNation(s, d)),
     "semi_big_spenders"   -> ((s, d) => Relational.bigSpenders(s, d)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
+    "shipping_priority"   -> Relational.shippingPrioritySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,
     "revenue_nation"      -> Relational.revenueByNationSql,
     "semi_big_spenders"   -> Relational.bigSpendersSql,

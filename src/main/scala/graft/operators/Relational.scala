@@ -543,6 +543,49 @@ object Relational {
       |       (SELECT count(*) FROM c) AS n_view_click,
       |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin
 
+  // ---- shipping priority (TPC-H Q3 shape) ----------------------------------
+
+  /** The classic Q3 plan shape — the suite's deepest relational join: a
+   * selective dimension filter (BUILDING customers, explicitly
+   * broadcast — the fact tables never shuffle for it), two date-pruned
+   * fact scans, one orderkey-keyed shuffle join between them, a
+   * partial-agg revenue rollup, and a TakeOrdered top-10 (per-partition
+   * heap + driver merge — no global sort). Revenue is exact DECIMAL
+   * arithmetic per the file convention (price × (1 − discount) as
+   * decimals, summed exactly, ONE final cast to double), and the
+   * (revenue, date, orderkey) ordering has a unique tiebreak so both
+   * engines select the identical 10 rows. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  def shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ---- event-value histogram -----------------------------------------------
 
   /** Equi-width histogram bin size for [[eventValueHistogram]]. */
