@@ -548,8 +548,10 @@ object Relational {
   /** The classic Q3 plan shape — the suite's deepest relational join: a
    * selective dimension filter (BUILDING customers, explicitly
    * broadcast — the fact tables never shuffle for it), two date-pruned
-   * fact scans, one orderkey-keyed shuffle join between them, a
-   * partial-agg revenue rollup, and a TakeOrdered top-10 (per-partition
+   * fact scans joined on the order key (AQE's choice: broadcast at test
+   * scale where filtered orders fit, degrading to the orderkey-keyed
+   * shuffle join at cluster scale), a partial-agg revenue rollup, and a
+   * TakeOrdered top-10 (per-partition
    * heap + driver merge — no global sort). Revenue is exact DECIMAL
    * arithmetic per the file convention (price × (1 − discount) as
    * decimals, summed exactly, ONE final cast to double), and the
