@@ -169,6 +169,8 @@ object SparkEntry {
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
+    // deterministic global training-order shuffle -> (shard, pos) addresses
+    "global_shuffle"      -> ((s, d) => Corpus.globalShuffle(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
     // sequence packing: docs -> (bucket, bin, offset) under a token budget
@@ -203,6 +205,12 @@ object SparkEntry {
     "knn_label"           -> ((s, d) => VectorOps.knnLabel(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
+    // ANN QA: measured recall of the LSH path vs the brute ground truth
+    "ann_recall"          -> ((s, d) => VectorOps.annRecall(Tables.embeddings(s, d))),
+    // k-means E-step over the seed centroids (curriculum / mixture partitioning)
+    "kmeans_assign"       -> ((s, d) => VectorOps.kmeansAssign(Tables.embeddings(s, d))),
+    // IVF inverted-list balance (probe-latency skew check)
+    "ivf_balance"         -> ((s, d) => VectorOps.ivfBalance(Tables.embeddings(s, d))),
     // embedding QA: per-label norm profile + degenerate-vector counts
     "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
     "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
@@ -289,6 +297,7 @@ object SparkEntry {
       DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents"))),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
+    "global_shuffle"      -> Corpus.globalShuffleSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
     "pack_sequences"      -> Corpus.packSequencesSql("documents"),
@@ -312,6 +321,9 @@ object SparkEntry {
     "knn_label"           -> VectorOps.knnLabelSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
+    "ann_recall"          -> VectorOps.annRecallSql("embeddings"),
+    "kmeans_assign"       -> VectorOps.kmeansAssignSql("embeddings"),
+    "ivf_balance"         -> VectorOps.ivfBalanceSql("embeddings"),
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),

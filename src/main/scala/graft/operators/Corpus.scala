@@ -177,6 +177,87 @@ object Corpus {
       clusterSafeSplit(labeled))
   }
 
+  // ---- 2b. deterministic global shuffle ------------------------------------
+
+  /** Salt decorrelating shuffle-order hashes from split/sample buckets. */
+  val ShuffleSalt = "shuf:"
+  /** Docs-per-shard target and the derived shard-count clamp. Shards are
+   * a POWER OF TWO in [[[ShuffleShardsMin]], [[ShuffleShardsMax]]] so a
+   * shard is exactly a contiguous range of the 16-bit hash-prefix space
+   * (shard = prefix DIV (65536/S)) — the shard id preserves the global
+   * hash order, which is what lets the per-shard position windows
+   * reconstruct a total order without a global sort. */
+  val ShuffleTargetShard = 4096L
+  val ShuffleShardsMin = 16
+  val ShuffleShardsMax = 65536
+
+  /** Power-of-two shard count for a corpus of `n` docs: next pow2 of
+   * ceil(n/target), clamped. Bit-length form — integer-exact, the
+   * `lshPlanesFor` contract. */
+  def shuffleShardsFor(n: Long, target: Long = ShuffleTargetShard): Int = {
+    val m = (math.max(n, 1L) + target - 1) / target
+    val w = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(ShuffleShardsMin, math.min(ShuffleShardsMax, 1 << math.min(w, 16)))
+  }
+
+  /** Deterministic global training-order shuffle: every doc gets a
+   * (shard, pos) address such that reading shard 0 in pos order, then
+   * shard 1, … replays the corpus in md5-hash order — the
+   * randomized-but-reproducible example order a training run shards its
+   * input into. Content-addressed (md5 of the salted id), so the order
+   * is engine-portable and append-stable per doc-id (a rerun after adding
+   * docs keeps every old doc in the same global position RELATIVE to the
+   * other old docs — `rand()`-based shuffles restart from nothing).
+   *
+   * Scale shape: NO GLOBAL SORT. One projection computes the hash and
+   * its 16-bit prefix; shard = prefix DIV (65536/S) with S a derived
+   * power of two ([[shuffleShardsFor]]), so shards are contiguous
+   * hash-prefix ranges and ordering by (shard, pos) ≡ ordering by the
+   * full hash. The only exchange is the hash-partition by shard; `pos`
+   * is a per-shard window over ~n/S rows. At 100 TB the same plan holds
+   * with S at the 65536 ceiling (≈1.5 GB of docs per shard at 100 TB) —
+   * the practical alternative, a range-partitioned `ORDER BY h` sort,
+   * pays a sampling pass plus a full sort; this is one cheap projection
+   * and one shuffle. Output (doc_id, shard, pos). */
+  def globalShuffle(docs: DataFrame): DataFrame = {
+    val shards = shuffleShardsFor(CountCache.exactCount(docs))
+    val width = 65536 / shards
+    val W = org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("int") / lit(width)).cast("int"))
+      .withColumn("pos", row_number().over(
+        W.partitionBy("shard").orderBy(col("h"), col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** 16-bit hash-prefix value — four chained hex-digit extractions, the
+   * [[hashBucketSqlDuck]] arithmetic widened to 4 chars. */
+  private def hexPrefix16SqlDuck(h: String): String =
+    (1 to 4).map { i =>
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString("CAST(", " + ", " AS INT)")
+
+  def globalShuffleSql(table: String): String = {
+    // the oracle derives the identical shard count from its own count(*):
+    // pow2(clamp(bit-length)) ≡ CEIL(LOG2(m)) for m < 2^50
+    val m = s"((n + ${ShuffleTargetShard - 1}) // $ShuffleTargetShard)"
+    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(CEIL(LOG2($m)) AS INT) END)"
+    val shards = s"GREATEST($ShuffleShardsMin, LEAST($ShuffleShardsMax, (1 << LEAST($w, 16))))"
+    s"""WITH params AS (SELECT 65536 // $shards AS width
+       |               FROM (SELECT count(*) AS n FROM $table)),
+       |hashed AS (SELECT doc_id, md5(${sqlLit(ShuffleSalt)} || doc_id::VARCHAR) AS h
+       |           FROM $table),
+       |sharded AS (SELECT doc_id, h,
+       |                   CAST(${hexPrefix16SqlDuck("h")} // (SELECT width FROM params) AS INT) AS shard
+       |            FROM hashed)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM sharded""".stripMargin
+  }
+
   // ---- 3. stratified sampling ----------------------------------------------
 
   /** Salt decorrelating the sampling buckets from the split buckets. */

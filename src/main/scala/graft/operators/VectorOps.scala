@@ -595,14 +595,20 @@ object VectorOps {
    * seed centroids, and rn=1 nearest-centroid pick (ORDER BY sim DESC,
    * cid ASC ≡ the Spark struct-max on (sim, −cid)). Expects `qn` in
    * scope. */
-  private def ivfAssignSql(table: String): String =
+  /** Oracle CTE pair `params`/`cents` — the derived stride and the seed
+   * centroid set. Shared by [[ivfAssignSql]] and [[kmeansAssignSql]];
+   * expects `qn` in scope. */
+  private def ivfCentsSql(table: String): String =
     s"""params AS (SELECT GREATEST($IvfCentroidStride, (n + c - 1) // c) AS stride
        |           FROM (SELECT count(*) AS n,
        |                        LEAST(CAST(CEIL(SQRT(count(*))) AS BIGINT),
        |                              $IvfCentroidBudget) AS c
        |                 FROM $table)),
        |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn
-       |          WHERE vec_id % (SELECT stride FROM params) = 0),
+       |          WHERE vec_id % (SELECT stride FROM params) = 0)""".stripMargin
+
+  private def ivfAssignSql(table: String): String =
+    s"""${ivfCentsSql(table)},
        |assign AS (
        |  SELECT vec_id, q, n2, cid FROM (
        |    SELECT v.vec_id, v.q, v.n2, c.cid,
@@ -1015,4 +1021,110 @@ object VectorOps {
        |       (CAST(sum_qi AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) *
        |       (CAST(sum_qj AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) AS cov
        |FROM a""".stripMargin
+
+  // ---- 6. ANN QA: recall audit + cluster assignment / index balance --------
+
+  /** Per-query recall@[[LshK]] of the LSH ANN path against the
+   * brute-force ground truth — the tuning loop for the LSH width dial
+   * ([[lshPlanesFor]]): more planes = cheaper probes AND lower recall,
+   * and this query is where that trade is MEASURED instead of guessed.
+   * Output (query_id, n_truth, n_hits, recall).
+   *
+   * Scale shape: both inputs are already queries × k rows (each side's
+   * heavy lifting is the audited operator itself, unchanged); the audit
+   * adds one join + one aggregate over O(queries·k) rows — noise at any
+   * corpus size. At 100 TB the brute side is the expensive leg, which is
+   * exactly why it's bounded to the [[QueryBudget]] sample: recall on a
+   * fixed random query sample estimates corpus-wide recall (the standard
+   * ANN-benchmark protocol), so the audit's cost does NOT grow with the
+   * corpus beyond the two scans the audited operators pay anyway. */
+  def annRecall(embeddings: DataFrame): DataFrame = {
+    val truth = annBruteTopK(embeddings)
+      .filter(col("rank") <= LshK)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = annLshTopK(embeddings)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    truth.join(got, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  def annRecallSql(table: String): String =
+    s"""WITH brute AS (${annBruteTopKSql(table)}),
+       |lsh AS (${annLshTopKSql(table)}),
+       |truth AS (SELECT query_id, neighbor_id FROM brute WHERE rank <= $LshK)
+       |SELECT t.query_id, count(*) AS n_truth,
+       |       count(l.neighbor_id) AS n_hits,
+       |       CAST(count(l.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN lsh l
+       |  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
+  /** Full-corpus nearest-centroid assignment with the winning similarity
+   * — the k-means E-step over the deterministic seed centroids (and
+   * exactly the labeling [[annIvfTopK]] builds its inverted lists from,
+   * here exposed as a result: corpus partitioning for curriculum /
+   * mixture construction, or the input to an offline centroid
+   * refinement). Ties break to the smallest cid. Output
+   * (vec_id, cid, sim).
+   *
+   * Scale shape: identical to the IVF index build — the ONLY broadcast
+   * is the √n-capped centroid set, the N·C scoring is map-side against
+   * the corpus scan, and the arg-max is a partial aggregate (each map
+   * task reduces its N·C rows to N before the one exchange). No
+   * corpus-side shuffle of vectors, no cartesian
+   * (PlanGuard-style: the struct-max rides the same shape
+   * [[nearestCentroid]] pins for [[semanticDedup]]). */
+  def kmeansAssign(embeddings: DataFrame): DataFrame = {
+    val stride = ivfStrideFor(corpusSize(embeddings))
+    val qn = quantized(embeddings)
+    val cents = qn.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    qn.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("sim"),
+        (lit(0L) - col("cid")).as("ncid")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (lit(0L) - col("m.ncid")).as("cid"),
+        col("m.sim").as("sim"))
+  }
+
+  def kmeansAssignSql(table: String): String =
+    s"""WITH ${quantizedSql(table)},
+       |${ivfCentsSql(table)}
+       |SELECT vec_id, cid, sim FROM (
+       |  SELECT v.vec_id, c.cid,
+       |         ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} AS sim,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cid ASC) AS rn
+       |  FROM qn v CROSS JOIN cents c)
+       |WHERE rn = 1""".stripMargin
+
+  /** IVF index-health profile: per-inverted-list vector count and corpus
+   * share. The list-balance check run BEFORE trusting IVF probe latency
+   * — a skewed list (share ≫ 1/C) means its probes scan far more than
+   * n/C vectors, the IVF analog of a skewed shuffle key (and the signal
+   * to refine centroids or split the hot cell). Output
+   * (cid, n_vecs, share).
+   *
+   * Scale shape: [[kmeansAssign]]'s partial-agg output (N rows) reduced
+   * again to O(C) rows by a map-side-combining count; share is one IEEE
+   * divide by the plan-time exact count ([[CountCache]], mirrored by the
+   * oracle's scalar subquery — the [[Relational.keySkew]] precedent). */
+  def ivfBalance(embeddings: DataFrame): DataFrame = {
+    val total = corpusSize(embeddings)
+    kmeansAssign(embeddings)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast("double") / lit(total).cast("double")).as("share"))
+  }
+
+  def ivfBalanceSql(table: String): String =
+    s"""WITH a AS (${kmeansAssignSql(table)})
+       |SELECT cid, count(*) AS n_vecs,
+       |       CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM $table) AS DOUBLE) AS share
+       |FROM a GROUP BY cid""".stripMargin
 }

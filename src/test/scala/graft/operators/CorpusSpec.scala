@@ -441,4 +441,34 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
       }
     }
   }
+
+  test("global shuffle: (shard, pos) replays the corpus in md5-hash order") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.globalShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = docs.count()
+    assert(out.length.toLong === n, "every doc gets exactly one address")
+    assert(out.map(_._1).distinct.length.toLong === n)
+    val shards = Corpus.shuffleShardsFor(n)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < shards })
+    // pos is contiguous 1..k within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length.toLong), s"shard $s")
+    }
+    // (shard, pos) order == order by the full salted md5 hex string
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash(id: Long): String =
+      md.digest(s"${Corpus.ShuffleSalt}$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val byAddress = out.sortBy { case (_, s, p) => (s, p) }.map(_._1)
+    val byHash = out.map(_._1).sortBy(id => (hash(id), id))
+    assert(byAddress.toSeq === byHash.toSeq)
+  }
+
+  test("shuffle shard count: pow2, clamped, tracks corpus/target") {
+    assert(Corpus.shuffleShardsFor(1L) === Corpus.ShuffleShardsMin)
+    assert(Corpus.shuffleShardsFor(4096L * 64) === 64)
+    assert(Corpus.shuffleShardsFor(4096L * 65) === 128) // next pow2 up
+    assert(Corpus.shuffleShardsFor(Long.MaxValue / 4) === Corpus.ShuffleShardsMax)
+  }
 }

@@ -700,6 +700,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(recall >= 0.5, s"IVF recall $recall vs brute top-${VectorOps.IvfK}")
   }
 
+  test("ANN recall audit recomputes from the two audited operators") {
+    val emb = Tables.embeddings(spark, dir)
+    val truth = VectorOps.annBruteTopK(emb)
+      .collect().filter(_.getLong(2) <= VectorOps.LshK)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.annLshTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = VectorOps.annRecall(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === truth.map(_._1))
+    out.foreach { case (q, (nTruth, nHits, recall)) =>
+      val t = truth.filter(_._1 == q)
+      assert(nTruth === t.size.toLong)
+      assert(nHits === (t & lsh).size.toLong, s"query $q")
+      assert(recall === nHits.toDouble / nTruth.toDouble)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("k-means assignment: every vector to its true nearest seed centroid") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.kmeansAssign(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = emb.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong))
+    }
+    assert(out.size === vecs.length, "one assignment per vector")
+    val stride = VectorOps.ivfStrideFor(vecs.length.toLong)
+    val cents = vecs.filter(_._1 % stride == 0)
+    assert(cents.nonEmpty)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    vecs.foreach { case (id, v) =>
+      val (expCid, expSim) = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }
+      val (gotCid, gotSim) = out(id)
+      assert(gotCid === expCid, s"vec $id")
+      assert(gotSim === expSim, s"vec $id")
+    }
+  }
+
+  test("IVF balance: list counts partition the corpus, shares sum to 1") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val out = VectorOps.ivfBalance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum === n, "every vector lands in exactly one list")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    // cross-check against the assignment the balance is derived from
+    val byCid = VectorOps.kmeansAssign(emb).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    assert(out.map(t => t._1 -> t._2).toMap === byCid)
+  }
+
   test("LSH ANN survives broadcast being unavailable (no forced hint)") {
     // at 100 TB the query side is corpus/QueryStride — far beyond any
     // broadcast budget; the operator must not FORCE a broadcast. Disable
