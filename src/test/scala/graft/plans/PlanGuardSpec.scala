@@ -38,9 +38,16 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
    * annBruteTopK shape: its one nested loop multiplies the corpus by the
    * [[graft.operators.VectorOps.QueryBudget]]-bounded broadcast query
    * set (O(1) rows at any corpus size). mix_weights crossJoins the tiny
-   * per-source relation with a SINGLE broadcast max row. */
+   * per-source relation with a SINGLE broadcast max row. kmeans_assign
+   * and ivf_balance (which reuses it) ARE the IVF N·C assignment build
+   * exposed as results — one nested loop against the √n-capped broadcast
+   * centroid set, the exact shape already budgeted for ann_ivf_topk /
+   * semantic_dedup. ann_recall's nested loop is its brute ground-truth
+   * arm (the whitelisted annBruteTopK, deliberately exact over the
+   * QueryBudget-bounded query set); its LSH arm stays equi-joined. */
   private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1,
-    "knn_label" -> 1, "mix_weights" -> 1)
+    "knn_label" -> 1, "mix_weights" -> 1,
+    "kmeans_assign" -> 1, "ivf_balance" -> 1, "ann_recall" -> 1)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
