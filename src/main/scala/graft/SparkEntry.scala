@@ -196,6 +196,12 @@ object SparkEntry {
     "doc_chunks"          -> ((s, d) => Corpus.docChunks(Tables.documents(s, d))),
     // domain-level quality profile + keep verdict (drop bad domains wholesale)
     "source_quality"      -> ((s, d) => Corpus.sourceQuality(Tables.documents(s, d))),
+    // robust (median/MAD) per-language length score + outlier flag
+    "robust_length_score" -> ((s, d) => Corpus.robustLengthScore(Tables.documents(s, d))),
+    // quantized unigram-LM surprisal quality profile (CCNet-style filter)
+    "doc_surprisal"       -> ((s, d) => Corpus.docSurprisal(Tables.documents(s, d))),
+    // exact shingle-Jaccard top-k document retrieval (bounded query set)
+    "text_simsearch"      -> ((s, d) => TextDedup.simSearch(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
     // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
@@ -315,6 +321,9 @@ object SparkEntry {
     "mix_weights"         -> Corpus.mixWeightsSql("documents"),
     "doc_chunks"          -> Corpus.docChunksSql("documents"),
     "source_quality"      -> Corpus.sourceQualitySql("documents"),
+    "robust_length_score" -> Corpus.robustLengthScoreSql("documents"),
+    "doc_surprisal"       -> Corpus.docSurprisalSql("documents"),
+    "text_simsearch"      -> TextDedup.simSearchSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),

@@ -757,6 +757,71 @@ object Corpus {
        |         / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
        |                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))) >= $OutlierZ""".stripMargin
 
+  // ---- 3a-bis. robust (median/MAD) length scoring ---------------------------
+
+  /** Modified z-score cut for [[robustLengthScore]]'s outlier flag
+   * (Iglewicz–Hoaglin's recommended 3.5). */
+  val RobustZ = 3.5
+  /** Consistency constant: 0.6745 ≈ Φ⁻¹(0.75) scales the MAD to the
+   * normal σ, making the modified z comparable to [[lengthOutliers]]'s
+   * moment z. */
+  val MadScale = 0.6745
+
+  /** Robust per-language length score: the modified z-score
+   * `0.6745·(x − median) / MAD` per document, plus the |z| ≥ [[RobustZ]]
+   * outlier flag — the median/MAD twin of [[lengthOutliers]]. Moment
+   * z-scores are themselves dragged by the outliers they hunt (one 1 GB
+   * concatenation blob inflates σ enough to hide every other blob);
+   * median and MAD have a 50% breakdown point, so the verdict is stable
+   * no matter how polluted the feed. Emits EVERY document's score (the
+   * flag alone would under-evidence the math on a clean corpus).
+   *
+   * Shape: two partial-aggregating passes to O(langs) rows — the
+   * per-language median (exact `percentile`, R-7 interpolation, the
+   * [[lengthQuantiles]]-verified DuckDB `quantile_cont` twin), then the
+   * median of |x − median| over a broadcast-joined second scan — and a
+   * final broadcast join back over the scan. Group state is the
+   * language's value multiset (bounded per group like length_quantiles;
+   * the raw-100 TB swap is `approx_percentile`, same trade documented in
+   * PLANS.md §length_quantiles). The score is a fixed IEEE sequence
+   * (subtract, scale by [[MadScale]], one divide) over the two exact
+   * aggregates, so the hash compare is deterministic; a zero MAD
+   * (degenerate: >50% of a language at one exact length) yields NULL
+   * rather than ±Inf, identically CASE-guarded in the oracle. */
+  def robustLengthScore(docs: DataFrame): DataFrame = {
+    val x = col("n_chars").cast("double")
+    val med = docs.groupBy(col("lang").as("m_lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    val dev = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(med), col("lang") === col("m_lang"))
+      .withColumn("adev", abs(x - col("med")))
+    val mad = dev.groupBy(col("lang").as("s_lang"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), col("lang") === col("s_lang"))
+      .withColumn("mz", when(col("mad") === 0.0, lit(null).cast("double"))
+        .otherwise(lit(MadScale) * (x - col("med")) / col("mad")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("mz"),
+        (abs(col("mz")) >= lit(RobustZ)).as("is_outlier"))
+  }
+
+  def robustLengthScoreSql(table: String): String =
+    s"""WITH med AS (
+       |  SELECT lang AS m_lang, quantile_cont(n_chars, 0.5) AS med
+       |  FROM $table GROUP BY lang),
+       |dev AS (
+       |  SELECT doc_id, lang, n_chars, med,
+       |         abs(CAST(n_chars AS DOUBLE) - med) AS adev
+       |  FROM $table JOIN med ON m_lang = lang),
+       |mad AS (SELECT lang AS s_lang, quantile_cont(adev, 0.5) AS mad
+       |        FROM dev GROUP BY lang),
+       |scored AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         CASE WHEN mad = 0.0 THEN NULL
+       |              ELSE CAST($MadScale AS DOUBLE) * (CAST(n_chars AS DOUBLE) - med) / mad END AS mz
+       |  FROM dev JOIN mad ON s_lang = lang)
+       |SELECT doc_id, lang, n_chars, mz, abs(mz) >= $RobustZ AS is_outlier
+       |FROM scored""".stripMargin
+
   // ---- 3b. token-budget sampling -------------------------------------------
 
   /** Salt decorrelating budget-priority buckets from split/sample uses. */
@@ -877,6 +942,67 @@ object Corpus {
        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+
+  // ---- 3e. unigram-surprisal quality scoring --------------------------------
+
+  /** Per-document unigram-LM surprisal profile — the deterministic twin
+   * of the CCNet-style language-model quality filter (Wenzek et al.
+   * 2020: docs whose words are improbable under a reference LM are
+   * noise; docs of nothing but high-probability words are template
+   * boilerplate). A float `Σ −log p(w)` is order-sensitive across
+   * partitions, so the per-token surprisal is QUANTIZED to whole bits
+   * via integer floor-log2: `bits(w) = ⌊log₂ total⌋ − ⌊log₂ count(w)⌋`
+   * (both from the binary digit length of an exact BIGINT — no
+   * transcendental whose last ulp could differ between libm and the
+   * JVM), making sums exact integers and the whole result
+   * hash-comparable cross-engine. Output per doc: token count, total and
+   * mean bits (one IEEE divide), and the rarest token's bits (`max_bits`
+   * — a single hapax in boilerplate is a strong junk signal).
+   *
+   * Shape: the [[tfidfTopK]] relation chain — per-doc tf (map-side-
+   * combining groupBy, (doc, distinct-term) rows, NOT corpus positions),
+   * vocabulary-keyed corpus counts derived FROM tf (no second tokenize
+   * pass), a vocab-keyed equi-join back (counts side Zipf-flattens to
+   * vocabulary size; AQE broadcasts it when small, shuffles when not),
+   * and one doc-keyed partial aggregate. The corpus total rides a
+   * single-row crossJoin broadcast (the [[mixWeights]] max-row
+   * precedent — no driver-side count action). Docs with zero tokens
+   * have no tf rows and are absent, identically in the oracle. */
+  def docSurprisal(docs: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cnts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("total"))
+    tf.join(cnts, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        (flog2(col("total")) - flog2(col("cnt"))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(col("tf") * col("bits")).cast("bigint").as("sum_bits"),
+        max(col("bits")).cast("bigint").as("max_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"),
+        col("max_bits"))
+  }
+
+  def docSurprisalSql(table: String): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term FROM $table)
+       |  GROUP BY 1, 2),
+       |cnts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+       |bits AS (
+       |  SELECT doc_id, tf,
+       |         (length(bin(total)) - 1) - (length(bin(cnt)) - 1) AS bits
+       |  FROM tf JOIN cnts USING (term) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+       |       CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits,
+       |       CAST(max(bits) AS BIGINT) AS max_bits
+       |FROM bits GROUP BY doc_id""".stripMargin
 
   // ---- 4. benchmark decontamination ----------------------------------------
 

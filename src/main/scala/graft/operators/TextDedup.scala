@@ -1029,4 +1029,74 @@ object TextDedup {
        |       count(CASE WHEN dropped THEN 1 END) AS n_dropped
        |FROM flagged GROUP BY doc_id
        |HAVING count(CASE WHEN NOT dropped THEN 1 END) > 0""".stripMargin
+
+  // ---- 7. document similarity search ---------------------------------------
+
+  /** Bounded query set for [[simSearch]]: `doc_id % stride = 0 AND
+   * doc_id < stride·budget` — at most [[SimQueryBudget]] query documents
+   * at ANY corpus size (the [[graft.operators.VectorOps]] ANN query-
+   * bound pattern, on doc ids). */
+  val SimQueryStride = 50
+  val SimQueryBudget = 10
+  /** Results per query in [[simSearch]]. */
+  val SimSearchK = 5
+
+  /** Document similarity search: the [[SimSearchK]] most similar corpus
+   * documents for each query document, by EXACT word-trigram-shingle
+   * Jaccard — retrieval over the same similarity the MinHash dedup
+   * family approximates ("find the near-copies / templated siblings of
+   * THIS doc": attribution, contamination forensics on a specific leaked
+   * benchmark item, dedup-threshold tuning against ground truth).
+   * Candidates must share ≥ 1 shingle (Jaccard 0 is not a neighbor);
+   * rank ties break by candidate id, so the k-set is total-ordered and
+   * hash-compares. Output (query_id, cand_id, rank, shared, jaccard).
+   *
+   * Scale shape: the query side is O(1) rows by construction and
+   * broadcasts; scoring is map-side against the one corpus shingle scan
+   * (exact, deliberately linear per query — the text twin of
+   * [[graft.operators.VectorOps.annBruteTopK]], and the ground truth an
+   * LSH-bucketed search would be audited against); the rank-≤-k filter
+   * partials through WindowGroupLimit so the only exchange carries
+   * ≤ queries × k rows per map task. The one BroadcastNestedLoopJoin
+   * multiplies by the bounded query set — PlanGuard budgets it like the
+   * ANN brute shape. */
+  def simSearch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDf(docs).withColumn("n", size(col("sh")))
+    val queries = sh
+      .filter(col("doc_id") % SimQueryStride === 0 &&
+        col("doc_id") < lit(SimQueryStride.toLong * SimQueryBudget))
+      .select(col("doc_id").as("query_id"), col("sh").as("qsh"), col("n").as("qn"))
+    broadcast(queries).join(sh, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        intersectSize(col("qsh"), col("sh")).as("ji"), col("qn"), col("n"))
+      .filter(col("ji") >= 1)
+      .select(col("query_id"), col("cand_id"), col("ji").cast("bigint").as("shared"),
+        jaccardFrom(col("ji"), col("qn"), col("n")).as("jaccard"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("jaccard").desc, col("cand_id"))).cast("bigint"))
+      .filter(col("rank") <= SimSearchK)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("shared"), col("jaccard"))
+  }
+
+  def simSearchSql(table: String): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |sh0 AS (SELECT doc_id, ${shinglesFromToksSql("toks")} AS sh FROM toks),
+       |shf AS (SELECT doc_id, sh, len(sh) AS n FROM sh0 WHERE len(sh) > 0),
+       |q AS (SELECT doc_id AS query_id, sh AS qsh, n AS qn FROM shf
+       |      WHERE doc_id % $SimQueryStride = 0
+       |        AND doc_id < ${SimQueryStride.toLong * SimQueryBudget}),
+       |scored AS (
+       |  SELECT query_id, c.doc_id AS cand_id,
+       |         CAST(len(list_intersect(qsh, c.sh)) AS BIGINT) AS shared,
+       |         ${jaccardSql("qsh", "c.sh")} AS jaccard
+       |  FROM q JOIN shf c ON query_id <> c.doc_id
+       |  WHERE len(list_intersect(qsh, c.sh)) >= 1)
+       |SELECT query_id, cand_id, rank, shared, jaccard FROM (
+       |  SELECT query_id, cand_id, shared, jaccard,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY jaccard DESC, cand_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $SimSearchK""".stripMargin
 }

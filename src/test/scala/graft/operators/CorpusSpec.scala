@@ -471,4 +471,66 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(Corpus.shuffleShardsFor(4096L * 65) === 128) // next pow2 up
     assert(Corpus.shuffleShardsFor(Long.MaxValue / 4) === Corpus.ShuffleShardsMax)
   }
+
+  test("robust length score: median/MAD recompute per language, flag at the cut") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.robustLengthScore(docs).collect()
+    assert(out.length.toLong === docs.count(), "one scored row per document")
+    val lengths = docs.select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1).toDouble).sorted).toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    out.foreach { r =>
+      val (lang, x) = (r.getString(1), r.getLong(2).toDouble)
+      val med = medianOf(lengths(lang))
+      val mad = medianOf(lengths(lang).map(v => math.abs(v - med)).sorted)
+      val expect = Corpus.MadScale * (x - med) / mad
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12, s"row $r")
+      assert(r.getBoolean(4) === (math.abs(expect) >= Corpus.RobustZ), s"row $r")
+    }
+  }
+
+  test("robust length score: zero MAD degenerates to NULL, not infinity") {
+    val docs = Seq((1L, "aaaa", "xx", "s", 4L), (2L, "bbbb", "xx", "s", 4L),
+        (3L, "cccc", "xx", "s", 4L), (4L, "d", "xx", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.robustLengthScore(docs).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.isNullAt(3)), "MAD = 0 must yield NULL scores")
+  }
+
+  test("doc surprisal: bits recompute from exact corpus counts, sums exact") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.docSurprisal(docs).collect()
+    assert(out.nonEmpty)
+    // ground truth from a driver-side tokenize of the same corpus
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    out.foreach { r =>
+      val ts = toks(r.getLong(0))
+      val bits = ts.map(t => flog2(total) - flog2(counts(t)))
+      assert(r.getLong(1) === ts.length.toLong, s"n_tokens ${r}")
+      assert(r.getLong(2) === bits.sum, s"sum_bits ${r}")
+      assert(r.getDouble(3) === bits.sum.toDouble / ts.length, s"mean_bits ${r}")
+      assert(r.getLong(4) === bits.max, s"max_bits ${r}")
+    }
+    // zero-token docs carry no rows (mirrored by the oracle's inner chain)
+    assert(out.length === toks.count(_._2.nonEmpty))
+  }
+
+  test("doc surprisal: rarer tokens cost strictly more bits") {
+    val docs = (Seq.fill(32)("common common common") :+ "common rareword")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Corpus.docSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // the doc holding the hapax maxes out; pure-boilerplate docs stay low
+    assert(rows(32L) > rows(0L))
+  }
 }

@@ -961,4 +961,55 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     val binds = ev.exists { case (id, u, _, _) => out(id) < full(u) - 1e-9 }
     assert(binds, "one-hour frame should bind on multi-hour user histories")
   }
+
+  test("simsearch: exact top-k by shingle Jaccard, matches a driver-side brute force") {
+    val docs = Tables.documents(spark, dir)
+    val out = TextDedup.simSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty, "bounded query ids exist at sf0.001")
+    // query-side bound holds structurally
+    out.foreach { case (q, c, _, _, _) =>
+      assert(q % TextDedup.SimQueryStride === 0L &&
+        q < TextDedup.SimQueryStride.toLong * TextDedup.SimQueryBudget)
+      assert(c !== q, "self never retrieved")
+    }
+    // driver-side ground truth over the same corpus
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    val queries = sets.keys.filter(id =>
+      id % TextDedup.SimQueryStride == 0 &&
+        id < TextDedup.SimQueryStride.toLong * TextDedup.SimQueryBudget)
+    val expect = queries.flatMap { q =>
+      sets.toSeq.filter(_._1 != q)
+        .map { case (c, s) =>
+          val inter = (sets(q) & s).size
+          (c, inter, inter.toDouble / (sets(q).size + s.size - inter)) }
+        .filter(_._2 >= 1)
+        .sortBy { case (c, _, j) => (-j, c) }
+        .take(TextDedup.SimSearchK)
+        .zipWithIndex
+        .map { case ((c, inter, j), i) => (q, c, i + 1L, inter.toLong, j) }
+    }.toSet
+    assert(out.toSet === expect)
+  }
+
+  test("simsearch: a planted near-copy outranks unrelated documents") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val docs = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (7L, base + " tonight", "en", "s", base.length + 8L),
+      (9L, "completely different words about training data pipelines at scale here", "en", "s", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.simSearch(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0 is the one in-bound query; the near-copy must rank first
+    assert(out.exists { case (q, c, rank) => q == 0L && c == 7L && rank == 1L })
+  }
 }

@@ -44,10 +44,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
    * centroid set, the exact shape already budgeted for ann_ivf_topk /
    * semantic_dedup. ann_recall's nested loop is its brute ground-truth
    * arm (the whitelisted annBruteTopK, deliberately exact over the
-   * QueryBudget-bounded query set); its LSH arm stays equi-joined. */
+   * QueryBudget-bounded query set); its LSH arm stays equi-joined.
+   * text_simsearch is the annBruteTopK shape on text — corpus shingles ×
+   * the SimQueryBudget-bounded broadcast query set. doc_surprisal
+   * crossJoins the tiny per-term relation with a SINGLE broadcast
+   * corpus-total row (the mix_weights precedent). */
   private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1,
     "knn_label" -> 1, "mix_weights" -> 1,
-    "kmeans_assign" -> 1, "ivf_balance" -> 1, "ann_recall" -> 1)
+    "kmeans_assign" -> 1, "ivf_balance" -> 1, "ann_recall" -> 1,
+    "text_simsearch" -> 1, "doc_surprisal" -> 1)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
