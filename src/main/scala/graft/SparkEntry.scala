@@ -180,6 +180,10 @@ object SparkEntry {
     "repetition_stats"    -> ((s, d) => Corpus.repetitionStats(Tables.documents(s, d))),
     // corpus profiling: training-mixture table + vocabulary heavy hitters
     "source_mix"          -> ((s, d) => Corpus.sourceMix(Tables.documents(s, d))),
+    // per-language tokenizer fertility (chars/token, tokens/word)
+    "token_fertility"     -> ((s, d) => Corpus.tokenFertility(Tables.documents(s, d))),
+    // per-doc duplicated-content fraction over the shared sampled grams
+    "doc_dup_fraction"    -> ((s, d) => TextDedup.dupFraction(Tables.documents(s, d))),
     "dup_rate_by_source"  -> ((s, d) => Corpus.dupRateBySource(Tables.documents(s, d))),
     "lang_confusion"      -> ((s, d) => Corpus.langConfusion(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
@@ -311,6 +315,8 @@ object SparkEntry {
     "pii_redact"          -> Corpus.piiRedactSql("documents"),
     "repetition_stats"    -> Corpus.repetitionStatsSql("documents"),
     "source_mix"          -> Corpus.sourceMixSql("documents"),
+    "token_fertility"     -> Corpus.tokenFertilitySql("documents"),
+    "doc_dup_fraction"    -> TextDedup.dupFractionSql("documents"),
     "dup_rate_by_source"  -> Corpus.dupRateBySourceSql("documents"),
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),

@@ -532,6 +532,52 @@ object Corpus {
        |         CAST(sum(${TextSql.tokenCountBpe("text")}) AS BIGINT) AS tokens_bpe
        |  FROM $table GROUP BY source, lang)""".stripMargin
 
+  /** Per-language tokenizer fertility profile: characters per BPE-ish
+   * subword and subwords per whitespace word — the cost table behind
+   * multilingual mixture decisions (a language whose fertility is 2×
+   * pays 2× the context budget for the same text; the signal that a
+   * tokenizer underserves a script). CJK text shows the characteristic
+   * signature: few-to-no whitespace words (the `[a-z0-9]` word tokenizer
+   * sees only embedded latin/digit runs) while the BPE-ish count still
+   * bills every character run.
+   *
+   * Shape: ONE codegen'd projection into a partial-agg groupBy to
+   * O(langs) rows — scan speed at any corpus size. Ratios are single
+   * IEEE divides of exact BIGINT sums; zero denominators (a language
+   * with no whitespace words, or an empty-text stratum) yield NULL
+   * identically in both engines. */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    docs
+      .select(col("lang"), length(col("text")).cast("bigint").as("nc"),
+        TextFunctions.tokenCount(col("text")).as("tw"),
+        TextFunctions.tokenCountBpe(col("text")).as("tb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("tw")).as("words_ws"),
+        sum(col("tb")).as("tokens_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("words_ws"),
+        col("tokens_bpe"),
+        ratio(col("n_chars"), col("tokens_bpe")).as("chars_per_token"),
+        ratio(col("tokens_bpe"), col("words_ws")).as("tokens_per_word"))
+  }
+
+  def tokenFertilitySql(table: String): String =
+    s"""SELECT lang, n_docs, n_chars, words_ws, tokens_bpe,
+       |       CASE WHEN tokens_bpe = 0 THEN NULL
+       |            ELSE CAST(n_chars AS DOUBLE) / CAST(tokens_bpe AS DOUBLE) END AS chars_per_token,
+       |       CASE WHEN words_ws = 0 THEN NULL
+       |            ELSE CAST(tokens_bpe AS DOUBLE) / CAST(words_ws AS DOUBLE) END AS tokens_per_word
+       |FROM (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |         CAST(sum(${TextSql.tokenCount("text")}) AS BIGINT) AS words_ws,
+       |         CAST(sum(${TextSql.tokenCountBpe("text")}) AS BIGINT) AS tokens_bpe
+       |  FROM $table GROUP BY lang)""".stripMargin
+
   /** Per-source exact-duplication profile — which crawls/feeds are
    * redundant BEFORE paying for near-dup machinery (a source with a 40%
    * exact-dup rate is re-serving cached pages; the near-dup families

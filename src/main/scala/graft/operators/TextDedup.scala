@@ -1030,6 +1030,54 @@ object TextDedup {
        |FROM flagged GROUP BY doc_id
        |HAVING count(CASE WHEN NOT dropped THEN 1 END) > 0""".stripMargin
 
+  // ---- 6b. per-doc duplicated-content fraction ------------------------------
+
+  /** Per-document duplicated-content fraction: what share of THIS doc's
+   * sampled character grams also appear in some other document — the
+   * doc-granular boilerplate profile (RefinedWeb-style near-dup content
+   * accounting: a 0.9 doc is template chrome even if no single whole-doc
+   * pair crosses a dedup threshold; [[Corpus.dupRateBySource]] answers
+   * the same question per FEED, this per document). Gram universe =
+   * the SAME content-defined 1-in-4-sampled, per-doc-distinct grams the
+   * n-gram dedup and decontamination stages use
+   * ([[graft.plans.CharGramSeq]]), so the three read on one scale.
+   * Output (doc_id, n_grams, n_dup, dup_frac); docs too short for one
+   * gram carry no row, identically in the oracle.
+   *
+   * Scale shape: one native gram pass (postings already per-doc
+   * distinct — no global distinct shuffle), a vocabulary-keyed
+   * map-side-combining df count (gram space Zipf-flattens), the
+   * posting→df equi-join back on the gram, and one doc-keyed partial
+   * aggregate. dup_frac is one IEEE divide of two exact counts. Unlike
+   * the dedup path there is NO df cap here — no pair expansion ever
+   * happens, df only feeds a boolean, so a billion-doc boilerplate gram
+   * costs one aggregate row, not a bucket. */
+  def dupFraction(docs: DataFrame): DataFrame = {
+    val postings = {
+      import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+      docs.select(col("doc_id"),
+        explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram, SampleHexMax)))
+          .as("gr"))
+    }
+    val dfr = postings.groupBy("gr").agg(count(lit(1)).as("df"))
+    postings.join(dfr, "gr")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        count(when(col("df") >= 2, lit(1))).cast("bigint").as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
+  }
+
+  def dupFractionSql(table: String): String =
+    s"""WITH postings AS ${sampledGramPostingsSql(table)},
+       |dfr AS (SELECT gr, count(*) AS df FROM postings GROUP BY gr)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+       |       CAST(count(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM postings JOIN dfr USING (gr)
+       |GROUP BY doc_id""".stripMargin
+
   // ---- 7. document similarity search ---------------------------------------
 
   /** Bounded query set for [[simSearch]]: `doc_id % stride = 0 AND

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestHarness
+import graft.functions.TextFunctions
 import graft.sources.Tables
 
 class CorpusSpec extends AnyFunSuite with SparkTestHarness {
@@ -470,6 +471,44 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(Corpus.shuffleShardsFor(4096L * 64) === 64)
     assert(Corpus.shuffleShardsFor(4096L * 65) === 128) // next pow2 up
     assert(Corpus.shuffleShardsFor(Long.MaxValue / 4) === Corpus.ShuffleShardsMax)
+  }
+
+  test("token fertility: sums recompute per language from a driver-side count") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.tokenFertility(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bpe = java.util.regex.Pattern.compile(TextFunctions.BpePattern)
+    val truth = docs.select("lang", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        val texts = rows.map(_.getString(1))
+        val chars = texts.map(_.length.toLong).sum
+        val words = texts.map(t =>
+          t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong).sum
+        val toks = texts.map { t =>
+          val m = bpe.matcher(t); var n = 0L; while (m.find()) n += 1; n
+        }.sum
+        (rows.length.toLong, chars, words, toks)
+      }.toMap
+    assert(out.keySet === truth.keySet)
+    truth.foreach { case (lang, (nd, nc, ww, tb)) =>
+      val r = out(lang)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((nd, nc, ww, tb)), lang)
+      if (ww == 0L) assert(r.isNullAt(6), s"$lang: zero words must yield NULL fertility")
+      else assert(r.getDouble(6) === tb.toDouble / ww, lang)
+    }
+  }
+
+  test("token fertility: a zero-word stratum yields NULL, never infinity") {
+    import spark.implicits._
+    val docs = Seq((1L, "一二三。", "zh", "s", 4L),
+        (2L, "plain english words here", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.tokenFertility(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("zh").getLong(3) === 0L, "no [a-z0-9] words in pure CJK")
+    assert(out("zh").getLong(4) > 0L, "BPE-ish count still bills the characters")
+    assert(out("zh").isNullAt(6), "tokens_per_word must be NULL, not Inf")
+    assert(!out("en").isNullAt(6))
   }
 
   test("robust length score: median/MAD recompute per language, flag at the cut") {

@@ -999,6 +999,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.toSet === expect)
   }
 
+  test("dup fraction: recomputes from a driver-side gram df over the real corpus") {
+    val docs = Tables.documents(spark, dir)
+    val out = TextDedup.dupFraction(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    // driver-side replica of CharGramSeq: normalized text -> 16-char
+    // windows -> per-doc distinct -> md5-hex 1-in-4 sample
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def grams(t: String): Set[String] = {
+      val nt = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ")
+      if (nt.length < TextDedup.CharGram) Set.empty
+      else nt.sliding(TextDedup.CharGram).filter { g =>
+        val h = md.digest(g.getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) < TextDedup.SampleHexMax
+      }.toSet
+    }
+    val byDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1))).filter(_._2.nonEmpty).toMap
+    val dfc = byDoc.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(out.keySet === byDoc.keySet, "one row per doc with >= 1 sampled gram")
+    byDoc.foreach { case (id, gs) =>
+      val dup = gs.count(g => dfc(g) >= 2).toLong
+      assert(out(id) === ((gs.size.toLong, dup, dup.toDouble / gs.size)), s"doc $id")
+    }
+    // planted near-dups make the signal non-trivial on this corpus
+    assert(out.values.exists(_._3 > 0.5) && out.values.exists(_._3 < 0.5))
+  }
+
   test("simsearch: a planted near-copy outranks unrelated documents") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again every day"
