@@ -15,10 +15,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *          char_gram_seq(text), simhash64(text) ...
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // plain-SQL set-overlap gets the native count kernel automatically
+    // (guarded rewrite — see the rule's soundness note)
+    ext.injectOptimizerRule(_ => IntersectKernelRule)
+  }
 }
 
 object GraftFunctions {
