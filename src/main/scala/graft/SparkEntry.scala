@@ -113,6 +113,9 @@ object SparkEntry {
     // reference operator surface (LJOT)
     "ljot_events"         -> ((s, d) => Queries.ljotEvents(s, d)),
     "interval_join_inner" -> ((s, d) => Queries.intervalJoinInner(s, d)),
+    // symmetric completion of the interval family: right-side orphans too
+    "interval_join_full"  -> ((s, d) => LeftJoinOnTimeout.fullOuterJoin(
+      eventsSide(s, d, "purchase"), eventsSide(s, d, "error"), ljotCfg)),
     "timeout_only"        -> ((s, d) => Queries.timeoutOnly(s, d)),
     "asof_purchase_error" -> ((s, d) => AsOfJoin.backward(
       eventsSide(s, d, "purchase"), eventsSide(s, d, "error"), AsOfHorizon)),
@@ -272,6 +275,12 @@ object SparkEntry {
       s"""SELECT l.key AS key, concat(l.value, '+', r.value) AS joined, l.ts AS ts
          |FROM (${eventsSideSql("purchase")}) l
          |JOIN (${eventsSideSql("error")}) r
+         |ON l.key = r.key AND r.ts BETWEEN l.ts - INTERVAL $dMin MINUTE AND l.ts + INTERVAL $dMin MINUTE""".stripMargin,
+    "interval_join_full" ->
+      s"""SELECT coalesce(l.key, r.key) AS key, l.value AS lvalue, r.value AS rvalue,
+         |       l.ts AS lts, r.ts AS rts
+         |FROM (${eventsSideSql("purchase")}) l
+         |FULL JOIN (${eventsSideSql("error")}) r
          |ON l.key = r.key AND r.ts BETWEEN l.ts - INTERVAL $dMin MINUTE AND l.ts + INTERVAL $dMin MINUTE""".stripMargin,
     "timeout_only" ->
       s"""SELECT l.key AS key, concat(l.value, '+') AS joined, l.ts AS ts

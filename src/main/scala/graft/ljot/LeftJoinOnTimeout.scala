@@ -117,6 +117,24 @@ object LeftJoinOnTimeout {
               col("lts").as("ts"))
   }
 
+  /** Full-outer windowed interval equi-join — the symmetric completion
+   * of the family (inner = O4, left = O5): unmatched LEFTS and unmatched
+   * RIGHTS both surface. The reference cannot express this (Kafka
+   * Streams' `leftJoin` timers only track the lhs,
+   * `LeftJoinOnTimeoutBuilder.java:95-122`); in the events domain the
+   * right-side orphans are exactly the errors no purchase explains —
+   * the other half of the reconciliation audit. Output is symmetric
+   * (key, lvalue, rvalue, lts, rts) rather than joiner-applied: the
+   * reference `ValueJoiner` contract (`:30`) is left-biased and has no
+   * null-left form to mirror. */
+  def fullOuterJoin(lhs: DataFrame, rhs: DataFrame,
+                    cfg: LeftJoinOnTimeoutConfig): DataFrame = {
+    val (l, r) = tagged(lhs, rhs, cfg)
+    l.join(r, bandCondition(cfg), "full_outer")
+      .select(coalesce(col("lkey"), col("rkey")).as("key"),
+              col("lvalue"), col("rvalue"), col("lts"), col("rts"))
+  }
+
   private def batchJoin(lhs: DataFrame, rhs: DataFrame, joiner: Joiner,
                         cfg: LeftJoinOnTimeoutConfig): DataFrame = {
     val (l, r) = tagged(lhs, rhs, cfg)

@@ -69,6 +69,22 @@ class LjotBatchSpec extends AnyFunSuite with SparkTestHarness {
     assert(result(out) === Seq((1L, "l1+", 1L)))
   }
 
+  test("full outer: in-window pairs plus BOTH sides' orphans, nothing else") {
+    val out = LeftJoinOnTimeout.fullOuterJoin(
+      df((1L, "l1", 1000L), (1L, "l_orphan", 900000L)),
+      df((1L, "r1", 2000L), (1L, "r_orphan", 500000L), (2L, "r_other_key", 1500L)),
+      cfg)
+    val rows = out.collect().map { r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))
+    }.toSeq.sorted
+    assert(rows === Seq(
+      (1L, Some("l1"), Some("r1")),          // in-window pair
+      (1L, Some("l_orphan"), None),          // left beyond D of any right
+      (1L, None, Some("r_orphan")),          // right no left explains
+      (2L, None, Some("r_other_key"))        // keys never cross
+    ).sorted)
+  }
+
   test("config validation parity: timeout must exceed join window") {
     intercept[IllegalArgumentException] {
       LeftJoinOnTimeoutConfig(Duration.ofSeconds(10), Duration.ofSeconds(30),
