@@ -129,7 +129,15 @@ object LeftJoinOnTimeout {
    * null-left form to mirror. */
   def fullOuterJoin(lhs: DataFrame, rhs: DataFrame,
                     cfg: LeftJoinOnTimeoutConfig): DataFrame = {
-    val (l, r) = tagged(lhs, rhs, cfg)
+    val (l0, r0) = tagged(lhs, rhs, cfg)
+    // streaming full-outer needs both watermarks (each side's orphans
+    // emit when the OTHER side's watermark clears its band) — same
+    // retention→watermark mapping as the streaming left join
+    val streaming = lhs.isStreaming || rhs.isStreaming
+    val wm = s"${cfg.retention.toMillis} milliseconds"
+    val (l, r) =
+      if (streaming) (l0.withWatermark("lts", wm), r0.withWatermark("rts", wm))
+      else (l0, r0)
     l.join(r, bandCondition(cfg), "full_outer")
       .select(coalesce(col("lkey"), col("rkey")).as("key"),
               col("lvalue"), col("rvalue"), col("lts"), col("rts"))

@@ -84,6 +84,28 @@ class LjotStreamingSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("full-outer: both sides' orphans emit once the watermark clears them") {
+    val l = MemoryStream[Rec]; val r = MemoryStream[Rec]
+    val out = LeftJoinOnTimeout.fullOuterJoin(l.toDF(), r.toDF(), cfg)
+    val q = startQuery(out, "full_out")
+    try {
+      l.addData(rec(1, "l1", base + 1), rec(2, "l_orphan", base + 5))
+      r.addData(rec(1, "r1", base + 1), rec(3, "r_orphan", base + 9))
+      q.processAllAvailable()
+      l.addData(rec(98, "wm", sentinelTs))
+      r.addData(rec(99, "wm", sentinelTs))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("full_out").collect()
+        .map(x => (x.getLong(0), Option(x.getString(1)), Option(x.getString(2))))
+        .filter(_._1 < 90L).toSeq.sorted
+      assert(rows === Seq(
+        (1L, Some("l1"), Some("r1")),
+        (2L, Some("l_orphan"), None),
+        (3L, None, Some("r_orphan"))).sorted)
+    } finally q.stop()
+  }
+
   test("property: streaming left-outer == batch restatement on randomized " +
        "inputs, 5 seeds (SURVEY.md §5)") {
     // the streaming analog of LjotBatchSpec's randomized property: same
