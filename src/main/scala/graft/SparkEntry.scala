@@ -247,6 +247,8 @@ object SparkEntry {
     "window_trailing_hour" -> ((s, d) => Relational.trailingHourValue(s, d)),
     // gap-based sessionization (batch twin of the streaming session_window)
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
+    // per-hour peak concurrent sessions (interval sweep, two-level prefix)
+    "peak_concurrency"    -> ((s, d) => Relational.peakConcurrency(s, d)),
     "event_value_hist"    -> ((s, d) => Relational.eventValueHistogram(s, d)),
     "user_retention"      -> ((s, d) => Relational.userRetention(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
@@ -366,6 +368,7 @@ object SparkEntry {
     "window_running_rev"  -> Relational.runningRevenueSql,
     "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
+    "peak_concurrency"    -> Relational.peakConcurrencySql,
     "event_value_hist"    -> Relational.eventValueHistogramSql,
     "user_retention"      -> Relational.userRetentionSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

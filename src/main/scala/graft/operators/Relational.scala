@@ -301,6 +301,74 @@ object Relational {
        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
        |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Microseconds per hour — bucket width for [[peakConcurrency]]. */
+  val HourUs: Long = 3600L * 1000 * 1000
+
+  /** Peak concurrent sessions per hour — the capacity-planning read on
+   * the sessionized stream ("how many users were on AT ONCE", which no
+   * per-hour COUNT can answer: a count conflates ten sequential
+   * one-minute sessions with ten simultaneous ones). A session is
+   * active over [start, end] (closed: still active at its last event);
+   * concurrency at instant t is the number of covering sessions. Output
+   * (hour, entering, peak): the hour bucket (epoch hours), the
+   * concurrency entering the hour (constant until its first boundary —
+   * also the hour's level throughout if it has no boundaries), and the
+   * hour's maximum.
+   *
+   * Shape — the distributed prefix-sum pattern ([[graft.operators.Corpus.budgetSample]]'s
+   * two-level cumulative sum, on time buckets instead of hash buckets):
+   * sessions emit ±1 boundary deltas (+1 at start, −1 at end+1µs, so
+   * the closed interval counts through its last instant), deltas net
+   * per distinct timestamp in one partial-agg groupBy (no tie-ordering
+   * ambiguity can exist after netting), per-hour sums roll up to
+   * O(hours) rows whose global running sum is the only unpartitioned
+   * window (tiny at any scale — a century is &lt; 10⁶ rows), and the
+   * row-level running concurrency sorts only WITHIN each hour. Every
+   * value is an exact BIGINT; no floats anywhere. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionizeEvents(s, dir)
+      .select(unix_micros(col("session_start")).as("s_us"),
+        (unix_micros(col("session_end")) + 1L).as("e_us"))
+    val bounds = sess.select(col("s_us").as("ts_us"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("e_us").as("ts_us"), lit(-1L).as("delta")))
+    val net = bounds.groupBy(col("ts_us")).agg(sum(col("delta")).as("d"))
+      .withColumn("hb", expr(s"ts_us div $HourUs"))
+    val enter = net.groupBy(col("hb")).agg(sum(col("d")).as("bd"))
+      .withColumn("cum", sum(col("bd")).over(
+        Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("hb").as("e_hb"), (col("cum") - col("bd")).as("entering"))
+    net.join(enter, col("hb") === col("e_hb"))
+      .withColumn("run", col("entering") + sum(col("d")).over(
+        Window.partitionBy("hb").orderBy("ts_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("hb"))
+      .agg(max(col("entering")).as("en"), max(col("run")).as("mx"))
+      .select(col("hb").as("hour"), col("en").cast("bigint").as("entering"),
+        greatest(col("en"), col("mx")).cast("bigint").as("peak"))
+  }
+
+  /** Oracle: the single-level global running sum (fine at oracle scale)
+   * — integer-identical to the two-level form — with the same
+   * bucket-level entering values. */
+  def peakConcurrencySql: String =
+    s"""WITH sessions AS (${sessionizeEventsSql}),
+       |b AS (
+       |  SELECT epoch_us(session_start) AS ts_us, 1 AS delta FROM sessions
+       |  UNION ALL
+       |  SELECT epoch_us(session_end) + 1, -1 FROM sessions),
+       |net AS (
+       |  SELECT ts_us, ts_us // $HourUs AS hb, CAST(sum(delta) AS BIGINT) AS d
+       |  FROM b GROUP BY ts_us),
+       |hb_enter AS (
+       |  SELECT hb, CAST(sum(bd) OVER (ORDER BY hb) - bd AS BIGINT) AS entering
+       |  FROM (SELECT hb, sum(d) AS bd FROM net GROUP BY hb)),
+       |r AS (SELECT ts_us, hb, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS run
+       |      FROM net)
+       |SELECT r.hb AS hour, e.entering AS entering,
+       |       greatest(e.entering, max(r.run)) AS peak
+       |FROM r JOIN hb_enter e ON e.hb = r.hb
+       |GROUP BY r.hb, e.entering""".stripMargin
+
   // ---- rollup --------------------------------------------------------------
 
   /** Customer counts with region/nation subtotals (ROLLUP). */

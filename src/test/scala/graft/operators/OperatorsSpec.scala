@@ -999,6 +999,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.toSet === expect)
   }
 
+  test("peak concurrency: per-hour peaks recompute from a driver-side interval sweep") {
+    val dirE = "/root/testdata/sf0.001"
+    val out = Relational.peakConcurrency(spark, dirE).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // driver-side sweep over the SAME session intervals
+    // Timestamp.getTime is ms — keep the µs precision via getNanos
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sess = Relational.sessionizeEvents(spark, dirE)
+      .select("session_start", "session_end").collect()
+      .map(r => (us(r.getTimestamp(0)), us(r.getTimestamp(1)) + 1))
+    val deltas = (sess.map(s => s._1 -> 1L) ++ sess.map(s => s._2 -> -1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val hourUs = Relational.HourUs
+    var run = 0L
+    val perHour = scala.collection.mutable.Map[Long, (Long, Long)]() // hb -> (entering, peak)
+    deltas.foreach { case (ts, d) =>
+      val hb = ts / hourUs
+      val entry = perHour.getOrElseUpdate(hb, (run, run))
+      run += d
+      perHour(hb) = (entry._1, math.max(math.max(entry._2, entry._1), run))
+    }
+    assert(out === perHour.toMap)
+    // the profile must be non-trivial: concurrency above 1 somewhere,
+    // and some hour's peak must exceed what it started with
+    assert(out.values.exists(_._2 > 1L))
+    assert(out.exists { case (_, (en, pk)) => pk > en })
+  }
+
   test("dup fraction: recomputes from a driver-side gram df over the real corpus") {
     val docs = Tables.documents(spark, dir)
     val out = TextDedup.dupFraction(docs).collect()
