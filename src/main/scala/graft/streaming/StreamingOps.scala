@@ -53,6 +53,29 @@ object StreamingOps {
     in.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Idempotent `foreachBatch` parquet sink — the exactly-once leg of
+   * the fault-tolerance story (the reference gets effective
+   * exactly-once from the changelog + Kafka transactions; Spark's file
+   * sinks are at-least-once on foreachBatch REPLAY after a crash
+   * between sink write and offset commit). Each micro-batch lands in
+   * its own `batch_id=N` partition directory with dynamic partition
+   * OVERWRITE, so a replayed batch replaces its own previous (possibly
+   * partial) output instead of appending duplicates — batchId is the
+   * idempotence key, exactly as Spark's docs prescribe for
+   * transactional-ish file delivery. Readers see the union of
+   * partitions; the batch_id column is also the audit trail of which
+   * trigger produced each row.
+   *
+   * Usage: `ds.writeStream.foreachBatch(StreamingOps.idempotentParquet(path) _)`
+   * (+ checkpointLocation). */
+  def idempotentParquet(path: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      // per-write option: only batch_id=N is replaced, sibling batches stay
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
   /** Rate-limit options for a streaming reader — the Spark mapping of the
    * reference's `scheduledCapacity` backpressure (`maxScheduled` pending
    * timers blocking ingestion, `BlockingScheduledExecutor.java:19-31`,

@@ -101,6 +101,41 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("idempotent parquet sink: batches land in batch_id partitions; a replay " +
+       "replaces its own batch, never duplicates or touches siblings") {
+    val path = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    try {
+      val in = MemoryStream[VRec]
+      val q = in.toDF().writeStream
+        .foreachBatch(StreamingOps.idempotentParquet(path) _)
+        .start()
+      try {
+        in.addData(rec(1, 1.0, base), rec(2, 2.0, base + 1))
+        q.processAllAvailable()
+        in.addData(rec(3, 3.0, base + 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      // directory-name partition values infer as INT — normalize
+      def snapshot() = spark.read.parquet(path)
+        .selectExpr("key", "CAST(batch_id AS BIGINT) AS batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val first = snapshot()
+      assert(first.map(_._1) === Seq(1L, 2L, 3L))
+      assert(first.map(_._2).distinct.size === 2, s"two batch partitions: $first")
+      val replayBatch = first.last._2
+      // crash-replay simulation: the same batch id re-delivers (content may
+      // even differ after recomputation) — its partition must be REPLACED
+      StreamingOps.idempotentParquet(path)(
+        Seq(rec(3, 3.0, base + 2), rec(4, 4.0, base + 3)).toDF(), replayBatch)
+      val after = snapshot()
+      assert(after === (first.filter(_._2 != replayBatch) ++
+        Seq((3L, replayBatch), (4L, replayBatch))).sorted,
+        "replayed batch replaces its own partition only")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("ljot topology wiring: wire-format decode -> join -> encode end-to-end") {
     // the Kafka topology (`KafkaTopics.ljotTopology`) minus the broker
     // leaf, which this zero-egress container cannot host: wire-schema
