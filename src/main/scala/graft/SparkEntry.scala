@@ -222,6 +222,8 @@ object SparkEntry {
     "ann_recall"          -> ((s, d) => VectorOps.annRecall(Tables.embeddings(s, d))),
     // k-means E-step over the seed centroids (curriculum / mixture partitioning)
     "kmeans_assign"       -> ((s, d) => VectorOps.kmeansAssign(Tables.embeddings(s, d))),
+    // k-means M-step: refined per-cell centroids over the E-step labeling
+    "kmeans_refine"       -> ((s, d) => VectorOps.kmeansRefine(Tables.embeddings(s, d))),
     // IVF inverted-list balance (probe-latency skew check)
     "ivf_balance"         -> ((s, d) => VectorOps.ivfBalance(Tables.embeddings(s, d))),
     // embedding QA: per-label norm profile + degenerate-vector counts
@@ -349,6 +351,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "ann_recall"          -> VectorOps.annRecallSql("embeddings"),
     "kmeans_assign"       -> VectorOps.kmeansAssignSql("embeddings"),
+    "kmeans_refine"       -> VectorOps.kmeansRefineSql("embeddings"),
     "ivf_balance"         -> VectorOps.ivfBalanceSql("embeddings"),
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),

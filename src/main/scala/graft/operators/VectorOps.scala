@@ -1102,6 +1102,52 @@ object VectorOps {
        |  FROM qn v CROSS JOIN cents c)
        |WHERE rn = 1""".stripMargin
 
+  /** k-means M-step over [[kmeansAssign]]'s E-step labeling: the refined
+   * centroid = mean of each cell's assigned vectors, exploded per
+   * dimension as (cid, dim, n_vecs, sum_q, centroid) — one full E+M
+   * iteration of offline centroid refinement is therefore a CHECKED
+   * composition (assign is oracle-checked, this is oracle-checked; a
+   * driver loop re-seeding [[annIvfTopK]]'s index from these means is
+   * the production refinement loop). Empty cells (a seed centroid
+   * winning no vector) vanish, identically in the oracle.
+   *
+   * Scale shape: the assignment's partial-agg output (N rows) equi-joins
+   * the quantized corpus on vec_id — both sides key on the vector id, so
+   * AQE plans one co-partitioned exchange pair and nothing ever
+   * multiplies — then the [[labelCentroids]] explode+aggregate: the
+   * (cid, dim) partial aggregate reduces each map task to
+   * O(cells · Dim) rows before the final exchange. Sums are exact
+   * DECIMAL(38,0); the mean is one IEEE divide per cell-dimension. The
+   * corpus is scanned twice (assign + vector fetch) — the independent-
+   * query harness cost also documented for the cluster trio; a
+   * production loop would cache the quantized scan. */
+  def kmeansRefine(embeddings: DataFrame): DataFrame = {
+    val qn = quantized(embeddings).select(col("vec_id").as("q_id"), col("q"))
+    kmeansAssign(embeddings)
+      .join(qn, col("vec_id") === col("q_id"))
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qv").cast("decimal(38,0)")).as("sum_q"))
+      .select(col("cid"), col("dim").cast("bigint").as("dim"),
+        col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_vecs").cast("double") * lit(QuantScale))).as("centroid"))
+  }
+
+  def kmeansRefineSql(table: String): String =
+    s"""WITH a AS (${kmeansAssignSql(table)}),
+       |${quantizedSql(table)},
+       |e AS (SELECT a.cid, CAST(i - 1 AS BIGINT) AS dim, qn.q[CAST(i AS INT)] AS qv
+       |      FROM a JOIN qn ON qn.vec_id = a.vec_id
+       |      CROSS JOIN range(1, ${Dim + 1}) AS r(i)),
+       |g AS (SELECT cid, dim, count(*) AS n_vecs,
+       |             CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q
+       |      FROM e GROUP BY cid, dim)
+       |SELECT cid, dim, n_vecs, sum_q,
+       |       CAST(sum_q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale) AS centroid
+       |FROM g""".stripMargin
+
   /** IVF index-health profile: per-inverted-list vector count and corpus
    * share. The list-balance check run BEFORE trusting IVF probe latency
    * — a skewed list (share ≫ 1/C) means its probes scan far more than

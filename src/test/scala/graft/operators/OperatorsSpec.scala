@@ -633,6 +633,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("kmeans refine: M-step means recompute from the E-step labels") {
+    val emb = Tables.embeddings(spark, dir)
+    val assign = VectorOps.kmeansAssign(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * (1 << 20)).toLong))
+    val out = VectorOps.kmeansRefine(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    // every (cell, dim) mean recomputes from a driver-side fold
+    val byCell = vecs.groupBy { case (id, _) => assign(id) }
+    byCell.foreach { case (cid, members) =>
+      val n = members.length.toLong
+      members.head._2.indices.foreach { d =>
+        val s = members.map(_._2(d)).sum
+        val (gn, gs, gc) = out((cid, d.toLong))
+        assert(gn === n && gs === s, s"cell $cid dim $d")
+        assert(gc === s.toDouble / (n.toDouble * (1 << 20)), s"cell $cid dim $d")
+      }
+    }
+    // exactly the non-empty cells appear
+    assert(out.keys.map(_._1).toSet === byCell.keySet)
+  }
+
   test("kNN labeling: majority vote over the true top-k, ties to smallest label") {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.knnLabel(emb).collect()

@@ -52,6 +52,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
   private val bnljBudget = Map("ann_ivf_topk" -> 2, "semantic_dedup" -> 1,
     "knn_label" -> 1, "mix_weights" -> 1,
     "kmeans_assign" -> 1, "ivf_balance" -> 1, "ann_recall" -> 1,
+    "kmeans_refine" -> 1, // inherits kmeans_assign's N·C build
     "text_simsearch" -> 1, "doc_surprisal" -> 1)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
