@@ -153,6 +153,8 @@ object SparkEntry {
     "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),
     "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
+    // threshold-tuning curve: exact-Jaccard histogram of surviving pairs
+    "neardup_sim_hist"    -> ((s, d) => TextDedup.neardupSimHist(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
     // incremental (cross-corpus) dedup: new crawl vs existing corpus
@@ -251,6 +253,8 @@ object SparkEntry {
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
     // per-hour peak concurrent sessions (interval sweep, two-level prefix)
     "peak_concurrency"    -> ((s, d) => Relational.peakConcurrency(s, d)),
+    // hourly ingestion-rate anomalies per event type (pipeline health)
+    "event_rate_outliers" -> ((s, d) => Relational.eventRateOutliers(s, d)),
     "event_value_hist"    -> ((s, d) => Relational.eventValueHistogram(s, d)),
     "user_retention"      -> ((s, d) => Relational.userRetention(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
@@ -309,6 +313,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "dedup_exact"         -> TextDedup.exactSql("documents"),
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
+    "neardup_sim_hist"    -> TextDedup.neardupSimHistSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
     "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
@@ -372,6 +377,7 @@ object SparkEntry {
     "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
     "peak_concurrency"    -> Relational.peakConcurrencySql,
+    "event_rate_outliers" -> Relational.eventRateOutliersSql,
     "event_value_hist"    -> Relational.eventValueHistogramSql,
     "user_retention"      -> Relational.userRetentionSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

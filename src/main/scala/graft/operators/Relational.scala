@@ -369,6 +369,64 @@ object Relational {
        |FROM r JOIN hb_enter e ON e.hb = r.hb
        |GROUP BY r.hb, e.entering""".stripMargin
 
+  /** Z-score cut for [[eventRateOutliers]]. */
+  val RateOutlierZ = 2.0
+
+  /** Hourly ingestion-rate anomalies per event type — the pipeline-health
+   * monitor ("did clicks crater at 3am? did errors spike?"): each
+   * (type, hour) volume scored against the type's own hourly
+   * distribution, flagged at |z| ≥ [[RateOutlierZ]]. The time-bucketed
+   * twin of [[graft.operators.Corpus.lengthOutliers]]'s exact-moment
+   * z-score.
+   *
+   * Shape: one partial-agg pass to O(types · hours) hourly counts; the
+   * per-type moments (count, Σc, Σc² as DECIMAL(38,0) — overflow-proof)
+   * reduce that to O(types) rows which broadcast back over the hourly
+   * relation. z is a fixed IEEE sequence over exact integers, so the
+   * flagged set hash-compares cross-engine. Output
+   * (event_type, hour, n_events, z) for flagged hours only. */
+  def eventRateOutliers(s: SparkSession, dir: String): DataFrame = {
+    val n = col("nh").cast("double")
+    val mu = col("s1").cast("double") / n
+    val sigma = sqrt(col("s2").cast("double") / n - mu * mu)
+    val z = (col("n_events").cast("double") - mu) / sigma
+    val hourly = Tables.events(s, dir)
+      // `div`, not `/`: Spark's `/` on BIGINT is true division (DOUBLE)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $HourUs").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type").as("s_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("n_events")).as("s1"),
+        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("s2"))
+    hourly.join(broadcast(stats), col("event_type") === col("s_type"))
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= lit(RateOutlierZ))
+      .select(col("event_type"), col("hour"), col("n_events"), col("z"))
+  }
+
+  /** Oracle note: `unix_micros(ts) / HourUs` floor-divides in Spark
+   * (integral `/` on BIGINT) and `//` floor-divides in DuckDB —
+   * identical on the positive epoch range. */
+  def eventRateOutliersSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // $HourUs AS hour, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type AS s_type, count(*) AS nh, sum(n_events) AS s1,
+       |         sum(CAST(n_events * n_events AS DECIMAL(38,0))) AS s2
+       |  FROM hourly GROUP BY 1)
+       |SELECT event_type, hour, n_events,
+       |       (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+       |         / sqrt(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+       |                - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+       |                  * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))) AS z
+       |FROM hourly JOIN st ON s_type = event_type
+       |WHERE abs((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+       |         / sqrt(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+       |                - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+       |                  * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)))) >= $RateOutlierZ""".stripMargin
+
   // ---- rollup --------------------------------------------------------------
 
   /** Customer counts with region/nation subtotals (ROLLUP). */

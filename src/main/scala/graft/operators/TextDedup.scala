@@ -1030,6 +1030,46 @@ object TextDedup {
        |FROM flagged GROUP BY doc_id
        |HAVING count(CASE WHEN NOT dropped THEN 1 END) > 0""".stripMargin
 
+  // ---- 6a-bis. near-dup similarity histogram --------------------------------
+
+  /** Histogram bins per unit of Jaccard in [[neardupSimHist]] (width 0.02). */
+  val SimHistBins = 50
+
+  /** Similarity histogram of the verified near-dup pairs — the
+   * threshold-tuning curve for the MinHash dedup family: the
+   * distribution of exact Jaccard over [[minhashLsh]]'s surviving pairs
+   * shows whether [[MinHashThreshold]] sits in a natural valley (a
+   * bimodal near-1.0 cluster of true dups vs a shoulder of coincidental
+   * overlap) or is cutting through a mode — read it BEFORE moving the
+   * dial. Output (bin, bin_lo, n_pairs, min_jaccard, max_jaccard) for
+   * 0.02-wide bins; exact 1.0 lands in its own top bin.
+   *
+   * Shape: the dedup pipeline unchanged (its plan is pinned in its own
+   * entry) plus ONE partial-agg groupBy to O([[SimHistBins]]) rows.
+   * `floor()` BEFORE the cast pins the Spark-truncate vs DuckDB-round
+   * cast divergence; min/max of the one-divide Jaccard doubles are
+   * order-free. */
+  def neardupSimHist(docs: DataFrame): DataFrame =
+    minhashLsh(docs)
+      .select(col("jaccard"),
+        floor(col("jaccard") * SimHistBins).cast("bigint").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .select(col("bin"),
+        (col("bin").cast("double") / SimHistBins).as("bin_lo"),
+        col("n_pairs"), col("min_jaccard"), col("max_jaccard"))
+
+  def neardupSimHistSql(table: String): String =
+    s"""WITH pairs AS (${minhashLshSql(table)}),
+       |b AS (SELECT jaccard, CAST(floor(jaccard * $SimHistBins) AS BIGINT) AS bin
+       |      FROM pairs)
+       |SELECT bin, CAST(bin AS DOUBLE) / $SimHistBins AS bin_lo,
+       |       count(*) AS n_pairs,
+       |       min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+       |FROM b GROUP BY bin""".stripMargin
+
   // ---- 6b. per-doc duplicated-content fraction ------------------------------
 
   /** Per-document duplicated-content fraction: what share of THIS doc's

@@ -1025,6 +1025,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.toSet === expect)
   }
 
+  test("neardup sim hist: bins partition the verified pairs, bounds exact") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLsh(docs).collect().map(_.getDouble(2))
+    val out = TextDedup.neardupSimHist(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(pairs.nonEmpty && out.nonEmpty)
+    val expect = pairs.groupBy(j => math.floor(j * TextDedup.SimHistBins).toLong)
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (bin, js) =>
+      val (lo, n, mn, mx) = out(bin)
+      assert(n === js.length.toLong && mn === js.min && mx === js.max, s"bin $bin")
+      assert(lo === bin.toDouble / TextDedup.SimHistBins)
+      js.foreach(j => assert(j >= lo && j < lo + 1.0 / TextDedup.SimHistBins + 1e-12))
+    }
+    // every surviving pair sits at/above the dedup threshold by construction
+    assert(out.keys.min >= math.floor(
+      TextDedup.MinHashThreshold * TextDedup.SimHistBins).toLong)
+  }
+
+  test("event rate outliers: flagged hours recompute from driver-side moments") {
+    val dirE = "/root/testdata/sf0.001"
+    val out = Relational.eventRateOutliers(spark, dirE).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty, "sf0.001 hourly volumes vary enough to flag")
+    val hourly = graft.sources.Tables.events(spark, dirE)
+      .select(col("event_type"), expr(s"unix_micros(ts) div ${Relational.HourUs}").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = hourly.groupBy(_._1._1)
+    val expect = byType.flatMap { case (_, hs) =>
+      val n = hs.size.toDouble
+      val mu = hs.values.sum.toDouble / n
+      val sigma = math.sqrt(hs.values.map(c => c.toDouble * c).sum / n - mu * mu)
+      hs.collect { case ((t, h), c) if math.abs((c - mu) / sigma) >= Relational.RateOutlierZ =>
+        (t, h) -> c }
+    }
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (k, c) => assert(out(k)._1 === c, s"hour $k") }
+  }
+
   test("peak concurrency: per-hour peaks recompute from a driver-side interval sweep") {
     val dirE = "/root/testdata/sf0.001"
     val out = Relational.peakConcurrency(spark, dirE).collect()
