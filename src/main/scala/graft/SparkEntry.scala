@@ -119,6 +119,10 @@ object SparkEntry {
     "timeout_only"        -> ((s, d) => Queries.timeoutOnly(s, d)),
     "asof_purchase_error" -> ((s, d) => AsOfJoin.backward(
       eventsSide(s, d, "purchase"), eventsSide(s, d, "error"), AsOfHorizon)),
+    // forward mirror: each error's NEXT purchase within the horizon
+    // (time-to-recovery alignment)
+    "asof_error_recovery" -> ((s, d) => AsOfJoin.forward(
+      eventsSide(s, d, "error"), eventsSide(s, d, "purchase"), AsOfHorizon)),
     // approximate aggregate — algorithm-specific, no SQL oracle (driver
     // records the weaker rows-only check)
     "approx_distinct_users" -> ((s, d) =>
@@ -251,6 +255,10 @@ object SparkEntry {
     "window_trailing_hour" -> ((s, d) => Relational.trailingHourValue(s, d)),
     // gap-based sessionization (batch twin of the streaming session_window)
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
+    // session-local Markov transition matrix over event types
+    "session_transitions" -> ((s, d) => Relational.sessionTransitions(s, d)),
+    // feature-store densification: per-user daily grid with LOCF fill
+    "gap_fill_locf"       -> ((s, d) => Relational.gapFillLocf(s, d)),
     // per-hour peak concurrent sessions (interval sweep, two-level prefix)
     "peak_concurrency"    -> ((s, d) => Relational.peakConcurrency(s, d)),
     // hourly ingestion-rate anomalies per event type (pipeline health)
@@ -297,6 +305,8 @@ object SparkEntry {
          |  WHERE r.key = l.key AND r.ts BETWEEN l.ts - INTERVAL $dMin MINUTE AND l.ts + INTERVAL $dMin MINUTE)""".stripMargin,
     "asof_purchase_error" ->
       AsOfJoin.backwardSql(eventsSideSql("purchase"), eventsSideSql("error"), AsOfHorizon),
+    "asof_error_recovery" ->
+      AsOfJoin.forwardSql(eventsSideSql("error"), eventsSideSql("purchase"), AsOfHorizon),
     "text_stats" ->
       s"""SELECT doc_id, ${TextSql.tokenCount("text")} AS n_tokens,
          | ${TextSql.tokenCountBpe("text")} AS n_tokens_bpe,
@@ -376,6 +386,8 @@ object SparkEntry {
     "window_running_rev"  -> Relational.runningRevenueSql,
     "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
+    "session_transitions" -> Relational.sessionTransitionsSql,
+    "gap_fill_locf"       -> Relational.gapFillLocfSql,
     "peak_concurrency"    -> Relational.peakConcurrencySql,
     "event_rate_outliers" -> Relational.eventRateOutliersSql,
     "event_value_hist"    -> Relational.eventValueHistogramSql,

@@ -83,4 +83,67 @@ object AsOfJoin {
        | l.ts AS ts
        |FROM ($lhsSql) l""".stripMargin
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+   * `l.ts ≤ r.ts ≤ l.ts + horizon` (same key), NULL when none — the
+   * "next event after X" alignment (time-to-recovery, next-touch
+   * attribution). Same union+window shape and cost as [[backward]]: the
+   * sort is REVERSED (ts desc) so "earliest following right" becomes a
+   * running `last` over the PRECEDING frame — Spark's O(n) accumulating
+   * frame — rather than an unboundedFollowing frame, which WindowExec
+   * recomputes per row (O(n²) per partition). Ties: a right at exactly
+   * l.ts is visible to that left, and among equal-ts rights the SMALLEST
+   * value wins — mirrored in the oracle's ORDER BY r.ts ASC, r.value ASC.
+   *
+   * `saltBuckets` works exactly as in [[backward]] (lefts spread, rights
+   * replicated into every sub-partition; bit-identical output, asserted
+   * in `AsOfJoinSpec`). */
+  def forward(lhs: DataFrame, rhs: DataFrame, horizon: Duration,
+              saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val l0 = lhs.select(col("key"), col("value"), col("ts"), lit(0).as("side"))
+    val r0 = rhs.select(col("key"), col("value"), col("ts"), lit(1).as("side"))
+    val (tagged, partCols) =
+      if (saltBuckets == 1) (l0.unionByName(r0), Seq(col("key")))
+      else {
+        val l = l0.withColumn("salt",
+          pmod(xxhash64(col("value"), col("ts")), lit(saltBuckets.toLong)).cast("int"))
+        val r = r0.withColumn("salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1))))
+        (l.unionByName(r), Seq(col("key"), col("salt")))
+      }
+    // Desc-ts order: rights with r.ts >= l.ts precede their left; the
+    // nearest (smallest eligible ts) is the LAST seen, so the accumulating
+    // (unboundedPreceding, currentRow) frame applies. At equal ts, side
+    // desc puts rights before the left (visible); among equal-ts rights,
+    // value desc makes the smallest value the last seen — it wins.
+    val w = Window.partitionBy(partCols: _*)
+      .orderBy(col("ts").desc, col("side").desc, col("value").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hMs = horizon.toMillis
+    tagged
+      .withColumn("rv", when(col("side") === 1, col("value")))
+      .withColumn("rts", when(col("side") === 1, col("ts")))
+      .withColumn("next_rv", last(col("rv"), ignoreNulls = true).over(w))
+      .withColumn("next_rts", last(col("rts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(
+        col("key"),
+        col("value").as("lvalue"),
+        when(col("next_rts") <= expr(s"ts + INTERVAL $hMs MILLISECONDS"), col("next_rv"))
+          .as("rvalue"),
+        col("ts"))
+  }
+
+  /** Oracle: correlated earliest-right subquery with the same tie-break. */
+  def forwardSql(lhsSql: String, rhsSql: String, horizon: Duration): String = {
+    val hMs = horizon.toMillis
+    s"""SELECT l.key AS key, l.value AS lvalue,
+       | (SELECT r.value FROM ($rhsSql) r
+       |  WHERE r.key = l.key AND r.ts >= l.ts
+       |    AND r.ts <= l.ts + INTERVAL $hMs MILLISECOND
+       |  ORDER BY r.ts ASC, r.value ASC LIMIT 1) AS rvalue,
+       | l.ts AS ts
+       |FROM ($lhsSql) l""".stripMargin
+  }
 }

@@ -301,6 +301,125 @@ object Relational {
        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
        |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Session-local behavioral transition matrix: for every consecutive
+   * event pair INSIDE a session (same user, no gap > SessionGapUs),
+   * count (event_type → next event_type) across the corpus — the
+   * Markov-chain read on user behavior (what follows an error? how
+   * often does browse lead to purchase?) that per-type counts cannot
+   * answer. Transitions never cross a session boundary: the pair is
+   * dropped when the NEXT event starts a new session.
+   *
+   * Shape: the same single Exchange on `user_id` serves all three
+   * per-user windows (gap lag, session-numbering running sum, and the
+   * `lead` that pairs each event with its successor — identical
+   * partitioning and ordering, so Catalyst plans one shuffle + one
+   * sort), then one partial-capable hash aggregate on the (from, to)
+   * pair. Transition-matrix cardinality is |event_type|², tiny at any
+   * corpus scale, so the final aggregate is map-side-combined to
+   * near-nothing before its exchange. */
+  def sessionTransitions(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .withColumn("to_type", lead(col("event_type"), 1).over(order))
+      .withColumn("to_session", lead(col("session_id"), 1).over(order))
+      .filter(col("to_type").isNotNull && col("to_session") === col("session_id"))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"))
+  }
+
+  def sessionTransitionsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |              OR lag(epoch_us(ts)) OVER w IS NULL
+       |              THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged),
+       |paired AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER w AS to_type,
+       |         session_id,
+       |         lead(session_id) OVER w AS to_session
+       |  FROM sess
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT from_type, to_type, count(*) AS n_transitions
+       |FROM paired
+       |WHERE to_type IS NOT NULL AND to_session = session_id
+       |GROUP BY from_type, to_type""".stripMargin
+
+  /** Gap-filled daily resample with last-observation-carried-forward:
+   * one row per user per DAY of the user's active span — observed days
+   * carry their event count and the day's last `value`; gap days carry
+   * 0 events and the previous observation's value (LOCF). The standard
+   * feature-store densification (a model join wants one row per
+   * user-day, not a sparse event stream).
+   *
+   * Shape — NO grid join: the day grid is GENERATED from each observed
+   * day's distance to its successor (`lead` + `sequence` explode), so
+   * the plan is one partial-capable hash aggregate on (user, day), one
+   * window over the per-day aggregate (tiny: |active user-days|, not
+   * |events|), and a generator — versus the naive calendar×users cross
+   * join + left join (two shuffles of a grid that is mostly misses).
+   * Output size = the grid itself, which any consumer of the
+   * densification pays by definition. Span bound: a user's fill range
+   * never extends beyond their own first/last observation, so one
+   * long-lived user cannot inflate another's span.
+   *
+   * Day-last tie-break: `max_by(value, ts)` — (user_id, ts) is unique
+   * in the event stream (asserted in OperatorsSpec), so the pick is
+   * deterministic and matches the oracle's `arg_max(value, ts)`. */
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("obs_day"))
+      .agg(count(lit(1)).as("n_obs"),
+        max_by(col("value"), col("ts")).as("last_value"))
+    val w = Window.partitionBy("user_id").orderBy("obs_day")
+    obs
+      .withColumn("next_day", lead(col("obs_day"), 1).over(w))
+      .withColumn("day", explode(sequence(
+        col("obs_day"),
+        coalesce(col("next_day") - expr("INTERVAL 1 DAY"), col("obs_day")),
+        expr("INTERVAL 1 DAY"))))
+      .select(
+        col("user_id"),
+        col("day"),
+        when(col("day") === col("obs_day"), col("n_obs")).otherwise(0L).as("n_events"),
+        col("last_value").as("locf_value"))
+  }
+
+  def gapFillLocfSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |         count(*) AS n_events,
+      |         arg_max(value, ts) AS last_value
+      |  FROM events GROUP BY 1, 2),
+      |stepped AS (
+      |  SELECT user_id, day, n_events, last_value,
+      |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM obs),
+      |grid AS (
+      |  SELECT user_id, day AS obs_day, n_events, last_value,
+      |         unnest(generate_series(day, coalesce(next_day - INTERVAL 1 DAY, day),
+      |                                INTERVAL 1 DAY)) AS day
+      |  FROM stepped)
+      |SELECT user_id, day,
+      |       CASE WHEN day = obs_day THEN n_events ELSE 0 END AS n_events,
+      |       last_value AS locf_value
+      |FROM grid""".stripMargin
+
   /** Microseconds per hour — bucket width for [[peakConcurrency]]. */
   val HourUs: Long = 3600L * 1000 * 1000
 

@@ -866,6 +866,65 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("relational: session transitions match a driver-side replay and " +
+       "never cross session boundaries") {
+    val got = Relational.sessionTransitions(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.sliding(2).foreach {
+        case Array((_, _, t1, ty1), (_, _, t2, ty2)) =>
+          if (t2 - t1 <= Relational.SessionGapUs) { // successor in SAME session
+            val k = (ty1, ty2)
+            expected(k) = expected.getOrElse(k, 0L) + 1
+          }
+        case _ => ()
+      }
+    }
+    assert(got === expected.toMap)
+    // one Exchange serves all three windows and the pre-agg: the plan
+    // must contain exactly one shuffle below the final pair aggregate
+    val plan = Relational.sessionTransitions(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (user_id + final agg) in:\n$plan")
+  }
+
+  test("relational: gap-fill LOCF densifies each user's span with carried " +
+       "values and conserves event counts") {
+    // tie-break precondition: (user_id, ts) unique in the fixture
+    val dups = Tables.events(spark, dir).groupBy("user_id", "ts").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L)
+    val rows = Relational.gapFillLocf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // conservation: filled grid carries exactly the original event count
+    assert(rows.map(_._3).sum === Tables.events(spark, dir).count())
+    val dayMs = 24L * 3600 * 1000
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val byDay = rs.sortBy(_._2)
+      // dense: consecutive days, no holes, within the user's own span
+      byDay.map(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b - a === dayMs, s"user $u hole $a -> $b")
+        case _ => ()
+      }
+      // gap days (n_events = 0) repeat the previous day's locf value
+      byDay.sliding(2).foreach {
+        case Array((_, _, _, v1), (_, _, 0L, v2)) => assert(v2 === v1)
+        case _ => ()
+      }
+      // first row of every user is an observed day
+      assert(byDay.head._3 > 0L)
+    }
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
