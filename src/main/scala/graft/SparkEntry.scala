@@ -161,6 +161,9 @@ object SparkEntry {
     "neardup_sim_hist"    -> ((s, d) => TextDedup.neardupSimHist(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccard(Tables.documents(s, d))),
+    // asymmetric overlap: catches a short doc lifted into a long one,
+    // which union-normalized Jaccard scores near zero
+    "ngram_containment"   -> ((s, d) => TextDedup.ngramContainment(Tables.documents(s, d))),
     // incremental (cross-corpus) dedup: new crawl vs existing corpus
     "dedup_incremental"   -> ((s, d) => TextDedup.incremental(Tables.documents(s, d))),
     // sub-document (line-level) boilerplate removal
@@ -182,6 +185,9 @@ object SparkEntry {
     "global_shuffle"      -> ((s, d) => Corpus.globalShuffle(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
+    // Bloom-filter membership pre-screen — approximate (no-false-negative
+    // superset of `decontaminate`), so rows-only like the HLL twin
+    "bloom_decontaminate" -> ((s, d) => Corpus.bloomDecontaminate(Tables.documents(s, d))),
     // sequence packing: docs -> (bucket, bin, offset) under a token budget
     "pack_sequences"      -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
@@ -201,6 +207,10 @@ object SparkEntry {
     "tfidf_topk"          -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
     // collocation mining: corpus-wide bigram heavy hitters
     "bigram_topk"         -> ((s, d) => Corpus.bigramTopK(Tables.documents(s, d))),
+    // observed/expected collocation score (un-logged PMI — integer-exact)
+    "colloc_lift"         -> ((s, d) => Corpus.collocLift(Tables.documents(s, d))),
+    // per-group top-k via WindowGroupLimit rank pushdown
+    "top_docs_per_source" -> ((s, d) => Corpus.topDocsPerSource(Tables.documents(s, d))),
     // per-language length-distribution outliers (exact-moment z-score)
     "length_outliers"     -> ((s, d) => Corpus.lengthOutliers(Tables.documents(s, d))),
     // τ=0.5 temperature source-mixing weights (sqrt smoothing)
@@ -326,6 +336,7 @@ object SparkEntry {
     "neardup_sim_hist"    -> TextDedup.neardupSimHistSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),
+    "ngram_containment"   -> TextDedup.ngramContainmentSql("documents"),
     "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
     "line_dedup"          -> TextDedup.lineDedupSql("documents"),
     "dedup_winnow"        -> TextDedup.winnowDedupSql("documents"),
@@ -351,6 +362,8 @@ object SparkEntry {
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
     "bigram_topk"         -> Corpus.bigramTopKSql("documents"),
+    "colloc_lift"         -> Corpus.collocLiftSql("documents"),
+    "top_docs_per_source" -> Corpus.topDocsPerSourceSql("documents"),
     "length_outliers"     -> Corpus.lengthOutliersSql("documents"),
     "mix_weights"         -> Corpus.mixWeightsSql("documents"),
     "doc_chunks"          -> Corpus.docChunksSql("documents"),

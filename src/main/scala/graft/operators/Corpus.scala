@@ -755,6 +755,103 @@ object Corpus {
        |SELECT bigram, count(*) AS n FROM bg
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT $k""".stripMargin
 
+  /** Minimum joint count and result size for [[collocLift]]. */
+  val LiftMinCount = 5
+  val LiftK = 20
+
+  /** Collocation mining by LIFT — observed/expected co-occurrence,
+   * `lift(a,b) = c_ab · T / (c_a · c_b)` over the corpus token stream
+   * (T total tokens, c_x unigram counts, c_ab bigram count): the
+   * association score under PMI's exponential (Church & Hanks '90 —
+   * PMI = log₂ lift), kept UN-logged so the whole computation is exact
+   * integer products with ONE final IEEE division — bit-identical
+   * cross-engine, where a log would diverge in the last ulps. Top
+   * [[LiftK]] bigrams with joint count ≥ [[LiftMinCount]] (raw PMI/lift
+   * is notoriously dominated by hapax pairs — the floor is standard
+   * practice), ties broken by bigram text.
+   *
+   * Shape: ONE tokenize pass feeds both count tables — bigrams via the
+   * in-array successor pairing ([[bigramTopK]]'s zero-self-join shape),
+   * unigrams via the vocabulary-keyed hash aggregate; the lift join
+   * brokers the Zipf-flattened vocab relation (AQE broadcasts it at any
+   * realistic vocabulary), and the k-set is a TakeOrdered, never a
+   * global sort. Products accumulate in DECIMAL(38,0) — overflow-proof
+   * past 10¹⁸-token corpora where `c_ab · T` exceeds BIGINT. */
+  def collocLift(docs: DataFrame, k: Int = LiftK): DataFrame = {
+    val toks = TextFunctions.withTokens(
+      docs.select(col("doc_id"), col("text")), "text", "toks")
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val bi = toks.select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> struct(t AS a, toks[i + 1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= LiftMinCount)
+    val total = uni.agg(sum(col("c")).as("t"))
+    bi
+      .join(uni.select(col("token").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("token").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(total))
+      .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+        col("c_ab"),
+        (( col("c_ab").cast("decimal(38,0)") * col("t") ).cast("double")
+          / ( col("c_a").cast("decimal(38,0)") * col("c_b") ).cast("double"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def collocLiftSql(table: String, k: Int = LiftK): String =
+    s"""WITH tf AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |uni AS (SELECT token, count(*) AS c
+       |        FROM (SELECT unnest(toks) AS token FROM tf) GROUP BY token),
+       |idx AS (SELECT doc_id, CAST(unnest(range(1, len(toks))) AS INT) AS i FROM tf),
+       |bi AS (SELECT a, b, count(*) AS c_ab FROM (
+       |         SELECT t.toks[x.i] AS a, t.toks[x.i + 1] AS b
+       |         FROM idx x JOIN tf t ON t.doc_id = x.doc_id)
+       |       GROUP BY a, b HAVING count(*) >= $LiftMinCount),
+       |tot AS (SELECT sum(c) AS t FROM uni)
+       |SELECT concat(bi.a, ' ', bi.b) AS bigram, bi.c_ab AS c_ab,
+       |       CAST(CAST(bi.c_ab AS DECIMAL(38,0)) * tot.t AS DOUBLE)
+       |         / CAST(CAST(ua.c AS DECIMAL(38,0)) * ub.c AS DOUBLE) AS lift
+       |FROM bi, tot
+       |JOIN uni ua ON ua.token = bi.a
+       |JOIN uni ub ON ub.token = bi.b
+       |ORDER BY lift DESC, bigram LIMIT $k""".stripMargin
+
+  /** Per-group result size for [[topDocsPerSource]]. */
+  val TopPerSource = 3
+
+  /** The [[TopPerSource]] longest documents of EVERY source — per-group
+   * top-k, the "best exemplars per slice" query of corpus curation
+   * (inspection samples, per-domain length caps, quota picks).
+   *
+   * Shape: rank-limit inside each group. Spark plans the
+   * `row_number ≤ k` filter as WindowGroupLimit (asserted in the spec):
+   * each map task keeps only its local top-k PER GROUP before the
+   * exchange, so the shuffle carries ≤ k·|sources| rows per task — the
+   * grouped analog of TakeOrdered — and the full window sort never
+   * materializes. Ties (equal n_chars) break by doc_id for a total
+   * order. */
+  def topDocsPerSource(docs: DataFrame, k: Int = TopPerSource): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  def topDocsPerSourceSql(table: String, k: Int = TopPerSource): String =
+    s"""SELECT source, rk, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM $table)
+       |WHERE rk <= $k""".stripMargin
+
   // ---- length-outlier flagging ---------------------------------------------
 
   /** Z-score cut for [[lengthOutliers]]. */
@@ -1093,6 +1190,63 @@ object Corpus {
        |JOIN ${TextDedup.sampledGramPostingsSql(table, s"source = '$benchSource'")} b ON c.gr = b.gr
        |GROUP BY 1, 2
        |HAVING count(*) >= $ContamMinShared""".stripMargin
+
+  /** Bloom filter sizing for [[bloomDecontaminate]]: expected distinct
+   * benchmark grams and filter bits (8 bits/item ≈ 2% false-positive
+   * rate at capacity — Bloom'70; Spark's own runtime-filter default
+   * ratio). An eval suite is bounded (thousands of docs), so these are
+   * static, not corpus-derived. */
+  val BloomExpectedItems: Long = 1L << 20
+  val BloomNumBits: Long = 1L << 23
+
+  /** Approximate decontamination via a Bloom-filter membership
+   * pre-filter — the 100 TB-shaped variant of [[decontaminate]]: instead
+   * of equi-joining every corpus gram against the benchmark gram set,
+   * build ONE Bloom filter over the (small) benchmark side with Spark's
+   * native `bloom_filter_agg` and test corpus grams with
+   * `BloomFilterMightContain` INSIDE the scan projection — the corpus is
+   * never shuffled, never joined; non-matching grams (the overwhelming
+   * majority) die at scan speed in whole-stage codegen, exactly the
+   * plan shape Spark's own `InjectRuntimeFilter` builds for bloom joins.
+   * Output (doc_id, n_hits): corpus docs with ≥ [[ContamMinShared]]
+   * sampled grams hitting the benchmark filter.
+   *
+   * Guarantee: NO false negatives — every doc [[decontaminate]] flags is
+   * flagged here (a truly shared gram always hits the filter); false
+   * positives add docs at the filter's FP rate, the right direction for
+   * a leakage screen (over-flag, then exact-verify the tiny remainder
+   * with [[decontaminate]] restricted to the flagged set). Asserted as a
+   * superset property in `CorpusSpec`.
+   *
+   * The one-row `.head()` materializes the serialized filter (~1 MB) on
+   * the driver and embeds it as a foldable literal — the same O(1)-rows
+   * driver action precedent as the CC convergence checksum
+   * (`DedupClusters`): the aggregation itself is distributed; only the
+   * finished sketch crosses to the driver, and the literal ships to
+   * executors once via the task closure. No SQL oracle (DuckDB has no
+   * matching filter implementation) — registered rows-only, twinned with
+   * the hash-checked exact [[decontaminate]]. */
+  def bloomDecontaminate(docs: DataFrame, benchSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")),
+        TextDedup.CharGram, TextDedup.SampleHexMax))).as("gr"))
+    val benchAgg = grams(docs.filter(col("source") === benchSource))
+      .agg(toCol(new BloomFilterAggregate(
+        toExpr(xxhash64(col("gr"))),
+        Literal(BloomExpectedItems), Literal(BloomNumBits))
+        .toAggregateExpression()).as("bf"))
+    val bf = benchAgg.head().getAs[Array[Byte]](0)
+    grams(docs.filter(col("source") =!= benchSource))
+      .filter(toCol(new BloomFilterMightContain(
+        Literal(bf, BinaryType), toExpr(xxhash64(col("gr"))))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= ContamMinShared)
+  }
 
   // ---- context-window chunking ---------------------------------------------
 

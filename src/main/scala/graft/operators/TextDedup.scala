@@ -801,7 +801,18 @@ object TextDedup {
    * the sampled sets, mirrored exactly by the oracle. */
   val SampleHexMax = 4
 
-  def ngramJaccard(docs: DataFrame): DataFrame = {
+  def ngramJaccard(docs: DataFrame): DataFrame =
+    ngramCandidatesVerified(docs)
+      .select(col("id_a"), col("id_b"),
+        jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= NgramThreshold)
+
+  /** Shared candidate+verify pipeline of the n-gram family: emits each
+   * rare-gram candidate pair with its exact sampled-gram intersection
+   * size and both set sizes — (id_a, id_b, ji, na, nb), id_a < id_b.
+   * [[ngramJaccard]] and [[ngramContainment]] are pure projections over
+   * this one plan, so the two scores share every shuffle. */
+  private def ngramCandidatesVerified(docs: DataFrame): DataFrame = {
     // sampling + per-doc dedup happen inside the native gram pass, so the
     // exploded postings are already DISTINCT (doc_id, gr) — no global
     // distinct shuffle needed. Candidate generation is ONE shuffle: group
@@ -852,10 +863,52 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         intersectSize(col("g_a"), col("g_b")).as("ji"),
         size(col("g_a")).as("na"), size(col("g_b")).as("nb"))
-      .select(col("id_a"), col("id_b"),
-        jaccardFrom(col("ji"), col("na"), col("nb")).as("jaccard"))
-      .filter(col("jaccard") >= NgramThreshold)
   }
+
+  /** Containment threshold and minimum sampled-set size for
+   * [[ngramContainment]]. The size floor keeps trivially small sampled
+   * sets (2 grams, both shared → containment 1.0) from qualifying. */
+  val ContainThreshold = 0.8
+  val ContainMinGrams = 4
+
+  /** Sub-document duplication by n-gram CONTAINMENT — |A∩B| / min(|A|,|B|),
+   * the asymmetric-overlap score (Broder'97's containment, the CC-pipeline
+   * standard for "document A is inside document B"). Jaccard divides by
+   * the UNION, so a short doc fully lifted into a 100× longer one scores
+   * near zero and survives Jaccard dedup; containment divides by the
+   * smaller side and scores it 1.0. Output (id_a, id_b, containment),
+   * id_a < id_b, both sampled sets ≥ [[ContainMinGrams]].
+   *
+   * Same plan as [[ngramJaccard]] via [[ngramCandidatesVerified]] —
+   * the score is a projection, so the rare-gram inverted index and the
+   * in-bucket pair expansion (the scale machinery) are identical, with
+   * the same documented candidate approximation. */
+  def ngramContainment(docs: DataFrame): DataFrame =
+    ngramCandidatesVerified(docs)
+      .filter(least(col("na"), col("nb")) >= ContainMinGrams)
+      .select(col("id_a"), col("id_b"),
+        (col("ji").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= ContainThreshold)
+
+  def ngramContainmentSql(table: String): String =
+    s"""WITH postings AS ${sampledGramPostingsSql(table)},
+       |rare AS (SELECT gr FROM (SELECT gr, count(*) AS df FROM postings GROUP BY gr)
+       |         WHERE df >= 2 AND df <= $DfMax),
+       |rp AS (SELECT p.doc_id, p.gr FROM postings p JOIN rare r ON p.gr = r.gr),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rp a JOIN rp b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+       |garr AS (SELECT doc_id, list(gr) AS g FROM postings GROUP BY doc_id)
+       |SELECT id_a, id_b, containment FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+       |           / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE) AS containment
+       |  FROM cand c
+       |  JOIN garr ga ON ga.doc_id = c.id_a
+       |  JOIN garr gb ON gb.doc_id = c.id_b
+       |  WHERE least(len(ga.g), len(gb.g)) >= $ContainMinGrams)
+       |WHERE containment >= $ContainThreshold""".stripMargin
 
   /** Complete parenthesized SELECT of the DISTINCT sampled (doc_id, gr)
    * postings of `table` rows matching `cond` — the single relational

@@ -88,6 +88,79 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(n >= Corpus.ContamMinShared)
   }
 
+  test("bloom decontaminate flags every exactly-contaminated doc (no false " +
+       "negatives) and keeps the corpus out of the join/shuffle path") {
+    val passage = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strange potions in the misty mountain caves at midnight"
+    val docs = Seq(
+      (100L, passage, "en", "src0"),
+      (1L, s"intro text then $passage and a conclusion", "en", "srcX"),
+      (2L, "completely different content about databases and query " +
+        "optimization with nothing in common at all here", "en", "srcX")
+    ).toDF("doc_id", "text", "lang", "source")
+    val exact = Corpus.decontaminate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Corpus.bloomDecontaminate(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.subsetOf(bloom.keySet),
+      s"superset violated: exact $exact vs bloom ${bloom.keySet}")
+    assert(bloom.values.forall(_ >= Corpus.ContamMinShared))
+    // superset also holds on the real corpus fixture
+    val real = Tables.documents(spark, dir)
+    val exactReal = Corpus.decontaminate(real).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloomReal = Corpus.bloomDecontaminate(real)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactReal.subsetOf(bloomReal))
+    // plan shape: the corpus side must reach the aggregate through a
+    // scan + filter only — no Join node anywhere (the bloom literal is
+    // embedded in the projection, not joined)
+    val plan = Corpus.bloomDecontaminate(real).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected a join-free bloom plan:\n$plan")
+    assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
+  }
+
+  test("colloc lift matches hand-computed observed/expected on a fixture " +
+       "and floors hapax pairs") {
+    // "alpha beta" appears 6x; alpha and beta appear ONLY together ->
+    // lift = c_ab * T / (c_a * c_b) = 6T/36; filler tokens dilute T
+    val pair = Array.fill(6)("alpha beta").mkString(" ")
+    val filler = (1 to 28).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, s"$pair $filler")).toDF("doc_id", "text")
+    val got = Corpus.collocLift(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    val t = 12 + 28 // total tokens
+    assert(got.map(_._1).contains("alpha beta"))
+    val ab = got.find(_._1 == "alpha beta").get
+    assert(ab._2 === 6L)
+    assert(ab._3 === 6.0 * t / 36.0)
+    // hapax floor: every reported pair has joint count >= LiftMinCount
+    assert(got.forall(_._2 >= Corpus.LiftMinCount))
+    // runs on the real corpus and stays within k
+    val real = Corpus.collocLift(Tables.documents(spark, dir)).collect()
+    assert(real.nonEmpty && real.length <= Corpus.LiftK)
+  }
+
+  test("top docs per source keeps k per group and plans a WindowGroupLimit") {
+    val out = Corpus.topDocsPerSource(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= Corpus.TopPerSource, s"source $src over k")
+      assert(rows.map(_._2).sorted === (1 to rows.length), s"ranks $src")
+      // ranks agree with a driver-side sort of the group's docs
+      val lens = Tables.documents(spark, dir).filter(col("source") === src)
+        .select("doc_id", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, n) => (-n, id) }.take(Corpus.TopPerSource)
+      assert(rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq === lens.toSeq)
+    }
+    val plan = Corpus.topDocsPerSource(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown (WindowGroupLimit) in:\n$plan")
+  }
+
   test("pii scan counts emails, IPv4s and phone numbers; clean docs pass") {
     val docs = Seq(
       (1L, "contact alice.smith+spam@example-corp.co.uk or bob@test.org today"),

@@ -52,6 +52,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(mh.subsetOf(ng), s"minhash pairs missing from ngram: ${mh -- ng}")
   }
 
+  test("ngram containment catches a short doc lifted into a long one that " +
+       "Jaccard misses, and subsumes every Jaccard pair") {
+    import spark.implicits._
+    // synthetic: doc 1 is wholly contained in the much longer doc 2 —
+    // containment ~1.0, Jaccard far below threshold
+    val core = "seven wizards brew strange potions in the misty mountain " +
+      "caves at midnight while the river sings below the ancient stone bridge"
+    val padding = (1 to 12).map(i =>
+      s"unrelated filler sentence number $i about databases indexes " +
+        s"optimizers compilers networks caches schedulers and allocator design"
+    ).mkString(" ")
+    val docs = Seq(
+      (1L, core, "en", "srcA"),
+      (2L, s"$padding $core $padding", "en", "srcB"),
+      (3L, "entirely different text with no shared content whatsoever in " +
+        "any fragment of its words or characters at all", "en", "srcC")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cont = TextDedup.ngramContainment(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont.keySet === Set((1L, 2L)), s"got $cont")
+    assert(cont((1L, 2L)) >= TextDedup.ContainThreshold)
+    val jac = TextDedup.ngramJaccard(docs).collect()
+    assert(jac.isEmpty, "the lifted pair must be invisible to union-Jaccard")
+    // on the real corpus: containment >= jaccard pair-wise, so every
+    // Jaccard near-dup is a containment pair too (same candidates,
+    // smaller denominator, equal-or-higher threshold direction)
+    val real = Tables.documents(spark, dir)
+    val jacReal = TextDedup.ngramJaccard(real)
+      .filter(col("jaccard") >= TextDedup.ContainThreshold)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contReal = TextDedup.ngramContainment(real)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacReal.subsetOf(contReal), s"missing: ${jacReal -- contReal}")
+  }
+
   test("simhash recalls most minhash near-dups (approximate by design)") {
     val docs = Tables.documents(spark, dir)
     val mh = TextDedup.minhashLsh(docs)
