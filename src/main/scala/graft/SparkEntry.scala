@@ -275,6 +275,10 @@ object SparkEntry {
     "event_rate_outliers" -> ((s, d) => Relational.eventRateOutliers(s, d)),
     "event_value_hist"    -> ((s, d) => Relational.eventValueHistogram(s, d)),
     "user_retention"      -> ((s, d) => Relational.userRetention(s, d)),
+    // robust (median, MAD) dispersion per event type
+    "event_value_mad"     -> ((s, d) => Relational.eventValueMad(s, d)),
+    // top-spender segmentation: exact totals + NTILE decile
+    "user_ltv_deciles"    -> ((s, d) => Relational.userLtvDeciles(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
     "funnel_stages"       -> ((s, d) => Relational.funnelStages(s, d)),
     // per-type inter-arrival gap profile (lag window + rollup)
@@ -405,6 +409,8 @@ object SparkEntry {
     "event_rate_outliers" -> Relational.eventRateOutliersSql,
     "event_value_hist"    -> Relational.eventValueHistogramSql,
     "user_retention"      -> Relational.userRetentionSql,
+    "event_value_mad"     -> Relational.eventValueMadSql,
+    "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,
     "interevent_gaps"     -> Relational.intereventGapsSql,
     "doc_source_pivot"    -> Relational.docSourcePivotSql,

@@ -875,6 +875,72 @@ object Relational {
    * whose keys are user-uniform. The final (cohort, week) rollup is
    * O(weeks²) rows. `week_offset` is an integer day difference DIV 7 —
    * no float anywhere. Week truncation is ISO-Monday in both engines. */
+  /** Robust dispersion profile per event type: exact median and MAD
+   * (median absolute deviation) of `value` — the outlier-resistant
+   * (median, MAD) pair that replaces (mean, σ) when the stream carries
+   * fat-tailed or corrupted values (a z-score screen built on moments is
+   * itself dragged by the outliers it hunts; the MAD is not).
+   *
+   * Shape: per-type exact `percentile` (Spark and DuckDB share the R-7
+   * interpolation — the [[Corpus]] length-quantiles precedent), the
+   * deviation join broadcasts the O(|event_type|) median table over the
+   * scan, and a second per-type percentile over deviations. Groups are
+   * low-cardinality event types, so the exact percentile's per-group
+   * buffering is bounded by the biggest type's row count — the same
+   * documented memory trade as `length_quantiles`, with the same
+   * `approx_percentile` swap at raw-100 TB scale. */
+  def eventValueMad(s: SparkSession, dir: String): DataFrame = {
+    val med = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    Tables.events(s, dir)
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"), abs(col("value") - col("med")).as("ad"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"),
+        percentile(col("ad"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+  }
+
+  def eventValueMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      |  FROM events e JOIN med m ON e.event_type = m.event_type)
+      |SELECT event_type, max(med) AS med, quantile_cont(ad, 0.5) AS mad,
+      |       count(*) AS n
+      |FROM dev GROUP BY event_type""".stripMargin
+
+  /** Lifetime-value deciles: every user's exact total event value
+   * (DECIMAL-summed — the [[pricingSummary]] determinism note) with
+   * their NTILE(10) bucket, ordered by value descending — the
+   * "top 10% of spenders" segmentation.
+   *
+   * Scale note: ntile needs a TOTAL order, so the window is
+   * single-partition BY DESIGN — but it runs over the per-user
+   * AGGREGATE (one row per user), not the event stream; the heavy
+   * relation is reduced by a partial-capable hash aggregate first. At
+   * 10⁹ users the single sort partition becomes the bottleneck and the
+   * decile boundary should come from `approx_percentile` over the same
+   * aggregate instead; for any bounded user population the exact form
+   * holds. Ties broken by user_id. */
+  def userLtvDeciles(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val w = Window.orderBy(col("total_value").desc, col("user_id"))
+    u.withColumn("decile", ntile(10).over(w))
+  }
+
+  def userLtvDecilesSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, total_value,
+      |       ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+      |FROM u""".stripMargin
+
   def userRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))

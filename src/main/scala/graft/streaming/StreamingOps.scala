@@ -76,6 +76,21 @@ object StreamingOps {
       .partitionBy("batch_id")
       .parquet(path)
 
+  /** Stream-static enrichment: join a streaming fact stream to a STATIC
+   * dimension on `key` — the lookup-join every event pipeline runs
+   * (user profile, device registry, doc metadata onto its stream).
+   * Left join keeps facts whose dimension row is missing (dim columns
+   * NULL) rather than silently dropping them.
+   *
+   * Scale: a stream-static join is STATELESS — no watermark, no state
+   * store; each micro-batch plans a fresh batch join, so a small
+   * dimension broadcasts (AQE decides per-batch) and the stream side
+   * never shuffles. The static side is re-read per trigger: at scale,
+   * point it at a snapshot path (or persist it) so a concurrent
+   * dimension rewrite cannot tear mid-batch. */
+  def enrich(stream: DataFrame, dim: DataFrame, dimCols: Seq[String]): DataFrame =
+    stream.join(dim.select((col("key") +: dimCols.map(col)): _*), Seq("key"), "left")
+
   /** Rate-limit options for a streaming reader — the Spark mapping of the
    * reference's `scheduledCapacity` backpressure (`maxScheduled` pending
    * timers blocking ingestion, `BlockingScheduledExecutor.java:19-31`,

@@ -960,6 +960,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("relational: event-value MAD matches a driver-side exact computation") {
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // R-7 linear interpolation at p=0.5 over a sorted sample
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val ev = Tables.events(spark, dir).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = Relational.eventValueMad(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toList
+    assert(got.nonEmpty)
+    got.foreach { case (ty, med, mad, n) =>
+      val vals = ev.filter(_._1 == ty).map(_._2)
+      assert(n === vals.length.toLong)
+      assert(med === medianOf(vals), s"median $ty")
+      assert(mad === medianOf(vals.map(v => math.abs(v - med))), s"mad $ty")
+    }
+  }
+
+  test("relational: LTV deciles are balanced, ordered, and sum-exact") {
+    val rows = Relational.userLtvDeciles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // decile sizes differ by at most 1 (NTILE contract)
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // ordering: every user in decile d has total >= any user in d+1
+    // (modulo the deterministic user_id tie-break)
+    val byDecile = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    byDecile.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byDecile(a).min >= byDecile(b).max ||
+        math.abs(byDecile(a).min - byDecile(b).max) < 1e-9)
+      case _ => ()
+    }
+    // totals are the exact DECIMAL sums of the raw stream
+    val want = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (u, t, _) => assert(t === want(u)) }
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))

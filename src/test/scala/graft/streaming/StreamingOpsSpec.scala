@@ -136,6 +136,33 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("stream-static enrichment joins dimension columns per micro-batch, " +
+       "keeps dimensionless facts, and stays stateless") {
+    val in = MemoryStream[VRec]
+    val dim = Seq((1L, "gold", "emea"), (2L, "silver", "apac"))
+      .toDF("key", "tier", "region")
+    val out = StreamingOps.enrich(in.toDF(), dim, Seq("tier", "region"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rec(1, 2.0, base + 1000), rec(2, 3.0, base + 2000),
+        rec(7, 4.0, base + 3000)) // key 7 has no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(3)), Option(r.getString(4))))
+        .toSeq.sortBy(_._1)
+      assert(rows === Seq(
+        (1L, 2.0, Some("gold"), Some("emea")),
+        (2L, 3.0, Some("silver"), Some("apac")),
+        (7L, 4.0, None, None)))
+      // stateless: no state store rows tracked for this query
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty),
+        "stream-static join must not allocate a state store")
+    } finally q.stop()
+  }
+
   test("ljot topology wiring: wire-format decode -> join -> encode end-to-end") {
     // the Kafka topology (`KafkaTopics.ljotTopology`) minus the broker
     // leaf, which this zero-egress container cannot host: wire-schema
