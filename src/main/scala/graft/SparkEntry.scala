@@ -281,6 +281,10 @@ object SparkEntry {
     "time_weighted_value" -> ((s, d) => Relational.timeWeightedValue(s, d)),
     // financial reconciliation: stored vs recomputed order totals
     "order_price_audit"   -> ((s, d) => Relational.orderPriceAudit(s, d)),
+    // DAU/WAU engagement rollup with stickiness ratio
+    "active_users_rollup" -> ((s, d) => Relational.activeUsersRollup(s, d)),
+    // repeated document openings per source (scraped-site boilerplate)
+    "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
     "user_ltv_deciles"    -> ((s, d) => Relational.userLtvDeciles(s, d)),
     // staged conversion funnel (view -> click -> purchase, strictly ordered)
@@ -416,6 +420,8 @@ object SparkEntry {
     "event_value_mad"     -> Relational.eventValueMadSql,
     "time_weighted_value" -> Relational.timeWeightedValueSql,
     "order_price_audit"   -> Relational.orderPriceAuditSql,
+    "active_users_rollup" -> Relational.activeUsersRollupSql,
+    "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,
     "interevent_gaps"     -> Relational.intereventGapsSql,

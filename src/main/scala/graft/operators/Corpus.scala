@@ -852,6 +852,45 @@ object Corpus {
        |  FROM $table)
        |WHERE rk <= $k""".stripMargin
 
+  /** Prefix length (tokens) and minimum repetition for
+   * [[boilerplatePrefixes]]. */
+  val PrefixTokens = 6
+  val PrefixMinDocs = 3
+
+  /** Boilerplate opening detection: document PREFIXES (first
+   * [[PrefixTokens]] tokens) repeated across ≥ [[PrefixMinDocs]] docs of
+   * the same source — the scraped-site signature (cookie banners,
+   * navigation headers, license preambles) that line-level dedup only
+   * catches when the line breaks align; a token prefix is
+   * punctuation- and wrapping-invariant. Output
+   * (source, prefix, n_docs) for qualifying prefixes.
+   *
+   * Shape: tokenize once, slice the head (pure projection — the
+   * Generate barrier never fires since no explode is needed), then one
+   * partial-capable hash aggregate on (source, prefix): map-side
+   * combine reduces to the distinct-prefix relation, which repetition
+   * makes FAR smaller than the corpus (that's the point of the query).
+   * Docs shorter than the prefix window are skipped (a 3-token doc is
+   * not a "repeated opening"). */
+  def boilerplatePrefixes(docs: DataFrame): DataFrame =
+    TextFunctions.withTokens(docs.select(col("source"), col("text")), "text", "toks")
+      .filter(size(col("toks")) >= PrefixTokens)
+      .select(col("source"),
+        array_join(slice(col("toks"), 1, PrefixTokens), " ").as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= PrefixMinDocs)
+
+  def boilerplatePrefixesSql(table: String): String =
+    s"""SELECT source, prefix, count(*) AS n_docs FROM (
+       |  SELECT source,
+       |         array_to_string(list_slice(${TextSql.tokens("text")}, 1, $PrefixTokens), ' ')
+       |           AS prefix,
+       |         len(${TextSql.tokens("text")}) AS n
+       |  FROM $table)
+       |WHERE n >= $PrefixTokens
+       |GROUP BY source, prefix HAVING count(*) >= $PrefixMinDocs""".stripMargin
+
   // ---- length-outlier flagging ---------------------------------------------
 
   /** Z-score cut for [[lengthOutliers]]. */

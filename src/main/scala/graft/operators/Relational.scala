@@ -1048,6 +1048,38 @@ object Relational {
        |  GROUP BY 1, 2)
        |ORDER BY abs(delta) DESC, o_orderkey LIMIT $AuditTopN""".stripMargin
 
+  /** Daily/weekly active users with the DAU/WAU stickiness ratio — the
+   * engagement read of every event pipeline (a day where most of the
+   * week's actives show up = sticky product; stickiness near 1/7 =
+   * drive-by traffic). Output (day, dau, wau, stickiness).
+   *
+   * Shape: two partial-capable distinct aggregates (per-day and
+   * per-week), each reduced map-side to its distinct (period, user)
+   * relation before the exchange, then a broadcast-sized join of
+   * O(days) rows onto O(weeks) rows. The ratio is one IEEE division of
+   * two exact BIGINTs — deterministic cross-engine. */
+  def activeUsersRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dau = ev.select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau"))
+    val wau = ev.select(date_trunc("WEEK", col("ts")).as("wk"), col("user_id"))
+      .groupBy(col("wk")).agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, date_trunc("WEEK", col("day")) === col("wk"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  def activeUsersRollupSql: String =
+    """WITH dau AS (
+      |  SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau
+      |  FROM events GROUP BY 1),
+      |wau AS (
+      |  SELECT date_trunc('week', ts) AS wk, count(DISTINCT user_id) AS wau
+      |  FROM events GROUP BY 1)
+      |SELECT d.day AS day, d.dau AS dau, w.wau AS wau,
+      |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w ON date_trunc('week', d.day) = w.wk""".stripMargin
+
   def userRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))

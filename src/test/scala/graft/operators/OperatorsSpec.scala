@@ -1064,6 +1064,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(comp === want)
   }
 
+  test("relational: active-users rollup matches driver-side distinct counts " +
+       "and stickiness stays in (0, 1]") {
+    val got = Relational.activeUsersRollup(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("d"),
+        unix_micros(date_trunc("WEEK", col("ts"))).as("w"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dauWant = ev.groupBy(_._1).view.mapValues(_.map(_._3).distinct.size).toMap
+    val wauWant = ev.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size).toMap
+    got.foreach { case (dayMs, dau, wau, st) =>
+      val dayUs = dayMs * 1000L
+      assert(dau === dauWant(dayUs).toLong)
+      val wkUs = ev.find(_._1 == dayUs).get._2
+      assert(wau === wauWant(wkUs).toLong)
+      assert(st === dau.toDouble / wau.toDouble && st > 0.0 && st <= 1.0)
+      assert(dau <= wau)
+    }
+  }
+
+  test("corpus: boilerplate prefixes finds planted repeated openings and " +
+       "skips docs shorter than the window") {
+    import spark.implicits._
+    val opening = "this site uses cookies to improve your experience"
+    val docs = Seq(
+      (1L, s"$opening article one body text here", "en", "web"),
+      (2L, s"$opening a second article body", "en", "web"),
+      (3L, s"$opening third article with content", "en", "web"),
+      (4L, "a unique start with no repetition anywhere", "en", "web"),
+      (5L, "too short", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.boilerplatePrefixes(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length === 1)
+    val (src, prefix, n) = got.head
+    assert(src === "web" && n === 3L)
+    assert(prefix === opening.split(" ").take(Corpus.PrefixTokens).mkString(" "))
+    // real corpus: every reported prefix meets the floor
+    val real = Corpus.boilerplatePrefixes(Tables.documents(spark, dir)).collect()
+    assert(real.forall(_.getLong(2) >= Corpus.PrefixMinDocs))
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
