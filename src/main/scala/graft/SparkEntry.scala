@@ -283,6 +283,8 @@ object SparkEntry {
     "order_price_audit"   -> ((s, d) => Relational.orderPriceAudit(s, d)),
     // DAU/WAU engagement rollup with stickiness ratio
     "active_users_rollup" -> ((s, d) => Relational.activeUsersRollup(s, d)),
+    // (dow, hour) load heatmap with uniform-expectation load factor
+    "hourly_seasonality"  -> ((s, d) => Relational.hourlySeasonality(s, d)),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -421,6 +423,7 @@ object SparkEntry {
     "time_weighted_value" -> Relational.timeWeightedValueSql,
     "order_price_audit"   -> Relational.orderPriceAuditSql,
     "active_users_rollup" -> Relational.activeUsersRollupSql,
+    "hourly_seasonality"  -> Relational.hourlySeasonalitySql,
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

@@ -1080,6 +1080,41 @@ object Relational {
       |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
       |FROM dau d JOIN wau w ON date_trunc('week', d.day) = w.wk""".stripMargin
 
+  /** Traffic seasonality profile: event counts by (day-of-week,
+   * hour-of-day) cell with each cell's load factor vs the uniform
+   * expectation — the capacity/batch-scheduling heatmap ("Tuesday 14:00
+   * runs 2.1× the average hour"). Output (dow, hod, n_events, load);
+   * `load = n·168 / N` stays exact-integer until ONE final division.
+   * ISO day numbering (1 = Monday) on both engines.
+   *
+   * Shape: one partial-capable hash aggregate to ≤ 168 cells —
+   * map-side combine makes the exchange negligible at any scale — and
+   * the global N rides the same relation via a second tiny aggregate
+   * joined broadcast (168 × 1 rows). */
+  def hourlySeasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(dayofweek(col("ts")).as("dow_raw"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+      // Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+      .select((pmod(col("dow_raw") + lit(5), lit(7)) + 1).as("dow"),
+        col("hod").cast("long").as("hod"), col("n_events"))
+    val total = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hod"), col("n_events"),
+        ((col("n_events") * 168).cast("double") / col("n_total").cast("double"))
+          .as("load"))
+  }
+
+  def hourlySeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hod,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_events) AS n_total FROM cells)
+      |SELECT dow, hod, n_events,
+      |       CAST(n_events * 168 AS DOUBLE) / CAST(n_total AS DOUBLE) AS load
+      |FROM cells, tot""".stripMargin
+
   def userRetention(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))

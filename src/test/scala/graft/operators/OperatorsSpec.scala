@@ -1107,6 +1107,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(real.forall(_.getLong(2) >= Corpus.PrefixMinDocs))
   }
 
+  test("relational: hourly seasonality covers <=168 ISO cells, conserves " +
+       "the event count, and load averages to 1 over a full grid") {
+    val got = Relational.hourlySeasonality(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(got.nonEmpty && got.length <= 168)
+    assert(got.forall { case ((dow, hod), _) => dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23 })
+    val n = Tables.events(spark, dir).count()
+    assert(got.map(_._2._1).sum === n)
+    // load = n_cell * 168 / N exactly
+    got.foreach { case (_, (c, load)) => assert(load === c.toDouble * 168 / n) }
+    // ISO mapping: verify one cell against a driver-side java.time replay
+    val ev = Tables.events(spark, dir).select(unix_micros(col("ts"))).collect()
+      .map(_.getLong(0))
+    val wantCells = ev.groupBy { us =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(us / 1000000L, 0, java.time.ZoneOffset.UTC)
+      (ldt.getDayOfWeek.getValue, ldt.getHour.toLong)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got.map { case (k, (c, _)) => k -> c }.toMap === wantCells)
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
