@@ -236,6 +236,8 @@ object SparkEntry {
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
     // ANN QA: measured recall of the LSH path vs the brute ground truth
     "ann_recall"          -> ((s, d) => VectorOps.annRecall(Tables.embeddings(s, d))),
+    // storage-precision audit: int8-grade vs full-precision top-k overlap
+    "quant_recall_audit"  -> ((s, d) => VectorOps.quantRecallAudit(Tables.embeddings(s, d))),
     // k-means E-step over the seed centroids (curriculum / mixture partitioning)
     "kmeans_assign"       -> ((s, d) => VectorOps.kmeansAssign(Tables.embeddings(s, d))),
     // k-means M-step: refined per-cell centroids over the E-step labeling
@@ -392,6 +394,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "ann_recall"          -> VectorOps.annRecallSql("embeddings"),
+    "quant_recall_audit"  -> VectorOps.quantRecallAuditSql("embeddings"),
     "kmeans_assign"       -> VectorOps.kmeansAssignSql("embeddings"),
     "kmeans_refine"       -> VectorOps.kmeansRefineSql("embeddings"),
     "ivf_balance"         -> VectorOps.ivfBalanceSql("embeddings"),

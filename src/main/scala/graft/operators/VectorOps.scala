@@ -1062,6 +1062,82 @@ object VectorOps {
        |  ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
        |GROUP BY t.query_id""".stripMargin
 
+  /** Coarse ("int8"-grade) quantization scale for [[quantRecallAudit]]:
+   * floor(x·2⁷) — 128 levels per unit, the storage precision a
+   * product-quantized / int8 index keeps per component. */
+  val CoarseScale = 128.0
+
+  /** Quantization-recall audit — the storage-precision decision of an
+   * embedding store quantified: for each budget-bounded query, the
+   * top-[[BruteK]] neighbor sets under full engine precision (2²⁰
+   * quantization — the [[annBruteTopK]] reference) and under coarse
+   * 2⁷ "int8" quantization, reported as the per-query overlap and
+   * recall. A recall near 1 says int8 storage is safe for this corpus;
+   * the queries that drop neighbors are the audit trail. Output
+   * (query_id, n_truth, n_kept, recall).
+   *
+   * Both rankings come off ONE broadcast-scored pass (both dots ride
+   * the same joined row — the corpus is scanned and joined once, not
+   * twice) and both tie-break identically (sim desc, neighbor_id), so
+   * coarse-dot ties — common by construction at 128 levels — resolve
+   * the same way in both engines and the result hash-compares. Same
+   * scale shape as [[annBruteTopK]]: queries broadcast, corpus never
+   * shuffles, per-query k·2 rows survive to the overlap join. */
+  def quantRecallAudit(embeddings: DataFrame): DataFrame = {
+    val coarse = expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $CoarseScale) AS BIGINT))")
+    val base = embeddings.select(col("vec_id"),
+      quantize(col("embedding")).as("q"), coarse.as("q8"))
+    val qn = base.select(col("vec_id"), col("q"), col("q8"),
+      norm2(col("q")).as("n2"), norm2(col("q8")).as("m2"))
+    val queries = qn.filter(queryBound)
+      .select(col("vec_id").as("query_id"),
+        col("q").as("qq"), col("n2").as("nq"),
+        col("q8").as("qq8"), col("m2").as("mq"))
+    val scored = broadcast(queries).join(qn, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"),
+        cosine(dot(col("qq8"), col("q8")), col("mq"), col("m2")).as("sim8"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+    val ranked = scored
+      .withColumn("rk", row_number().over(w.orderBy(col("sim").desc, col("neighbor_id"))))
+      .withColumn("rk8", row_number().over(w.orderBy(col("sim8").desc, col("neighbor_id"))))
+      .filter(col("rk") <= BruteK || col("rk8") <= BruteK)
+    ranked.groupBy(col("query_id"))
+      .agg(sum(when(col("rk") <= BruteK, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("rk") <= BruteK && col("rk8") <= BruteK, 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("query_id"), col("n_truth"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  def quantRecallAuditSql(table: String): String =
+    s"""WITH q0 AS (SELECT vec_id, ${quantizeSql("embedding")} AS q,
+       |  [CAST(floor(CAST(x AS DOUBLE) * $CoarseScale) AS BIGINT) for x in embedding] AS q8
+       |  FROM $table),
+       |qn AS (SELECT vec_id, q, q8,
+       |  CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2,
+       |  CAST(list_sum([x * x for x in q8]) AS BIGINT) AS m2 FROM q0),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, q8 AS qq8, m2 AS mq
+       |  FROM qn WHERE $queryBoundSql),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id,
+       |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim,
+       |         ${cosineSql(dotSql("qq8", "c.q8"), "mq", "c.m2")} AS sim8
+       |  FROM queries JOIN qn c ON query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim8 DESC, neighbor_id) AS rk8
+       |  FROM scored)
+       |SELECT query_id,
+       |       sum(CASE WHEN rk <= $BruteK THEN 1 ELSE 0 END) AS n_truth,
+       |       sum(CASE WHEN rk <= $BruteK AND rk8 <= $BruteK THEN 1 ELSE 0 END) AS n_kept,
+       |       CAST(sum(CASE WHEN rk <= $BruteK AND rk8 <= $BruteK THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum(CASE WHEN rk <= $BruteK THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+       |FROM ranked WHERE rk <= $BruteK OR rk8 <= $BruteK
+       |GROUP BY query_id""".stripMargin
+
   /** Full-corpus nearest-centroid assignment with the winning similarity
    * — the k-means E-step over the deterministic seed centroids (and
    * exactly the labeling [[annIvfTopK]] builds its inverted lists from,

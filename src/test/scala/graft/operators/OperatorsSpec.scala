@@ -668,6 +668,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("quantization recall audit matches a driver-side double-ranking " +
+       "replay and agrees with annBruteTopK on the full-precision side") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = VectorOps.quantRecallAudit(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTruth, nKept, rec) =>
+      assert(nTruth === VectorOps.BruteK.toLong)
+      assert(nKept >= 0L && nKept <= nTruth)
+      assert(rec === nKept.toDouble / nTruth.toDouble)
+    }
+    // driver-side replay of both rankings for one query
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float], s: Double): Array[Long] =
+      v.map(x => math.floor(x.toDouble * s).toLong)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    val q = got.map(_._1).min
+    def topk(s: Double): Set[Long] =
+      vecs.filter(_._1 != q).toSeq
+        .map { case (id, v) => (id, cos(quant(vecs(q), s), quant(v, s))) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(VectorOps.BruteK)
+        .map(_._1).toSet
+    val wantKept = (topk(VectorOps.QuantScale) & topk(VectorOps.CoarseScale)).size.toLong
+    assert(got.find(_._1 == q).get._3 === wantKept)
+    // the full-precision side is exactly annBruteTopK's neighbor set
+    val bruteQ = VectorOps.annBruteTopK(emb).collect()
+      .filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+    assert(bruteQ === topk(VectorOps.QuantScale))
+  }
+
   test("kmeans refine: M-step means recompute from the E-step labels") {
     val emb = Tables.embeddings(spark, dir)
     val assign = VectorOps.kmeansAssign(emb).collect()

@@ -55,7 +55,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "kmeans_refine" -> 1, // inherits kmeans_assign's N·C build
     "text_simsearch" -> 1, "doc_surprisal" -> 1,
     "colloc_lift" -> 1, // 1-row total-token broadcast (mix_weights shape)
-    "hourly_seasonality" -> 1) // 1-row total-events broadcast (same shape)
+    "hourly_seasonality" -> 1, // 1-row total-events broadcast (same shape)
+    "quant_recall_audit" -> 1) // deliberate brute pass (ann_brute_topk shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
