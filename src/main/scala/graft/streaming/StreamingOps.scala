@@ -2,6 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Misra–Gries sketch state for one token shard of
+ * [[StreamingOps.trendingTokens]]: at most `k` live counters plus the
+ * tokens already alerted (so a trend fires once). */
+case class MgState(counters: Map[String, Long], alerted: Set[String])
+
+/** One trend alert: the token whose Misra–Gries estimate crossed the
+ * threshold in this micro-batch, with the estimate at crossing. */
+case class TrendAlert(token: String, est_count: Long)
 
 /**
  * Streaming aggregation surface (SURVEY.md §2.2 "streaming windows" —
@@ -75,6 +85,88 @@ object StreamingOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
+
+  /** Counters per shard and default alert threshold for
+   * [[trendingTokens]]. */
+  val MgK = 64
+
+  /** Pure Misra–Gries transition for one shard: fold a batch of tokens
+   * into at most `k` counters (classic MG'82: increment a live counter,
+   * open one if a slot is free, otherwise decrement ALL and drop
+   * zeros), returning the new state and the tokens whose ESTIMATE
+   * crossed `threshold` for the first time. The sketch guarantee —
+   * true_count ≥ estimate ≥ true_count − batch/k — makes an alert a
+   * certified lower bound on the true count. Extracted from the
+   * streaming operator so the sketch semantics are unit-testable
+   * without driving the engine. */
+  private[streaming] def mgTransition(tokens: IterableOnce[String], s: MgState,
+                                      k: Int, threshold: Long): (MgState, List[TrendAlert]) = {
+    var counters = s.counters
+    var alerted = s.alerted
+    var out = List.empty[TrendAlert]
+    tokens.iterator.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters = counters.updated(t, c + 1)
+        case None if counters.size < k => counters = counters.updated(t, 1L)
+        case None =>
+          counters = counters.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+      counters.get(t).foreach { c =>
+        if (c >= threshold && !alerted(t)) {
+          alerted += t
+          out ::= TrendAlert(t, c)
+        }
+      }
+    }
+    (MgState(counters, alerted), out.reverse)
+  }
+
+  /** Streaming trending-token detection: a Misra–Gries heavy-hitter
+   * sketch per token shard, alerting the first time a token's estimate
+   * crosses `threshold` — the bursty-vocabulary monitor (breaking
+   * topics, spam floods, scraper loops) that exact windowed counts
+   * cannot provide at vocabulary scale: exact per-token state is
+   * O(vocabulary); this is O(shards · k) FOREVER, the sketch's whole
+   * point. Sharding by token hash spreads sketch work across
+   * partitions; each token always lands in the same shard, so its
+   * counter is coherent. Idle shards drop their state after
+   * `retention` of event time (watermark timeout) — a quiet topic
+   * re-trends later rather than holding state forever.
+   *
+   * Input needs (ts, text); output is a stream of [[TrendAlert]]s. */
+  def trendingTokens(in: DataFrame, shards: Int, threshold: Long,
+                     watermarkDelay: String, retention: java.time.Duration,
+                     k: Int = MgK): DataFrame = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    // keep the WATERMARKED ts column itself through to the state op —
+    // projecting it into a bigint would strip the event-time marker and
+    // EventTimeTimeout needs it
+    val toks = in.withWatermark("ts", watermarkDelay)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"),
+        col("ts"))
+      .select(pmod(xxhash64(col("token")), lit(shards.toLong)).as("shard"),
+        col("token"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState[(MgState, Long), TrendAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, recs, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (s0, _) = state.getOption.getOrElse(
+              (MgState(Map.empty, Set.empty), Long.MinValue))
+            val recList = recs.toList
+            val maxTs = recList.map(_._3.getTime).foldLeft(Long.MinValue)(math.max)
+            val (s1, alerts) = mgTransition(recList.map(_._2), s0, k, threshold)
+            state.update((s1, maxTs))
+            state.setTimeoutTimestamp(maxTs + retMs)
+            alerts.iterator
+          }
+      }
+      .toDF()
+  }
 
   /** Stream-static enrichment: join a streaming fact stream to a STATIC
    * dimension on `key` — the lookup-join every event pipeline runs

@@ -13,6 +13,9 @@ case class VRec(key: Long, value: Double, ts: Timestamp)
 /** Kafka wire-record shape (key/value bytes + broker timestamp). */
 case class Wire(key: Array[Byte], value: Array[Byte], timestamp: Timestamp)
 
+/** Text-document stream record for the trending-tokens spec. */
+case class Doc(ts: Timestamp, text: String)
+
 class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -160,6 +163,51 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
       assert(q.lastProgress == null ||
         Option(q.lastProgress.stateOperators).forall(_.isEmpty),
         "stream-static join must not allocate a state store")
+    } finally q.stop()
+  }
+
+  test("misra-gries transition: bounded counters, lower-bound estimates, " +
+       "one alert per token") {
+    val k = 4
+    // heavy token among noise: estimate stays a lower bound of the truth
+    val heavy = List.fill(30)("hot")
+    val noise = (1 to 20).map(i => s"n$i").toList
+    val (s1, alerts) = StreamingOps.mgTransition(
+      scala.util.Random.shuffle(heavy ++ noise), MgState(Map.empty, Set.empty),
+      k, threshold = 10L)
+    assert(s1.counters.size <= k)
+    assert(alerts.map(_.token) === List("hot"))
+    assert(s1.counters("hot") <= 30L && s1.counters("hot") >= 30L - (50L / k))
+    // already-alerted tokens do not re-alert
+    val (s2, again) = StreamingOps.mgTransition(List("hot", "hot"), s1, k, 10L)
+    assert(again.isEmpty && s2.counters("hot") === s1.counters("hot") + 2)
+    // below-threshold tokens never alert
+    val (_, none) = StreamingOps.mgTransition(List("rare"), MgState(Map.empty, Set.empty), k, 10L)
+    assert(none.isEmpty)
+  }
+
+  test("streaming trending tokens alerts once when a token bursts past the " +
+       "threshold, with bounded per-shard state") {
+    val in = MemoryStream[Doc]
+    val out = StreamingOps.trendingTokens(in.toDF(), shards = 4, threshold = 6L,
+      watermarkDelay = "10 seconds", retention = java.time.Duration.ofHours(1), k = 8)
+    val q = out.writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(new Timestamp(base + 1000), "calm words only here"),
+        Doc(new Timestamp(base + 2000), "viral viral viral viral"))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").isEmpty, "threshold not yet crossed")
+      in.addData(Doc(new Timestamp(base + 3000), "viral viral viral spreads fast"))
+      q.processAllAvailable()
+      val rows = spark.table("trend_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // the alert fires AT the first crossing (4 + 2 = 6), not batch end
+      assert(rows.toList === List(("viral", 6L)))
+      // a further mention does not re-alert
+      in.addData(Doc(new Timestamp(base + 4000), "viral again"))
+      q.processAllAvailable()
+      assert(spark.table("trend_out").count() === 1L)
     } finally q.stop()
   }
 
