@@ -287,6 +287,8 @@ object SparkEntry {
     "active_users_rollup" -> ((s, d) => Relational.activeUsersRollup(s, d)),
     // (dow, hour) load heatmap with uniform-expectation load factor
     "hourly_seasonality"  -> ((s, d) => Relational.hourlySeasonality(s, d)),
+    // gaps-and-islands run collapsing into SCD2 validity intervals
+    "value_islands"       -> ((s, d) => Relational.valueIslands(s, d)),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -427,6 +429,7 @@ object SparkEntry {
     "order_price_audit"   -> Relational.orderPriceAuditSql,
     "active_users_rollup" -> Relational.activeUsersRollupSql,
     "hourly_seasonality"  -> Relational.hourlySeasonalitySql,
+    "value_islands"       -> Relational.valueIslandsSql,
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

@@ -1080,6 +1080,56 @@ object Relational {
       |       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
       |FROM dau d JOIN wau w ON date_trunc('week', d.day) = w.wk""".stripMargin
 
+  /** Gaps-and-islands run collapsing — the SCD2 build: merge each
+   * user's CONSECUTIVE same-type events into one validity row
+   * (user_id, event_type, valid_from, valid_to, n_events), where
+   * `valid_to` is the next island's start (the half-open [from, to)
+   * convention) and NULL for the user's current state — turning an
+   * event log into a slowly-changing-dimension table a point-in-time
+   * join can consume.
+   *
+   * The island id is the classic two-row-number difference: a global
+   * per-user sequence minus a per-(user, type) sequence is constant
+   * exactly within a consecutive run. Shape: ONE shuffle on user_id
+   * serves all three windows (both row_numbers and the final `lead` —
+   * same partitioning; the (user, type) ordering is a SORT difference
+   * only, no exchange) plus the island aggregate. */
+  def valueIslands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val islands = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("rnt", row_number().over(byUserType))
+      .withColumn("isl", col("rn") - col("rnt"))
+      .groupBy(col("user_id"), col("event_type"), col("isl"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val nextStart = Window.partitionBy("user_id").orderBy(col("valid_from"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(nextStart))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
+  def valueIslandsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, ts,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           - row_number() OVER (PARTITION BY user_id, event_type
+      |                                ORDER BY ts, event_id) AS isl
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, event_type, isl,
+      |         min(ts) AS valid_from, count(*) AS n_events
+      |  FROM seq GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |         AS valid_to,
+      |       n_events
+      |FROM islands""".stripMargin
+
   /** Traffic seasonality profile: event counts by (day-of-week,
    * hour-of-day) cell with each cell's load factor vs the uniform
    * expectation — the capacity/batch-scheduling heatmap ("Tuesday 14:00

@@ -1161,6 +1161,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(got.map { case (k, (c, _)) => k -> c }.toMap === wantCells)
   }
 
+  test("relational: value islands collapse consecutive same-type runs with " +
+       "half-open contiguous validity intervals") {
+    val got = Relational.valueIslands(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime), r.getLong(4)))
+    assert(got.nonEmpty)
+    // driver-side replay: collapse runs per user from the raw sorted log
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4)).toList
+      val runs = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      sorted.foreach { case (_, ty, us, _) =>
+        if (runs.nonEmpty && runs.last._1 == ty)
+          runs.update(runs.length - 1, (ty, runs.last._2, runs.last._3 + 1))
+        else runs += ((ty, us, 1L))
+      }
+      runs.toList.zipWithIndex.map { case ((ty, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (u, ty, from / 1000, to.map(_ / 1000), n)
+      }
+    }.toSet
+    assert(got.toSet === want)
+    // per user: exactly one open (NULL valid_to) row, intervals contiguous
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.count(_._4.isEmpty) === 1, s"user $u open rows")
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $u gap")
+        case _ => ()
+      }
+      // adjacent islands never share a type (else they'd be one run)
+      sorted.map(_._2).sliding(2).foreach {
+        case Array(x, y) => assert(x != y, s"user $u unmerged run")
+        case _ => ()
+      }
+    }
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
