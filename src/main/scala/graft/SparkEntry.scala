@@ -289,6 +289,8 @@ object SparkEntry {
     "hourly_seasonality"  -> ((s, d) => Relational.hourlySeasonality(s, d)),
     // gaps-and-islands run collapsing into SCD2 validity intervals
     "value_islands"       -> ((s, d) => Relational.valueIslands(s, d)),
+    // leakage-free point-in-time state lookup over the SCD2 islands
+    "pit_state_lookup"    -> ((s, d) => Relational.pitStateLookup(s, d)),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -430,6 +432,7 @@ object SparkEntry {
     "active_users_rollup" -> Relational.activeUsersRollupSql,
     "hourly_seasonality"  -> Relational.hourlySeasonalitySql,
     "value_islands"       -> Relational.valueIslandsSql,
+    "pit_state_lookup"    -> Relational.pitStateLookupSql,
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

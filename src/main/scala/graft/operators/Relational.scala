@@ -1094,11 +1094,17 @@ object Relational {
    * serves all three windows (both row_numbers and the final `lead` —
    * same partitioning; the (user, type) ordering is a SORT difference
    * only, no exchange) plus the island aggregate. */
-  def valueIslands(s: SparkSession, dir: String): DataFrame = {
+  def valueIslands(s: SparkSession, dir: String): DataFrame =
+    islandsFrom(Tables.events(s, dir))
+
+  /** The gaps-and-islands core over any (user_id, event_type, ts,
+   * event_id) relation — shared by [[valueIslands]] (full log) and
+   * [[pitStateLookup]] (non-purchase state machine). */
+  private def islandsFrom(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val byUserType = Window.partitionBy("user_id", "event_type")
       .orderBy(col("ts"), col("event_id"))
-    val islands = Tables.events(s, dir)
+    val islands = ev
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(byUser))
       .withColumn("rnt", row_number().over(byUserType))
@@ -1113,13 +1119,15 @@ object Relational {
         col("valid_to"), col("n_events"))
   }
 
-  def valueIslandsSql: String =
-    """WITH seq AS (
+  def valueIslandsSql: String = islandsSqlFrom("events")
+
+  private def islandsSqlFrom(source: String): String =
+    s"""WITH seq AS (
       |  SELECT user_id, event_type, ts,
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |           - row_number() OVER (PARTITION BY user_id, event_type
       |                                ORDER BY ts, event_id) AS isl
-      |  FROM events),
+      |  FROM $source),
       |islands AS (
       |  SELECT user_id, event_type, isl,
       |         min(ts) AS valid_from, count(*) AS n_events
@@ -1129,6 +1137,60 @@ object Relational {
       |         AS valid_to,
       |       n_events
       |FROM islands""".stripMargin
+
+  /** Point-in-time join against an SCD2 state table: the user's
+   * BROWSING state (islands built from the non-purchase event log) at
+   * the instant of each purchase — the leakage-free feature lookup of
+   * every training pipeline ("what state was the user in WHEN the label
+   * event happened", never after). Output (user_id, ts, state_type,
+   * state_since); NULL state for a purchase before the user's first
+   * non-purchase event.
+   *
+   * Shape: NOT an interval join — an interval-containment probe
+   * (`valid_from ≤ ts < valid_to`) would plan as an inequality join and
+   * explode; instead the probe rides the [[AsOfJoin.backward]] union+
+   * window shape (latest island start ≤ probe ts — which IS the
+   * containing island, since islands are contiguous): ONE shuffle over
+   * |probes|+|islands| rows, the same salting escape available for hot
+   * users. The islands build itself shares the probe's user_id
+   * partitioning, so the whole query is two exchanges end-to-end. */
+  def pitStateLookup(s: SparkSession, dir: String): DataFrame = {
+    val islands = islandsFrom(
+        Tables.events(s, dir).filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("event_type").as("state_type"),
+        col("valid_from"))
+    val probes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // union+window as-of: latest island start at or before the probe
+    val tagged = probes
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+        lit(null).cast("string").as("st"), lit(null).cast("timestamp").as("sf"))
+      .unionByName(islands.select(col("user_id"),
+        col("valid_from").as("ts"), lit(Long.MinValue).as("event_id"),
+        lit(0).as("side"), col("state_type").as("st"),
+        col("valid_from").as("sf")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("state_type", last(col("st"), ignoreNulls = true).over(w))
+      .withColumn("state_since", last(col("sf"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("ts"), col("state_type"), col("state_since"))
+  }
+
+  def pitStateLookupSql: String =
+    s"""WITH islands AS (${islandsSqlFrom(
+           "(SELECT * FROM events WHERE event_type <> 'purchase')")})
+       |SELECT p.user_id AS user_id, p.ts AS ts,
+       |       (SELECT i.event_type FROM islands i
+       |        WHERE i.user_id = p.user_id AND i.valid_from <= p.ts
+       |        ORDER BY i.valid_from DESC LIMIT 1) AS state_type,
+       |       (SELECT i.valid_from FROM islands i
+       |        WHERE i.user_id = p.user_id AND i.valid_from <= p.ts
+       |        ORDER BY i.valid_from DESC LIMIT 1) AS state_since
+       |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p""".stripMargin
 
   /** Traffic seasonality profile: event counts by (day-of-week,
    * hour-of-day) cell with each cell's load factor vs the uniform

@@ -1202,6 +1202,35 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("relational: point-in-time state lookup returns the browsing state " +
+       "at each purchase instant, never a later one") {
+    val got = Relational.pitStateLookup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getTimestamp(1).getTime),
+        (Option(r.getString(2)), Option(r.getTimestamp(3)).map(_.getTime))))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val purchases = ev.filter(_._2 == "purchase")
+    assert(got.size === purchases.length)
+    purchases.foreach { case (u, _, us, _) =>
+      val states = ev.filter(r => r._1 == u && r._2 != "purchase")
+        .sortBy(r => (r._3, r._4))
+      val atOrBefore = states.takeWhile(_._3 <= us)
+      val want =
+        if (atOrBefore.isEmpty) (None, None)
+        else {
+          val ty = atOrBefore.last._2
+          // island start: walk back over the trailing same-type run
+          val runStart = atOrBefore.reverse.takeWhile(_._2 == ty).last._3
+          (Some(ty), Some(runStart / 1000))
+        }
+      assert(got((u, us / 1000)) === want, s"user $u at $us")
+    }
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
