@@ -250,6 +250,8 @@ object SparkEntry {
     "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
+    // checksum-first exact dedup of binary media payloads
+    "mm_payload_dedup"    -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
     "q1_pricing"          -> ((s, d) => Relational.pricingSummary(s, d)),
     "shipping_priority"   -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -406,6 +408,7 @@ object SparkEntry {
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
+    "mm_payload_dedup"    -> Multimodal.payloadDedupSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "shipping_priority"   -> Relational.shippingPrioritySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,

@@ -149,6 +149,37 @@ object Multimodal {
           "x -> CAST(x AS STRING)))"))
   }
 
+  /** Exact BINARY-payload deduplication — the first pass of any
+   * multimodal ingest (the same image/clip arrives from thousands of
+   * pages): group assets by payload checksum, keep the smallest
+   * asset_id as keeper, report the duplicate mass. Output
+   * (checksum, n_assets, keeper_id, n_bytes) for checksums seen > once.
+   *
+   * Shape: md5 rides the scan projection (no payload ever shuffles —
+   * only the 32-hex digest + id), then one partial-capable hash
+   * aggregate on the digest; at 100 TB of media the exchange carries
+   * digests, not bytes, which is the entire point of checksum-first
+   * dedup. Collision risk at md5's 2⁻⁶⁴ scale is the industry-accepted
+   * trade for a first pass (byte-verify the tiny duplicate set if the
+   * stakes demand it). */
+  def payloadDedup(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id").as("asset_id"),
+        md5(col("text").cast("binary")).as("checksum"),
+        octet_length(col("text").cast("binary")).cast("bigint").as("n_bytes"))
+      .groupBy(col("checksum"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("asset_id")).as("keeper_id"),
+        max(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_assets") > 1)
+
+  def payloadDedupSql(table: String): String =
+    s"""SELECT md5(text) AS checksum, count(*) AS n_assets,
+       | min(doc_id) AS keeper_id,
+       | max(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+       |FROM $table
+       |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
   def featuresSql(table: String): String = {
     val nb = "CAST(octet_length(encode(text)) AS BIGINT)"
     s"""SELECT doc_id AS asset_id, $nb AS n_bytes,

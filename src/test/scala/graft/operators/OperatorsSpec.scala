@@ -888,6 +888,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("multimodal: payload dedup groups byte-identical assets under the " +
+       "smallest keeper and agrees with exact text dedup") {
+    val docs = Tables.documents(spark, dir)
+    val got = Multimodal.payloadDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // payload == utf-8 text, so checksum groups == exact text duplicate
+    // groups (TextDedup.exact's fixture has planted exact dups)
+    val textDups = docs.groupBy("text").count().filter(col("count") > 1)
+      .join(docs, "text").groupBy("text")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(r => (r._2, r._3)).toSet === textDups)
+    got.foreach { case (ck, n, _, _) =>
+      assert(ck.length === 32 && n > 1)
+    }
+  }
+
   test("relational: rollup emits region subtotals and a grand total") {
     val out = Relational.customerRollup(spark, dir).collect()
     val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
