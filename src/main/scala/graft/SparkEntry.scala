@@ -293,6 +293,10 @@ object SparkEntry {
     "value_islands"       -> ((s, d) => Relational.valueIslands(s, d)),
     // leakage-free point-in-time state lookup over the SCD2 islands
     "pit_state_lookup"    -> ((s, d) => Relational.pitStateLookup(s, d)),
+    // rational-arithmetic behavioral diversity (Gini, not entropy)
+    "user_type_gini"      -> ((s, d) => Relational.userTypeGini(s, d)),
+    // fabricated-numbers screen over exact cents
+    "benford_profile"     -> ((s, d) => Relational.benfordProfile(s, d)),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -436,6 +440,8 @@ object SparkEntry {
     "hourly_seasonality"  -> Relational.hourlySeasonalitySql,
     "value_islands"       -> Relational.valueIslandsSql,
     "pit_state_lookup"    -> Relational.pitStateLookupSql,
+    "user_type_gini"      -> Relational.userTypeGiniSql,
+    "benford_profile"     -> Relational.benfordProfileSql,
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

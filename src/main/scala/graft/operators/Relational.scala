@@ -1192,6 +1192,73 @@ object Relational {
        |        ORDER BY i.valid_from DESC LIMIT 1) AS state_since
        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p""".stripMargin
 
+  /** Behavioral diversity per user: Gini impurity of the user's
+   * event-type mix — `1 − Σ cᵢ²/N²`, 0 for a single-type user, →1−1/k
+   * for a uniform k-type mix. The diversity score entropy would give,
+   * chosen as GINI deliberately: it is a pure rational function of
+   * exact integer counts (ONE final division), where entropy's
+   * per-term `log` diverges cross-engine in the last ulps. Output
+   * (user_id, n_events, n_types, gini).
+   *
+   * Shape: partial-agg to (user, type) counts, second partial-agg to
+   * users; Σc² accumulates in BIGINT (a user needs 3·10⁹ events of one
+   * type to overflow — not a user, a firehose; DECIMAL(38,0) is the
+   * documented swap then). */
+  def userTypeGini(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (lit(1.0) - col("ss").cast("double")
+          / (col("n_events") * col("n_events")).cast("double")).as("gini"))
+
+  def userTypeGiniSql: String =
+    """WITH tc AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+      |       1.0 - CAST(sum(c * c) AS DOUBLE)
+      |             / CAST(sum(c) * sum(c) AS DOUBLE) AS gini
+      |FROM tc GROUP BY user_id""".stripMargin
+
+  /** Benford first-significant-digit profile of line-item prices — the
+   * classic fabricated-numbers screen (organic monetary values follow
+   * log₁₀(1+1/d); uniform or truncated generators do not). Digit
+   * extraction goes through exact CENTS (BIGINT) rendered as a string —
+   * never through the double's own formatting, which differs between
+   * engines. Output (digit, n, share) for digits 1-9; the reader
+   * compares `share` against Benford's expectation (kept OUT of the
+   * query — its log is exactly the cross-engine divergence this family
+   * avoids).
+   *
+   * Shape: scan-projection digit + one partial-agg to ≤9 rows + a
+   * 1-row total broadcast (budgeted PlanGuard shape). */
+  def benfordProfile(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val digits = Tables.lineitem(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1) // zero-price lines carry no leading digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("t").cast("double")).as("share"))
+  }
+
+  def benfordProfileSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |              AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem),
+      |dc AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
+      |tot AS (SELECT sum(n) AS t FROM dc)
+      |SELECT digit, n, CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+      |FROM dc, tot""".stripMargin
+
   /** Traffic seasonality profile: event counts by (day-of-week,
    * hour-of-day) cell with each cell's load factor vs the uniform
    * expectation — the capacity/batch-scheduling heatmap ("Tuesday 14:00

@@ -1248,6 +1248,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("relational: user-type gini matches a driver-side rational replay " +
+       "with single-type users at exactly zero") {
+    val got = Relational.userTypeGini(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    got.foreach { case (u, n, k, g) =>
+      val counts = ev.filter(_._1 == u).groupBy(_._2).map(_._2.length.toLong).toList
+      assert(n === counts.sum && k === counts.length.toLong)
+      assert(g === 1.0 - counts.map(c => c * c).sum.toDouble / (n * n).toDouble)
+      if (k == 1) assert(g === 0.0)
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("relational: benford profile extracts first digits via exact cents " +
+       "and shares sum to one") {
+    val got = Relational.benfordProfile(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.forall { case (d, _, _) => d >= 1 && d <= 9 })
+    val n = got.map(_._2).sum
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+    // driver replay over BigDecimal cents
+    val want = Tables.lineitem(spark, dir).select("l_extendedprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      .filter(_ > 0)
+      .groupBy(_.toString.head.asDigit).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap === want)
+    assert(n === want.values.sum)
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
