@@ -57,4 +57,17 @@ class TestdataContractSpec extends AnyFunSuite with SparkTestHarness {
   test("SparkEntry.entry returns rows on the driver's own session (flagship smoke)") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
+
+  test("events (user_id, ts) stays unique — the determinism contract of the " +
+       "max_by/arg_max tie-breaks in gap_fill_locf and time_weighted_value") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dups = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count()
+    assert(dups == 0L,
+      s"$dups duplicated (user_id, ts) pairs: the day-last/LOCF tie-breaks " +
+        "(max_by(value, ts) vs arg_max(value, ts)) are only cross-engine " +
+        "deterministic while this uniqueness holds — regenerated data that " +
+        "breaks it needs a composite (ts, event_id) tie-break on BOTH sides")
+  }
 }
