@@ -295,6 +295,10 @@ object SparkEntry {
     "pit_state_lookup"    -> ((s, d) => Relational.pitStateLookup(s, d)),
     // rational-arithmetic behavioral diversity (Gini, not entropy)
     "user_type_gini"      -> ((s, d) => Relational.userTypeGini(s, d)),
+    // top-1-per-group via partial-agg struct-max (no window sort)
+    "latest_order_profile" -> ((s, d) => Relational.latestOrderProfile(s, d)),
+    // fixed-n content-hash sample per stratum (WindowGroupLimit)
+    "sample_per_source"   -> ((s, d) => Corpus.samplePerSource(Tables.documents(s, d))),
     // fabricated-numbers screen over exact cents
     "benford_profile"     -> ((s, d) => Relational.benfordProfile(s, d)),
     // repeated document openings per source (scraped-site boilerplate)
@@ -441,6 +445,8 @@ object SparkEntry {
     "value_islands"       -> Relational.valueIslandsSql,
     "pit_state_lookup"    -> Relational.pitStateLookupSql,
     "user_type_gini"      -> Relational.userTypeGiniSql,
+    "latest_order_profile" -> Relational.latestOrderProfileSql,
+    "sample_per_source"   -> Corpus.samplePerSourceSql("documents"),
     "benford_profile"     -> Relational.benfordProfileSql,
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,

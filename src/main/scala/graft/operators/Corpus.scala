@@ -891,6 +891,39 @@ object Corpus {
        |WHERE n >= $PrefixTokens
        |GROUP BY source, prefix HAVING count(*) >= $PrefixMinDocs""".stripMargin
 
+  /** Per-stratum sample size for [[samplePerSource]]. */
+  val SamplePerStratum = 5
+
+  /** Fixed-n uniform sample per source — the "n inspection docs per
+   * domain" pick, complementing the FRACTION-based [[stratifiedSample]]:
+   * a fixed quota per stratum regardless of stratum size. Rank by the
+   * content md5 (not `rand()`): the pick is deterministic, uniform over
+   * content, and APPEND-STABLE in expectation — a doc's hash never
+   * changes, so re-running after an append only swaps quota slots where
+   * new hashes genuinely rank earlier ([[sampleSplit]]'s
+   * content-addressing argument). Output (source, pick_rank, doc_id).
+   *
+   * Shape: same WindowGroupLimit rank-pushdown as [[topDocsPerSource]]
+   * — each map task keeps ≤ n rows PER SOURCE before the exchange; the
+   * full per-source sort never materializes. */
+  def samplePerSource(docs: DataFrame, n: Int = SamplePerStratum): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= n)
+      .select(col("source"), col("pick_rank"), col("doc_id"))
+  }
+
+  def samplePerSourceSql(table: String, n: Int = SamplePerStratum): String =
+    s"""SELECT source, pick_rank, doc_id FROM (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY md5(text), doc_id) AS pick_rank
+       |  FROM $table)
+       |WHERE pick_rank <= $n""".stripMargin
+
   // ---- length-outlier flagging ---------------------------------------------
 
   /** Z-score cut for [[lengthOutliers]]. */

@@ -1192,6 +1192,38 @@ object Relational {
        |        ORDER BY i.valid_from DESC LIMIT 1) AS state_since
        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p""".stripMargin
 
+  /** Latest order per customer with its value — top-1-per-group WITHOUT
+   * a window: `max_by(struct(date, key, price))` is a partial-capable
+   * aggregate, so each map task reduces its slice to ONE row per
+   * customer before the exchange — for top-1 this strictly dominates
+   * the row_number window (which must co-locate and sort EVERY order of
+   * a customer). The struct ordering (date, then key) gives the
+   * deterministic tie-break. Output
+   * (o_custkey, last_orderdate, last_orderkey, last_totalprice).
+   *
+   * Oracle note: DuckDB's `arg_max` does not take a composite ordering
+   * key, so the mirror uses the row_number formulation — slower shape,
+   * same rows (the cross-engine check is on VALUES, not plans). */
+  def latestOrderProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+        .as("m"))
+      .select(col("o_custkey"),
+        col("m.o_orderdate").as("last_orderdate"),
+        col("m.o_orderkey").as("last_orderkey"),
+        col("m.o_totalprice").as("last_totalprice"))
+
+  def latestOrderProfileSql: String =
+    """SELECT o_custkey, o_orderdate AS last_orderdate,
+      |       o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1""".stripMargin
+
   /** Behavioral diversity per user: Gini impurity of the user's
    * event-type mix — `1 − Σ cᵢ²/N²`, 0 for a single-type user, →1−1/k
    * for a uniform k-type mix. The diversity score entropy would give,

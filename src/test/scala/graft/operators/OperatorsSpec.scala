@@ -1281,6 +1281,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(n === want.values.sum)
   }
 
+  test("relational: latest order per customer via struct-max matches a " +
+       "driver-side pick and plans NO window (partial-agg shape)") {
+    val got = Relational.latestOrderProfile(spark, dir)
+      .select(col("o_custkey"), unix_micros(col("last_orderdate").cast("timestamp")),
+        col("last_orderkey"), col("last_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = orders.groupBy(_._1).view.mapValues { rows =>
+      val m = rows.maxBy(r => (r._2, r._3))
+      (m._2, m._3, m._4)
+    }.toMap
+    assert(got === want)
+    val plan = Relational.latestOrderProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected a window-free agg plan:\n$plan")
+  }
+
+  test("corpus: per-source fixed-n sample is deterministic, within quota, " +
+       "and pushes the rank limit (WindowGroupLimit)") {
+    val docs = Tables.documents(spark, dir)
+    val a = Corpus.samplePerSource(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toList
+    val b = Corpus.samplePerSource(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sorted.toList
+    assert(a === b, "content-hash ranking must be run-deterministic")
+    assert(a.nonEmpty)
+    a.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= Corpus.SamplePerStratum, s"quota exceeded for $src")
+      assert(rows.map(_._2).sorted === (1 to rows.length), s"ranks $src")
+    }
+    val plan = Corpus.samplePerSource(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected rank pushdown in:\n$plan")
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
