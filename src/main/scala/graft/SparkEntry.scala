@@ -200,6 +200,8 @@ object SparkEntry {
     // per-doc duplicated-content fraction over the shared sampled grams
     "doc_dup_fraction"    -> ((s, d) => TextDedup.dupFraction(Tables.documents(s, d))),
     "dup_rate_by_source"  -> ((s, d) => Corpus.dupRateBySource(Tables.documents(s, d))),
+    // mirror-vs-repost: near-dup pairs classified by their source pair
+    "neardup_source_mix"  -> ((s, d) => TextDedup.neardupSourceMix(Tables.documents(s, d))),
     "lang_confusion"      -> ((s, d) => Corpus.langConfusion(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
@@ -387,6 +389,7 @@ object SparkEntry {
     "token_fertility"     -> Corpus.tokenFertilitySql("documents"),
     "doc_dup_fraction"    -> TextDedup.dupFractionSql("documents"),
     "dup_rate_by_source"  -> Corpus.dupRateBySourceSql("documents"),
+    "neardup_source_mix"  -> TextDedup.neardupSourceMixSql("documents"),
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),

@@ -1102,6 +1102,48 @@ object TextDedup {
    * `floor()` BEFORE the cast pins the Spark-truncate vs DuckDB-round
    * cast divergence; min/max of the one-divide Jaccard doubles are
    * order-free. */
+  /** Source-mix of the near-duplicate graph: every minhash near-dup
+   * pair classified by its endpoints' (sorted) source pair — the
+   * mirror-vs-repost diagnostic: mass ON the diagonal (same source
+   * twice) is a feed re-serving its own content; OFF-diagonal mass is
+   * cross-site mirroring, which per-source exact-dup rates
+   * ([[Corpus.dupRateBySource]]) cannot see at all. Output
+   * (source_a, source_b, n_pairs, min_jaccard, max_jaccard),
+   * source_a ≤ source_b.
+   *
+   * Shape: the audited minhash pipeline unchanged, then two
+   * broadcast-small joins to the (doc_id, source) projection and one
+   * partial-capable aggregate on the O(|sources|²) pair key. The
+   * similarity summary is min/max — ORDER-FREE over the one-divide
+   * jaccard doubles — not a mean: a double mean is accumulation-order
+   * dependent, and rounding a computed double into DECIMAL to fix that
+   * diverges between engines (the recipe's shortest-rendering gotcha). */
+  def neardupSourceMix(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashLsh(docs)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  def neardupSourceMixSql(table: String): String =
+    s"""WITH pairs AS (${minhashLshSql(table)})
+       |SELECT least(da.source, db.source) AS source_a,
+       |       greatest(da.source, db.source) AS source_b,
+       |       count(*) AS n_pairs,
+       |       min(jaccard) AS min_jaccard,
+       |       max(jaccard) AS max_jaccard
+       |FROM pairs p
+       |JOIN $table da ON da.doc_id = p.id_a
+       |JOIN $table db ON db.doc_id = p.id_b
+       |GROUP BY 1, 2""".stripMargin
+
   def neardupSimHist(docs: DataFrame): DataFrame =
     minhashLsh(docs)
       .select(col("jaccard"),

@@ -87,6 +87,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(jacReal.subsetOf(contReal), s"missing: ${jacReal -- contReal}")
   }
 
+  test("neardup source mix partitions exactly the minhash pair set with " +
+       "normalized source ordering") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextDedup.neardupSourceMix(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.values.sum === pairs.length.toLong, "every pair classified once")
+    val want = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got === want)
+    got.keys.foreach { case (a, b) => assert(a <= b, "unnormalized pair") }
+  }
+
   test("simhash recalls most minhash near-dups (approximate by design)") {
     val docs = Tables.documents(spark, dir)
     val mh = TextDedup.minhashLsh(docs)
