@@ -273,6 +273,8 @@ object SparkEntry {
     "sessionize_events"   -> ((s, d) => Relational.sessionizeEvents(s, d)),
     // session-local Markov transition matrix over event types
     "session_transitions" -> ((s, d) => Relational.sessionTransitions(s, d)),
+    // duplicate-click / redelivery suppression (burst collapse)
+    "debounce_events"     -> ((s, d) => Relational.debounceEvents(s, d)),
     // feature-store densification: per-user daily grid with LOCF fill
     "gap_fill_locf"       -> ((s, d) => Relational.gapFillLocf(s, d)),
     // per-hour peak concurrent sessions (interval sweep, two-level prefix)
@@ -435,6 +437,7 @@ object SparkEntry {
     "window_trailing_hour" -> Relational.trailingHourValueSql,
     "sessionize_events"   -> Relational.sessionizeEventsSql,
     "session_transitions" -> Relational.sessionTransitionsSql,
+    "debounce_events"     -> Relational.debounceEventsSql,
     "gap_fill_locf"       -> Relational.gapFillLocfSql,
     "peak_concurrency"    -> Relational.peakConcurrencySql,
     "event_rate_outliers" -> Relational.eventRateOutliersSql,

@@ -1192,6 +1192,78 @@ object Relational {
        |        ORDER BY i.valid_from DESC LIMIT 1) AS state_since
        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p""".stripMargin
 
+  /** Debounce refractory window (microseconds): a same-type event inside
+   * this window of the PREVIOUS KEPT event of the same (user, type) is a
+   * duplicate delivery / double-click, not a new action. */
+  val DebounceUs: Long = 60L * 1000 * 1000
+
+  /** Event debouncing — keep an event iff no SAME-(user, type) event was
+   * KEPT within the preceding [[DebounceUs]]: duplicate-click and
+   * at-least-once-delivery suppression, the event-stream hygiene pass
+   * run before any funnel/count analytics.
+   *
+   * BURST-COLLAPSE semantics: a burst is a CHAIN of same-(user, type)
+   * events each within [[DebounceUs]] of its predecessor; the burst's
+   * FIRST event is kept, the rest are suppressed — so a sustained
+   * drizzle (every repeat inside the window) collapses to one action,
+   * the standard double-click/redelivery reading. (The alternative —
+   * re-keep one event per elapsed window during a sustained burst — is
+   * a sequential recurrence on the KEPT set that plain windows cannot
+   * express; if that's wanted, it's the LJOT faithful-variant state
+   * machine, not a batch filter.) The chain id is the sessionization
+   * gap-flag running sum, here per (user, type): one Exchange serves
+   * both windows and the first-of-burst filter. Output = the kept rows
+   * (event_id, user_id, event_type, ts).
+   *
+   * A 100 TB note: partitioning is (user, type)-keyed, per-key history
+   * is time-ordered once; no self-join, no range join. */
+  def debounceEvents(s: SparkSession, dir: String): DataFrame =
+    debounce(Tables.events(s, dir))
+
+  /** The debounce core over any (event_id, user_id, event_type, ts)
+   * relation — exposed for fixture-driven tests (the corpus fixture's
+   * organic gaps are hours-scale, so suppression only shows on planted
+   * bursts). */
+  private[operators] def debounce(ev: DataFrame,
+                                  windowUs: Long = DebounceUs): DataFrame = {
+    val order = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("new_burst",
+        when(col("gap_us").isNull || col("gap_us") > windowUs, 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("new_burst")).over(run))
+      .withColumn("rn_in_burst", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"), col("burst_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn_in_burst") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+  }
+
+  def debounceEventsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $DebounceUs
+       |              OR lag(epoch_us(ts)) OVER w IS NULL
+       |              THEN 1 ELSE 0 END AS new_burst
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+       |bursts AS (
+       |  SELECT event_id, user_id, event_type, ts,
+       |         sum(new_burst) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY ts, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_id
+       |  FROM flagged)
+       |SELECT event_id, user_id, event_type, ts FROM (
+       |  SELECT event_id, user_id, event_type, ts,
+       |         row_number() OVER (PARTITION BY user_id, event_type, burst_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM bursts)
+       |WHERE rn = 1""".stripMargin
+
   /** Latest order per customer with its value — top-1-per-group WITHOUT
    * a window: `max_by(struct(date, key, price))` is a partial-capable
    * aggregate, so each map task reduces its slice to ONE row per

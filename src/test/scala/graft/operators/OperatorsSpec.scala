@@ -1339,6 +1339,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("WindowGroupLimit"), s"expected rank pushdown in:\n$plan")
   }
 
+  test("relational: debounce keeps the first event of every same-type burst " +
+       "and matches a driver-side chain replay") {
+    val kept = Relational.debounceEvents(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(r => (r._1, r._2)).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val keep = scala.collection.mutable.ListBuffer.empty[Long]
+      var prevUs = Long.MinValue
+      sorted.foreach { case (_, _, us, id) =>
+        // chain semantics: compare against the previous RAW event
+        if (prevUs == Long.MinValue || us - prevUs > Relational.DebounceUs) keep += id
+        prevUs = us
+      }
+      keep
+    }.toSet
+    assert(kept === want)
+    assert(kept.size <= ev.length) // organic gaps are hours-scale here
+    // planted burst: 3 rapid same-type repeats + 1 past the window + a
+    // different type in between — keeps ids 1 (burst head), 4, 10
+    import spark.implicits._
+    val s = 1000000L
+    val fix = Seq(
+      (1L, 5L, "click", new java.sql.Timestamp(0L)),
+      (2L, 5L, "click", new java.sql.Timestamp(10 * s / 1000)),
+      (3L, 5L, "click", new java.sql.Timestamp(40 * s / 1000)),
+      (10L, 5L, "view", new java.sql.Timestamp(20 * s / 1000)),
+      (4L, 5L, "click", new java.sql.Timestamp(200 * s / 1000))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val keptFix = Relational.debounce(fix, windowUs = 60L * s)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptFix === Set(1L, 4L, 10L))
+  }
+
   test("relational: funnel stages match a driver-side replay, monotone") {
     val Array(row) = Relational.funnelStages(spark, dir).collect()
     val (nView, nClick, nFull) = (row.getLong(0), row.getLong(1), row.getLong(2))
