@@ -321,6 +321,14 @@ object SparkEntry {
     "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
     // key-skew profile: heavy hitters on the flagship join key
     "skew_profile"        -> ((s, d) => Relational.eventKeySkew(s, d)),
+    // deepest join tree in the suite: 2 facts + 5 broadcast dimension arms
+    "market_share"        -> ((s, d) => Relational.marketShare(s, d)),
+    // before/after window contrast: step changes in hourly arrival rates
+    "level_shift"         -> ((s, d) => Relational.levelShiftDetect(s, d)),
+    // order-independent per-source corpus audit fingerprint
+    "corpus_checksum"     -> ((s, d) => Corpus.corpusChecksum(Tables.documents(s, d))),
+    // edit-distance near-dup pairs over normalized document openings
+    "fuzzy_prefix_dedup"  -> ((s, d) => TextDedup.fuzzyPrefixDedup(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -464,5 +472,9 @@ object SparkEntry {
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
+    "market_share"        -> Relational.marketShareSql,
+    "level_shift"         -> Relational.levelShiftDetectSql,
+    "corpus_checksum"     -> Corpus.corpusChecksumSql("documents"),
+    "fuzzy_prefix_dedup"  -> TextDedup.fuzzyPrefixDedupSql("documents"),
   )
 }

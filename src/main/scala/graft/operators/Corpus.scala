@@ -1422,4 +1422,55 @@ object Corpus {
        |       CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
        |       (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)) >= $SourceKeepRate AS keep
        |FROM a""".stripMargin
+
+  // ---- order-independent corpus audit checksum -----------------------------
+
+  /** Modulus for the additive checksum: 2^52, so each summand (a 52-bit
+   * content-hash value) and the reduced sum are exact in BIGINT — and in
+   * DOUBLE, should a consumer round-trip the artifact through JSON. */
+  val ChecksumMod: Long = 1L << 52
+
+  /** Per-source corpus audit fingerprint — the cheap answer to "is the
+   * copy of the corpus on THAT cluster byte-identical to this one?"
+   * after every migration, backfill or format rewrite: doc count,
+   * DISTINCT content count (exact-dup mass rides along for free), total
+   * chars, and two order-independent content checksums — an additive
+   * mod-2^52 sum and an XOR fold of the 52-bit md5 prefix of each
+   * document. Equal tuples ⇒ corpora almost surely content-identical
+   * PER SOURCE, regardless of row order, file layout or partitioning;
+   * the two folds back each other up (XOR is blind to an even number of
+   * copies of the same doc, the additive sum is not).
+   *
+   * Shape: pure per-row projection (one md5 per doc) into ONE
+   * partial-aggregating hash aggregate to O(sources) rows — every fold
+   * (sum, xor, min, max) is commutative-associative, so map-side combine
+   * does essentially all the work and the exchange carries O(sources)
+   * bytes at any corpus size; nothing here ever sorts or collects. The
+   * additive fold accumulates DECIMAL(38,0) (a BIGINT sum would
+   * overflow ANSI arithmetic past ~2^11 docs) and reduces mod
+   * [[ChecksumMod]] once at the end. */
+  def corpusChecksum(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("hv", expr(Relational.hexVal13("h")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("hv").cast("decimal(38,0)")) % lit(ChecksumMod))
+          .cast("bigint").as("checksum_add"),
+        expr("bit_xor(hv)").as("checksum_xor"))
+
+  def corpusChecksumSql(table: String): String =
+    s"""WITH h0 AS (
+       |  SELECT source, n_chars, md5(text) AS h FROM $table),
+       |h AS (
+       |  SELECT source, n_chars, h, ${Relational.hexVal13("h")} AS hv FROM h0)
+       |SELECT source, count(*) AS n_docs,
+       |       count(DISTINCT h) AS n_unique,
+       |       sum(n_chars) AS sum_chars,
+       |       CAST(sum(CAST(hv AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT) AS checksum_add,
+       |       bit_xor(hv) AS checksum_xor
+       |FROM h GROUP BY source""".stripMargin
 }

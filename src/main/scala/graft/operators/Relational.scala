@@ -639,7 +639,7 @@ object Relational {
    * BIGINT: Spark parses sub-2³¹ literals as INT, and digit × 2²⁸
    * overflows INT under ANSI mode (DuckDB silently promotes — the
    * divergence only bites when hk is non-null). */
-  private def hexVal13(h: String): String =
+  private[operators] def hexVal13(h: String): String =
     (1 to 13).map { i =>
       s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
         s"CAST(${1L << (4 * (13 - i))} AS BIGINT)"
@@ -1490,4 +1490,151 @@ object Relational {
        |   PARTITION BY user_id ORDER BY epoch_us(ts)
        |   RANGE BETWEEN $TrailUs PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
        |FROM events""".stripMargin
+
+  // ---- snowflake multi-join market share (TPC-H Q8 shape) ------------------
+
+  /** Part-type slice and customer region pinning the market-share query.
+   * PROMO/ASIA are arbitrary members of the generated domains — the plan
+   * shape is what the query exists to prove. */
+  val SharePartType = "PROMO"
+  val ShareRegion = "ASIA"
+
+  /** Supplier-nation market share per order year: of the revenue from
+   * [[SharePartType]] parts sold to [[ShareRegion]] customers, what
+   * fraction came through each supplier nation (TPC-H Q8's shape — the
+   * deepest join tree in the suite: lineitem ⨝ part ⨝ supplier ⨝ nation
+   * ⨝ orders ⨝ customer ⨝ nation ⨝ region, 2 facts + 5 dimension arms).
+   *
+   * Shape — the scale story is WHICH joins shuffle: every dimension arm
+   * (part slice, supplier→nation, customer→region) is broadcast, so the
+   * two FACT tables each get scanned once with their filters/projections
+   * pushed and meet in the plan's single shuffle join on l_orderkey =
+   * o_orderkey — the join a 100 TB deployment would co-partition via
+   * bucketing on orderkey, turning this plan shuffle-free. The broadcast
+   * part slice prunes ~5/6 of lineitem BEFORE that exchange (AQE sees
+   * the post-filter size, not the scan size). Revenue accumulates as
+   * exact DECIMAL through the partial-agg groupBy to O(years × nations)
+   * rows; the share denominator is a per-year window sum over that tiny
+   * relation — one IEEE division at the very end, so both engines agree
+   * bitwise. */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(s, dir)
+      .filter(col("p_type") === SharePartType).select("p_partkey")
+    val supNation = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val regionCust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, dir).select(
+        col("n_nationkey").as("cn_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === ShareRegion)
+        .select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val regionOrders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+    val rev = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(regionOrders, col("l_orderkey") === col("o_orderkey")) // the one fact-fact shuffle
+      .groupBy(col("o_year"), col("nation"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("rev"))
+    rev.select(col("o_year"), col("nation"), col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") /
+          sum(col("rev")).over(Window.partitionBy("o_year")).cast("double")).as("share"))
+  }
+
+  def marketShareSql: String =
+    s"""WITH rev AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS nation,
+       |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |             (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+       |  FROM lineitem
+       |  JOIN part     ON l_partkey = p_partkey AND p_type = '$SharePartType'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = '$ShareRegion'
+       |  GROUP BY 1, sn.n_name)
+       |SELECT o_year, nation, CAST(rev AS DOUBLE) AS revenue,
+       |       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+       |FROM rev""".stripMargin
+
+  // ---- level-shift change detection (before/after window contrast) --------
+
+  /** Half-window (hours) contrasted on each side of a candidate change
+   * point, and the number of shifts reported per event type. */
+  val ShiftWindow = 6
+  val ShiftTopN = 3
+
+  /** Step-change detection over each event type's hourly arrival series:
+   * at every observed hour, contrast the total count of the next
+   * [[ShiftWindow]] observed hours against the previous [[ShiftWindow]],
+   * and report the [[ShiftTopN]] largest absolute shifts per type — the
+   * "did the crawler die / did a source go live" monitor over ingestion
+   * telemetry. Windows are over OBSERVED hours (an all-empty hour emits
+   * no row; a data outage therefore surfaces as the shift around the
+   * gap's edges, which is the useful reading). Boundary rows without a
+   * full window on both sides are excluded rather than diluted.
+   *
+   * Shape: one partial-agg hash aggregate to O(types × hours) rows, one
+   * shuffle on event_type for the four ROWS-frame window passes (a
+   * single sort serves all four — same partition, same order), then a
+   * WindowGroupLimit-prunable row_number top-N. Counts stay BIGINT
+   * end-to-end — no floating point anywhere, bit-identical cross-engine. */
+  def levelShiftDetect(s: SparkSession, dir: String): DataFrame =
+    levelShiftFrom(Tables.events(s, dir))
+
+  private[operators] def levelShiftFrom(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy("event_type").orderBy("hour_ts")
+    val before = ord.rowsBetween(-ShiftWindow, -1)
+    val after = ord.rowsBetween(Window.currentRow, ShiftWindow - 1)
+    hourly
+      .select(col("event_type"), col("hour_ts"),
+        sum(col("n")).over(before).as("before_n"),
+        count(lit(1)).over(before).as("nb"),
+        sum(col("n")).over(after).as("after_n"),
+        count(lit(1)).over(after).as("na"))
+      .filter(col("nb") === ShiftWindow && col("na") === ShiftWindow)
+      .withColumn("shift", abs(col("after_n") - col("before_n")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("shift").desc, col("hour_ts"))).cast("bigint"))
+      .filter(col("rn") <= ShiftTopN)
+      .select("event_type", "hour_ts", "before_n", "after_n", "shift", "rn")
+  }
+
+  def levelShiftDetectSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, hour_ts,
+       |         sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN $ShiftWindow PRECEDING AND 1 PRECEDING) AS before_n,
+       |         count(*) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN $ShiftWindow PRECEDING AND 1 PRECEDING) AS nb,
+       |         sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN CURRENT ROW AND ${ShiftWindow - 1} FOLLOWING) AS after_n,
+       |         count(*) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN CURRENT ROW AND ${ShiftWindow - 1} FOLLOWING) AS na
+       |  FROM hourly),
+       |sh AS (
+       |  SELECT event_type, hour_ts, before_n, after_n, abs(after_n - before_n) AS shift,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |           ORDER BY abs(after_n - before_n) DESC, hour_ts) AS BIGINT) AS rn
+       |  FROM w WHERE nb = $ShiftWindow AND na = $ShiftWindow)
+       |SELECT event_type, hour_ts, before_n, after_n, shift, rn
+       |FROM sh WHERE rn <= $ShiftTopN""".stripMargin
 }

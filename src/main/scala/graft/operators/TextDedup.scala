@@ -1282,4 +1282,95 @@ object TextDedup {
        |           ORDER BY jaccard DESC, cand_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $SimSearchK""".stripMargin
+
+  // ---- 8. fuzzy edit-distance (prefix/title) dedup --------------------------
+
+  /** Raw prefix taken before normalization (bounds the per-row regexp
+   * work), and the normalized window actually compared. */
+  val FuzzyRawLen = 96
+  val FuzzyNormLen = 48
+  /** Exact block-key length at each end of the window, max accepted
+   * Levenshtein distance, and the shortest norm worth comparing (below
+   * it, distance ≤ [[FuzzyMaxDist]] matches near-everything). */
+  val FuzzyBlockLen = 8
+  val FuzzyMaxDist = 4
+  val FuzzyMinLen = 16
+
+  /** Normalized comparison window: first [[FuzzyRawLen]] chars lowercased,
+   * every non-alphanumeric run collapsed to one space, trimmed, cut to
+   * [[FuzzyNormLen]]. One fixed expression, valid on both engines (the
+   * DuckDB form differs only in `regexp_replace`'s explicit 'g' flag). */
+  private def fuzzyNorm(text: Column): Column =
+    substring(trim(regexp_replace(
+      lower(substring(text, 1, FuzzyRawLen)), "[^a-z0-9]+", " ")), 1, FuzzyNormLen)
+
+  /** Fuzzy near-dup pairs by EDIT DISTANCE on the normalized document
+   * opening — the family the gram/sketch dedups don't cover: titles and
+   * short openings that differ by a typo, a pluralization or a swapped
+   * token survive every set-similarity screen (one changed shingle out
+   * of five moves Jaccard only to 0.67) but sit at Levenshtein ≤ 4.
+   * Candidates block on the EXACT first and last [[FuzzyBlockLen]] chars
+   * of the window (two keys per doc — an edit near one end leaves the
+   * other end's key intact, so any ≤ [[FuzzyMaxDist]]-edit pair whose
+   * edits don't straddle both ends is caught); verification is
+   * `levenshtein` on the [[FuzzyNormLen]]-char windows. Output
+   * (id_a, id_b, dist), smaller id first.
+   *
+   * Shape — the simhash payload pattern: the window is ≤ 48 chars, so it
+   * RIDES the posting through the one groupBy shuffle and verification
+   * happens inline during in-bucket pair expansion — no join-back pass
+   * over the corpus. Buckets are hard-capped at [[MaxBucket]] postings
+   * via [[bucketBound]] (boilerplate openings — "copyright 2024 all
+   * rights reserved" — are exactly the adversarial mass the cap exists
+   * for), with drops surfacing as `graft_fuzzy_buckets` observed
+   * metrics. Levenshtein on two 48-char strings is a constant ~2.3k-cell
+   * DP per CANDIDATE (not per row); the blocking keeps candidates
+   * near-linear in corpus size. */
+  def fuzzyPrefixDedup(docs: DataFrame): DataFrame = {
+    val norm = docs.select(col("doc_id"), fuzzyNorm(col("text")).as("norm"))
+      .filter(length(col("norm")) >= FuzzyMinLen)
+    val postings = norm.select(col("doc_id"), col("norm"),
+      explode(array(
+        concat(lit("p:"), substring(col("norm"), 1, FuzzyBlockLen)),
+        concat(lit("s:"), expr(
+          s"substring(norm, length(norm) - ${FuzzyBlockLen - 1}, $FuzzyBlockLen)"))))
+        .as("blk"))
+      .persist() // consumed by the bucket-size aggregate AND the pair expansion
+    val (ok, sentinels) = bucketBound(postings, "blk", 2, MaxBucket)
+    val es = col("es")
+    val pairs = postings.join(ok, "blk")
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("norm")))).as("es"))
+      .filter(size(es) >= 2 && size(es) <= MaxBucket)
+      .select(es, posexplode(es).as(Seq("i", "ea")))
+      .select(col("ea"), explode(slice(es, col("i") + 2, size(es) - col("i") - 1)).as("eb"))
+      .select(col("ea.doc_id").as("id_a"), col("eb.doc_id").as("id_b"),
+        levenshtein(col("ea.norm"), col("eb.norm")).cast("bigint").as("dist"))
+      .filter(col("dist") <= FuzzyMaxDist) // verify BEFORE the dedup exchange
+      .distinct()
+    observeDrops(
+      pairs.withColumn("is_sentinel", lit(false))
+        .unionByName(sentinels.withColumn("dist", lit(null).cast("long"))),
+      "graft_fuzzy_buckets")
+  }
+
+  def fuzzyPrefixDedupSql(table: String): String =
+    s"""WITH n0 AS (
+       |  SELECT doc_id,
+       |         substring(trim(regexp_replace(lower(substring(text, 1, $FuzzyRawLen)),
+       |                   '[^a-z0-9]+', ' ', 'g')), 1, $FuzzyNormLen) AS norm
+       |  FROM $table),
+       |n1 AS (SELECT doc_id, norm FROM n0 WHERE length(norm) >= $FuzzyMinLen),
+       |posts AS (
+       |  SELECT doc_id, norm, 'p:' || substring(norm, 1, $FuzzyBlockLen) AS blk FROM n1
+       |  UNION ALL
+       |  SELECT doc_id, norm,
+       |         's:' || substring(norm, length(norm) - ${FuzzyBlockLen - 1}, $FuzzyBlockLen) AS blk
+       |  FROM n1),
+       |pok AS ${boundedSql("posts", "blk", MaxBucket)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.norm AS na, b.doc_id AS id_b, b.norm AS nb
+       |  FROM pok a JOIN pok b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT DISTINCT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+       |FROM cand WHERE levenshtein(na, nb) <= $FuzzyMaxDist""".stripMargin
 }

@@ -1648,4 +1648,123 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     // doc 0 is the one in-bound query; the near-copy must rank first
     assert(out.exists { case (q, c, rank) => q == 0L && c == 7L && rank == 1L })
   }
+
+  test("market share: per-year shares partition the region/type revenue") {
+    val out = Relational.marketShare(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty, "sf0.001 has PROMO lineitems sold into ASIA")
+    out.groupBy(_._1).foreach { case (year, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, nation, rev, share) =>
+        assert(rev > 0 && nation.nonEmpty)
+        // share was computed as rev / windowTotal in one IEEE division
+        assert(math.abs(share - rev / total) < 1e-12, s"$year/$nation share")
+      }
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, s"year $year shares sum to 1")
+    }
+    // driver-side recompute of one year's nation revenues from raw tables
+    val promo = Tables.part(spark, dir).filter(col("p_type") === Relational.SharePartType)
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    // nation/region keys are INT32 in the parquet — read as Int
+    val nations = Tables.nation(spark, dir).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> ((r.getAs[String]("n_name"), r.getAs[Int]("n_regionkey")))).toMap
+    val regions = Tables.region(spark, dir).collect()
+      .map(r => r.getAs[Int]("r_regionkey") -> r.getAs[String]("r_name")).toMap
+    val supNation = Tables.supplier(spark, dir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> nations(r.getAs[Int]("s_nationkey"))._1).toMap
+    val custRegion = Tables.customer(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> regions(nations(r.getAs[Int]("c_nationkey"))._2)).toMap
+    val orderYear = Tables.orders(spark, dir).collect()
+      .filter(r => custRegion(r.getAs[Long]("o_custkey")) == Relational.ShareRegion)
+      .map(r => r.getAs[Long]("o_orderkey") -> (r.getAs[Any]("o_orderdate") match {
+        case t: java.sql.Timestamp => t.toLocalDateTime.getYear.toLong
+        case d: java.time.LocalDateTime => d.getYear.toLong // TIMESTAMP_NTZ read
+      })).toMap
+    val expected = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .filter(r => promo(r.getAs[Long]("l_partkey")) && orderYear.contains(r.getAs[Long]("l_orderkey")))
+      .groupBy(r => (orderYear(r.getAs[Long]("l_orderkey")), supNation(r.getAs[Long]("l_suppkey"))))
+      .view.mapValues(_.map { r =>
+        (BigDecimal(r.getAs[Double]("l_extendedprice")).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getAs[Double]("l_discount")).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      }.sum).toMap
+    assert(out.map(r => (r._1, r._2)).toSet === expected.keySet)
+    out.foreach { case (y, n, rev, _) =>
+      assert(math.abs(rev - expected((y, n)).toDouble) < 1e-6, s"$y/$n revenue") }
+  }
+
+  test("level shift: a planted step change tops its type's shift ranking") {
+    import spark.implicits._
+    // type A: 1 event/hour for 12h, then 10/hour for 12h; type B flat.
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def at(h: Int, i: Int) = new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
+    val rows =
+      (0 until 12).flatMap(h => Seq(("A", at(h, 0)))) ++
+      (12 until 24).flatMap(h => (0 until 10).map(i => ("A", at(h, i)))) ++
+      (0 until 24).map(h => ("B", at(h, 0)))
+    val ev = rows.toDF("event_type", "ts")
+    val out = Relational.levelShiftFrom(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // top shift for A: boundary at hour 12 — 6x1 before vs 6x10 after
+    val top = out.filter(t => t._1 == "A" && t._6 == 1L)
+    assert(top.length === 1)
+    assert(top.head._2 === at(12, 0) && top.head._3 === 6L && top.head._4 === 60L &&
+      top.head._5 === 54L)
+    // flat type B: every full-window shift is 0; rows exist but shift = 0
+    assert(out.filter(_._1 == "B").forall(_._5 === 0L))
+    // boundary rows without 6 observed hours on BOTH sides are excluded:
+    // first full-window hour is 6, last is 24 - 6 = 18
+    val hoursA = Relational.levelShiftFrom(ev.filter(col("event_type") === "A"))
+    assert(hoursA.collect().forall { r =>
+      val h = (r.getTimestamp(1).getTime - base) / 3600000L; h >= 6 && h <= 18 })
+    assert(out.forall(_._6 <= Relational.ShiftTopN))
+  }
+
+  test("corpus checksum: every fold recomputes from a driver-side md5 pass") {
+    val out = Corpus.corpusChecksum(Tables.documents(spark, dir)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hv13(h: String) = java.lang.Long.parseLong(h.substring(0, 13), 16)
+    val raw = Tables.documents(spark, dir).select("source", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), hex(r.getString(2))))
+    assert(out.keySet === raw.map(_._1).toSet)
+    raw.groupBy(_._1).foreach { case (src, rows) =>
+      val hvs = rows.map(r => hv13(r._3))
+      val expected = (rows.length.toLong, rows.map(_._3).distinct.length.toLong,
+        rows.map(_._2).sum,
+        (hvs.map(BigInt(_)).sum % BigInt(Corpus.ChecksumMod)).toLong,
+        hvs.reduce(_ ^ _))
+      assert(out(src) === expected, s"source $src")
+    }
+    // reordering the corpus must not move any fold (order independence)
+    val rev = Corpus.corpusChecksum(
+      Tables.documents(spark, dir).orderBy(col("doc_id").desc)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rev === out)
+  }
+
+  test("fuzzy prefix dedup: typo-distance pairs pass, unrelated and short docs don't") {
+    import spark.implicits._
+    // the edit must land INSIDE the 48-char normalized window
+    val a = "The Quick Brown Fox Jumps Over The Lazy Dog In The Morning Sun"
+    val b = "The Quick Brown Fox Jumps Ovir The Lazy Dog In The Morning Sun"  // 1 edit
+    val c = "The Quick! Brown Fox... Jumps Over The Lazy Dog In The Morning Sun" // punct only
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, c),
+      (4L, "completely unrelated opening text about spark catalyst planning"),
+      (5L, "tiny")) // below FuzzyMinLen after normalization
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.fuzzyPrefixDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "exactly the planted near-identical openings pair up")
+    assert(out((1L, 2L)) === 1L, "single-character typo")
+    assert(out((1L, 3L)) === 0L, "punctuation-only variants normalize identically")
+    // determinism: smaller id always first
+    assert(out.keySet.forall { case (x, y) => x < y })
+  }
 }
