@@ -250,6 +250,8 @@ object SparkEntry {
     "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
     "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
     "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
+    // embedding-space benchmark decontamination (semantic twin of the gram screen)
+    "semantic_decontaminate" -> ((s, d) => VectorOps.semanticDecontaminate(Tables.embeddings(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // checksum-first exact dedup of binary media payloads
@@ -305,6 +307,10 @@ object SparkEntry {
     "sample_per_source"   -> ((s, d) => Corpus.samplePerSource(Tables.documents(s, d))),
     // fabricated-numbers screen over exact cents
     "benford_profile"     -> ((s, d) => Relational.benfordProfile(s, d)),
+    // referential-integrity audit over every FK edge of the star schema
+    "fk_orphans"          -> ((s, d) => Relational.fkOrphans(s, d)),
+    // per-column null/blank/distinct schema-health profile
+    "null_profile"        -> ((s, d) => Corpus.nullProfile(Tables.documents(s, d))),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -428,6 +434,7 @@ object SparkEntry {
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
+    "semantic_decontaminate" -> VectorOps.semanticDecontaminateSql("embeddings"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "mm_payload_dedup"    -> Multimodal.payloadDedupSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
@@ -462,6 +469,8 @@ object SparkEntry {
     "latest_order_profile" -> Relational.latestOrderProfileSql,
     "sample_per_source"   -> Corpus.samplePerSourceSql("documents"),
     "benford_profile"     -> Relational.benfordProfileSql,
+    "fk_orphans"          -> Relational.fkOrphansSql,
+    "null_profile"        -> Corpus.nullProfileSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

@@ -1469,8 +1469,65 @@ object Corpus {
        |  SELECT source, n_chars, h, ${Relational.hexVal13("h")} AS hv FROM h0)
        |SELECT source, count(*) AS n_docs,
        |       count(DISTINCT h) AS n_unique,
-       |       sum(n_chars) AS sum_chars,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        |       CAST(sum(CAST(hv AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT) AS checksum_add,
        |       bit_xor(hv) AS checksum_xor
        |FROM h GROUP BY source""".stripMargin
+
+  // ---- column null/blank/distinct profile (schema-health audit) ------------
+
+  /** The documents table's columns with their blank predicate — BLANK is
+   * a string that trims to empty (a NULL in disguise after a bad CSV
+   * hop); non-string columns have no blank notion and report 0. */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    ("doc_id", false), ("text", true), ("lang", true),
+    ("source", true), ("n_chars", false))
+
+  /** Per-column schema-health profile of the documents table — the
+   * first query run against ANY newly landed dataset: per column, the
+   * NULL count, the blank count (strings trimming to '' — the classic
+   * silent-corruption mode of CSV/JSON hops), and the exact distinct
+   * cardinality (a `lang` column whose distinct count jumped 50×
+   * yesterday is a parser regression, not new languages). Output
+   * (col_name, n_rows, n_null, n_blank, n_distinct), one row per column.
+   *
+   * Scale shape: ONE corpus scan — the NULL/blank tallies are plain
+   * partial-agg sums and the per-column DISTINCT counts ride Spark's
+   * multi-distinct Expand rewrite (each input row fans to |cols|+1
+   * tagged rows INSIDE the map task, partial-aggregated before the
+   * single exchange — the scan itself is not repeated). Expand's fan-out
+   * is the documented price of EXACT cardinalities in one pass; the
+   * raw-100 TB swap is `approx_count_distinct` (HLL, no Expand), which
+   * drops this to a pure scan — kept exact here because exactness is
+   * what the oracle certifies. Unpivot to rows is a literal 5-way
+   * `stack` on the 1-row aggregate — driver-side-free and O(cols). */
+  def nullProfile(docs: DataFrame): DataFrame = {
+    val aggs = ProfileCols.flatMap { case (c, isStr) =>
+      val blank = if (isStr) sum(when(trim(col(c)) === "", 1L).otherwise(0L))
+                  else lit(0L)
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+        blank.as(s"${c}_blank"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val stacked = ProfileCols.map { case (c, _) =>
+      s"'$c', ${c}_null, ${c}_blank, ${c}_distinct"
+    }.mkString(", ")
+    val all = count(lit(1)).as("n_rows") +: aggs
+    docs.agg(all.head, all.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${ProfileCols.size}, $stacked) AS (col_name, n_null, n_blank, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_blank"), col("n_distinct"))
+  }
+
+  def nullProfileSql(table: String): String =
+    ProfileCols.map { case (c, isStr) =>
+      val blank = if (isStr) s"CAST(sum(CASE WHEN trim($c) = '' THEN 1 ELSE 0 END) AS BIGINT)"
+                  else "CAST(0 AS BIGINT)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       $blank AS n_blank,
+         |       count(DISTINCT $c) AS n_distinct
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

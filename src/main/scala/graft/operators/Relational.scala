@@ -1324,7 +1324,7 @@ object Relational {
     """WITH tc AS (
       |  SELECT user_id, event_type, count(*) AS c
       |  FROM events GROUP BY 1, 2)
-      |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types,
       |       1.0 - CAST(sum(c * c) AS DOUBLE)
       |             / CAST(sum(c) * sum(c) AS DOUBLE) AS gini
       |FROM tc GROUP BY user_id""".stripMargin
@@ -1621,20 +1621,93 @@ object Relational {
        |  FROM events GROUP BY 1, 2),
        |w AS (
        |  SELECT event_type, hour_ts,
-       |         sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
-       |           ROWS BETWEEN $ShiftWindow PRECEDING AND 1 PRECEDING) AS before_n,
+       |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN $ShiftWindow PRECEDING AND 1 PRECEDING) AS BIGINT) AS before_n,
        |         count(*) OVER (PARTITION BY event_type ORDER BY hour_ts
        |           ROWS BETWEEN $ShiftWindow PRECEDING AND 1 PRECEDING) AS nb,
-       |         sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
-       |           ROWS BETWEEN CURRENT ROW AND ${ShiftWindow - 1} FOLLOWING) AS after_n,
+       |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts
+       |           ROWS BETWEEN CURRENT ROW AND ${ShiftWindow - 1} FOLLOWING) AS BIGINT) AS after_n,
        |         count(*) OVER (PARTITION BY event_type ORDER BY hour_ts
        |           ROWS BETWEEN CURRENT ROW AND ${ShiftWindow - 1} FOLLOWING) AS na
        |  FROM hourly),
        |sh AS (
-       |  SELECT event_type, hour_ts, before_n, after_n, abs(after_n - before_n) AS shift,
+       |  SELECT event_type, hour_ts, before_n, after_n,
+       |         CAST(abs(after_n - before_n) AS BIGINT) AS shift,
        |         CAST(row_number() OVER (PARTITION BY event_type
        |           ORDER BY abs(after_n - before_n) DESC, hour_ts) AS BIGINT) AS rn
        |  FROM w WHERE nb = $ShiftWindow AND na = $ShiftWindow)
        |SELECT event_type, hour_ts, before_n, after_n, shift, rn
        |FROM sh WHERE rn <= $ShiftTopN""".stripMargin
+
+  // ---- referential-integrity audit (FK orphan counts) ----------------------
+
+  /** The star schema's FK edges: (edge label, child table, child FK
+   * column, parent table, parent key column). `events.user_id` rides
+   * along — the stream table's implicit user reference is exactly the
+   * edge a real pipeline forgets to audit. */
+  private val FkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+
+  private def tableOf(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "lineitem" => Tables.lineitem(s, dir)
+      case "orders"   => Tables.orders(s, dir)
+      case "customer" => Tables.customer(s, dir)
+      case "supplier" => Tables.supplier(s, dir)
+      case "part"     => Tables.part(s, dir)
+      case "nation"   => Tables.nation(s, dir)
+      case "region"   => Tables.region(s, dir)
+      case "events"   => Tables.events(s, dir)
+    }
+
+  /** Referential-integrity audit over every FK edge of the star schema —
+   * the load-time data-quality gate a warehouse runs after each ingest:
+   * per edge, the child row count, the number of child rows whose FK
+   * matches no parent (orphans — a NULL FK never matches and counts as
+   * one), and the number of DISTINCT dangling key values (one bad key
+   * referenced a million times is one upstream bug, not a million).
+   * Output (edge, n_children, n_orphans, n_orphan_keys); a clean load is
+   * all-zero orphan columns with exact child counts.
+   *
+   * Scale shape, per edge: the child side pre-aggregates to (key, cnt) —
+   * O(distinct keys) rows — BEFORE any join, so the join never moves
+   * child rows; the parent side is its distinct key set. AQE broadcasts
+   * whichever side is small (dimension parents always; fact-key sets
+   * degrade to a co-partitioned shuffle join, never a driver OOM). The
+   * final per-edge rollup is a partial-capable 1-row aggregate; the
+   * 8-edge union is 8 independent tiny plans. Integer counts end-to-end. */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame =
+    FkEdges.map { case (edge, child, fk, parent, pk) =>
+      fkEdgeAudit(edge, tableOf(s, dir, child), fk, tableOf(s, dir, parent), pk)
+    }.reduce(_.unionAll(_))
+
+  /** One FK edge's audit row — see [[fkOrphans]] for the shape. */
+  private[operators] def fkEdgeAudit(edge: String, child: DataFrame,
+      fk: String, parent: DataFrame, pk: String): DataFrame = {
+    val keyed = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
+    val parents = parent.select(col(pk).as("pk")).distinct()
+    keyed.join(parents, col("k") === col("pk"), "left")
+      .agg(sum(col("cnt")).as("n_children"),
+        sum(when(col("pk").isNull, col("cnt")).otherwise(0L)).as("n_orphans"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+      .select(lit(edge).as("edge"), col("n_children"),
+        col("n_orphans"), col("n_orphan_keys"))
+  }
+
+  def fkOrphansSql: String =
+    FkEdges.map { case (edge, child, fk, parent, pk) =>
+      s"""SELECT '$edge' AS edge,
+         |       CAST(sum(cnt) AS BIGINT) AS n_children,
+         |       CAST(sum(CASE WHEN pk IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_orphans,
+         |       CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys
+         |FROM (SELECT $fk AS k, count(*) AS cnt FROM $child GROUP BY 1) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

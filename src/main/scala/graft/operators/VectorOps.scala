@@ -941,7 +941,10 @@ object VectorOps {
    * per task, NOT corpus·Dim), one (label, dim)-keyed aggregate. Sums
    * accumulate as DECIMAL(38,0) (|q| ≤ 2²⁰ ⇒ a BIGINT sum overflows past
    * ~2⁴² rows per label·dim — not reachable, but decimal costs nothing
-   * here and matches [[embNormProfile]]'s convention); `centroid` is the
+   * here and matches [[embNormProfile]]'s convention); the EXPORTED
+   * `sum_q` is cast to BIGINT — decimal physical encodings differ
+   * across engines/readers, BIGINT is the portable exact integer type
+   * and the accumulated value fits it by the bound above; `centroid` is the
    * mean in ORIGINAL embedding units via one fixed IEEE sequence,
    * CAST(sum AS DOUBLE) / (CAST(n AS DOUBLE) * 2²⁰) — cross-engine
    * deterministic. */
@@ -952,7 +955,7 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("qv").cast("decimal(38,0)")).as("sum_q"))
       .select(col("label"), col("dim").cast("bigint").as("dim"),
-        col("n_vecs"), col("sum_q"),
+        col("n_vecs"), col("sum_q").cast("bigint").as("sum_q"),
         (col("sum_q").cast("double") /
           (col("n_vecs").cast("double") * lit(QuantScale))).as("centroid"))
 
@@ -963,7 +966,7 @@ object VectorOps {
        |a AS (SELECT label, dim, count(*) AS n_vecs,
        |             CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q
        |      FROM e GROUP BY label, dim)
-       |SELECT label, dim, n_vecs, sum_q,
+       |SELECT label, dim, n_vecs, CAST(sum_q AS BIGINT) AS sum_q,
        |       CAST(sum_q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale) AS centroid
        |FROM a""".stripMargin
 
@@ -980,7 +983,9 @@ object VectorOps {
    * one stage, no shuffle of expanded rows); the single exchange
    * carries O(Dim²) partial rows per map task regardless of corpus
    * size. All sums are exact: q_i·q_j ≤ 2⁴⁰ accumulated as
-   * DECIMAL(38,0), and `cov` is a FIXED IEEE sequence over the exact
+   * DECIMAL(38,0) (exported as BIGINT — portable exact integer, fits
+   * for corpora below ~2²³ vectors; the accumulation itself never
+   * overflows), and `cov` is a FIXED IEEE sequence over the exact
    * sums (each E[..] one divide, then one multiply and subtract),
    * mirrored verbatim by the oracle — cross-engine deterministic, no
    * order-dependent float accumulation anywhere. */
@@ -998,7 +1003,7 @@ object VectorOps {
         sum(col("qi").cast("decimal(38,0)")).as("sum_qi"),
         sum(col("qj").cast("decimal(38,0)")).as("sum_qj"))
       .select(col("i").cast("bigint").as("dim_i"), col("j").cast("bigint").as("dim_j"),
-        col("n_vecs"), col("sum_qq"),
+        col("n_vecs"), col("sum_qq").cast("bigint").as("sum_qq"),
         (col("sum_qq").cast("double") / (n * lit(scale2)) -
           (col("sum_qi").cast("double") / (n * lit(QuantScale))) *
             (col("sum_qj").cast("double") / (n * lit(QuantScale)))).as("cov"))
@@ -1016,7 +1021,7 @@ object VectorOps {
        |             CAST(sum(qi) AS DECIMAL(38,0)) AS sum_qi,
        |             CAST(sum(qj) AS DECIMAL(38,0)) AS sum_qj
        |      FROM e GROUP BY dim_i, dim_j)
-       |SELECT dim_i, dim_j, n_vecs, sum_qq,
+       |SELECT dim_i, dim_j, n_vecs, CAST(sum_qq AS BIGINT) AS sum_qq,
        |       CAST(sum_qq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * ($QuantScale * $QuantScale)) -
        |       (CAST(sum_qi AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) *
        |       (CAST(sum_qj AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale)) AS cov
@@ -1131,8 +1136,8 @@ object VectorOps {
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim8 DESC, neighbor_id) AS rk8
        |  FROM scored)
        |SELECT query_id,
-       |       sum(CASE WHEN rk <= $BruteK THEN 1 ELSE 0 END) AS n_truth,
-       |       sum(CASE WHEN rk <= $BruteK AND rk8 <= $BruteK THEN 1 ELSE 0 END) AS n_kept,
+       |       CAST(sum(CASE WHEN rk <= $BruteK THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |       CAST(sum(CASE WHEN rk <= $BruteK AND rk8 <= $BruteK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |       CAST(sum(CASE WHEN rk <= $BruteK AND rk8 <= $BruteK THEN 1 ELSE 0 END) AS DOUBLE)
        |         / CAST(sum(CASE WHEN rk <= $BruteK THEN 1 ELSE 0 END) AS DOUBLE) AS recall
        |FROM ranked WHERE rk <= $BruteK OR rk8 <= $BruteK
@@ -1193,7 +1198,8 @@ object VectorOps {
    * multiplies — then the [[labelCentroids]] explode+aggregate: the
    * (cid, dim) partial aggregate reduces each map task to
    * O(cells · Dim) rows before the final exchange. Sums are exact
-   * DECIMAL(38,0); the mean is one IEEE divide per cell-dimension. The
+   * DECIMAL(38,0) (exported as BIGINT per [[labelCentroids]]'s
+   * convention); the mean is one IEEE divide per cell-dimension. The
    * corpus is scanned twice (assign + vector fetch) — the independent-
    * query harness cost also documented for the cluster trio; a
    * production loop would cache the quantized scan. */
@@ -1206,7 +1212,7 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("qv").cast("decimal(38,0)")).as("sum_q"))
       .select(col("cid"), col("dim").cast("bigint").as("dim"),
-        col("n_vecs"), col("sum_q"),
+        col("n_vecs"), col("sum_q").cast("bigint").as("sum_q"),
         (col("sum_q").cast("double") /
           (col("n_vecs").cast("double") * lit(QuantScale))).as("centroid"))
   }
@@ -1220,7 +1226,7 @@ object VectorOps {
        |g AS (SELECT cid, dim, count(*) AS n_vecs,
        |             CAST(sum(qv) AS DECIMAL(38,0)) AS sum_q
        |      FROM e GROUP BY cid, dim)
-       |SELECT cid, dim, n_vecs, sum_q,
+       |SELECT cid, dim, n_vecs, CAST(sum_q AS BIGINT) AS sum_q,
        |       CAST(sum_q AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * $QuantScale) AS centroid
        |FROM g""".stripMargin
 
@@ -1249,4 +1255,61 @@ object VectorOps {
        |SELECT cid, count(*) AS n_vecs,
        |       CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM $table) AS DOUBLE) AS share
        |FROM a GROUP BY cid""".stripMargin
+
+  // ---- 7. embedding-space decontamination ----------------------------------
+
+  /** Cosine threshold above which a corpus vector counts as semantic
+   * leakage of an eval item. Same dial as [[NearDupSim]] — the planted
+   * near-dup band of the shared table. */
+  val ContamSim = NearDupSim
+
+  /** Embedding-space benchmark decontamination — the semantic twin of
+   * [[Corpus.decontaminate]]'s n-gram screen: an eval item leaks into
+   * the training corpus not only verbatim (the gram join catches that)
+   * but PARAPHRASED, and paraphrases live nowhere in gram space while
+   * sitting right next to the original in embedding space. For each
+   * eval-set vector (the [[QueryBudget]]-bounded query sample — the
+   * benchmark side of a real run), report the nearest-corpus cosine,
+   * the count of corpus vectors above [[ContamSim]] (the contamination
+   * MASS — one leaked paraphrase is curable, three hundred means the
+   * benchmark's domain saturates the corpus), and the verdict. Output
+   * (query_id, max_sim, n_contam, contaminated).
+   *
+   * Scale shape: the eval side is O(1) by construction and broadcasts;
+   * scoring is map-side against the one quantized corpus scan, and the
+   * per-query reduction is a partial-capable MAX/SUM aggregate — each
+   * map task reduces its corpus slice to O(queries) rows before the
+   * single exchange. Unlike [[annBruteTopK]] there is NO window/rank
+   * stage at all: the aggregate IS the answer, so this is the cheapest
+   * possible full-scan audit (and the shape survives any corpus size —
+   * the exchange carries queries × tasks rows, bytes). Exact integer
+   * dots, one IEEE divide per pair, max/count folds — cross-engine
+   * deterministic, no order-dependent float accumulation (IEEE max is
+   * commutative-associative). */
+  def semanticDecontaminate(embeddings: DataFrame): DataFrame = {
+    val qn = quantized(embeddings)
+    val queries = qn.filter(queryBound)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+    broadcast(queries).join(qn, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(max(col("sim")).as("max_sim"),
+        sum(when(col("sim") >= ContamSim, 1L).otherwise(0L)).as("n_contam"))
+      .select(col("query_id"), col("max_sim"), col("n_contam"),
+        (col("max_sim") >= ContamSim).as("contaminated"))
+  }
+
+  def semanticDecontaminateSql(table: String): String =
+    s"""WITH ${quantizedSql(table)},
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq
+       |  FROM qn WHERE $queryBoundSql),
+       |scored AS (
+       |  SELECT query_id,
+       |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim
+       |  FROM queries JOIN qn c ON query_id <> c.vec_id)
+       |SELECT query_id, max(sim) AS max_sim,
+       |       CAST(sum(CASE WHEN sim >= $ContamSim THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+       |       max(sim) >= $ContamSim AS contaminated
+       |FROM scored GROUP BY query_id""".stripMargin
 }

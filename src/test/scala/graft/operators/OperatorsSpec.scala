@@ -226,7 +226,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.labelCentroids(emb).collect()
       .map(r => (r.getInt(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     val raw = emb.select(col("label"), col("embedding")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     assert(raw.nonEmpty)
@@ -247,7 +247,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.embCovariance(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(out.size === VectorOps.Dim * (VectorOps.Dim + 1) / 2)
     val qs = emb.select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * VectorOps.QuantScale).toLong))
@@ -729,7 +729,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
         r.getSeq[Float](1).map(v => math.floor(v.toDouble * (1 << 20)).toLong))
     val out = VectorOps.kmeansRefine(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDecimal(3).longValueExact(), r.getDouble(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(out.nonEmpty)
     // every (cell, dim) mean recomputes from a driver-side fold
     val byCell = vecs.groupBy { case (id, _) => assign(id) }
