@@ -178,6 +178,9 @@ object SparkEntry {
     // leakage-safe split: train/val/test hashed on the dup CLUSTER id
     "cluster_safe_split"  -> ((s, d) => Corpus.clusterSafeSplit(DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d))))),
+    // per-source token-mass savings forecast of cluster-collapse dedup
+    "dedup_savings"       -> ((s, d) => DedupClusters.dedupSavings(
+      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
@@ -309,6 +312,8 @@ object SparkEntry {
     "benford_profile"     -> ((s, d) => Relational.benfordProfile(s, d)),
     // referential-integrity audit over every FK edge of the star schema
     "fk_orphans"          -> ((s, d) => Relational.fkOrphans(s, d)),
+    // lag-1 Pearson persistence of each type's hourly arrival series
+    "hourly_autocorr"     -> ((s, d) => Relational.hourlyAutocorr(s, d)),
     // per-column null/blank/distinct schema-health profile
     "null_profile"        -> ((s, d) => Corpus.nullProfile(Tables.documents(s, d))),
     // repeated document openings per source (scraped-site boilerplate)
@@ -470,6 +475,8 @@ object SparkEntry {
     "sample_per_source"   -> Corpus.samplePerSourceSql("documents"),
     "benford_profile"     -> Relational.benfordProfileSql,
     "fk_orphans"          -> Relational.fkOrphansSql,
+    "hourly_autocorr"     -> Relational.hourlyAutocorrSql,
+    "dedup_savings"       -> DedupClusters.dedupSavingsSql("documents", TextDedup.minhashLshSql("documents")),
     "null_profile"        -> Corpus.nullProfileSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,

@@ -200,4 +200,68 @@ object DedupClusters {
        |lbl AS (SELECT u AS doc_id, LEAST(u, min(v)) AS cluster_id FROM reach GROUP BY u)
        |SELECT d.doc_id AS doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
        |FROM $docsTable d LEFT JOIN lbl l ON l.doc_id = d.doc_id""".stripMargin
+
+  /** Per-source dedup compute-savings forecast — the number every dedup
+   * deployment decision actually turns on: "if we collapse each
+   * near-dup cluster to its keeper, how many TOKENS of training compute
+   * does each feed stop wasting?" A doc is removable exactly when it is
+   * a non-keeper member of a size-≥2 cluster (the [[keepers]] pick —
+   * longest member, ties to smallest id — stays). Output per source:
+   * (source, n_docs, n_tokens, n_dup_docs, dup_tokens, savings_rate),
+   * where savings_rate = dup_tokens / n_tokens (one IEEE divide of two
+   * exact BIGINTs).
+   *
+   * Scale shape: labeling + keeper selection are the audited
+   * [[assign]]/[[keepersFromLabeled]] plans (bucketed LSH candidates,
+   * O(log n) CC rounds, one struct-max aggregate — nothing new
+   * materializes); this adds ONE broadcast-or-shuffle equi-join of the
+   * O(clusters) keeper relation back onto the labeled corpus and ONE
+   * source-keyed partial aggregate to O(sources) rows. Token counts are
+   * exact BIGINT end-to-end. (Checked-query caveat shared with the
+   * cluster trio: the harness runs it standalone so the labeling
+   * recomputes; `Corpus.dedupPipeline` is the labeling-once path.) */
+  def dedupSavings(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val labeled = assign(docs, pairs)
+    val keep = keepersFromLabeled(labeled, docs)
+      .select(col("cluster_id").as("k_cid"), col("keeper_id"))
+    labeled
+      .join(docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_toks")), "doc_id")
+      .join(keep, col("cluster_id") === col("k_cid"), "left")
+      .withColumn("is_dup",
+        col("keeper_id").isNotNull && col("doc_id") =!= col("keeper_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("is_dup"), col("n_toks")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup_docs"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("savings_rate"))
+  }
+
+  /** Oracle mirror of [[dedupSavings]] — ONE labeling CTE shared by the
+   * keeper rank and the rollup (rn > 1 ⟺ non-keeper member of a
+   * size-≥2 cluster, identical to the struct-max pick because the
+   * ORDER BY is total). */
+  def dedupSavingsSql(docsTable: String, pairsSql: String): String =
+    s"""WITH lbl AS (${assignSql(docsTable, pairsSql)}),
+       |lt AS (
+       |  SELECT a.doc_id, a.cluster_id, d.source,
+       |         ${graft.functions.TextSql.tokenCount("d.text")} AS n_toks
+       |  FROM lbl a JOIN $docsTable d ON d.doc_id = a.doc_id),
+       |ranked AS (
+       |  SELECT source, n_toks,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |                            ORDER BY n_toks DESC, doc_id ASC) AS rn
+       |  FROM lt)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+       |       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum(n_toks) AS DOUBLE) AS savings_rate
+       |FROM ranked GROUP BY source""".stripMargin
 }

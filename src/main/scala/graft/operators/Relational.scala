@@ -1710,4 +1710,80 @@ object Relational {
          |FROM (SELECT $fk AS k, count(*) AS cnt FROM $child GROUP BY 1) c
          |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  // ---- hourly arrival autocorrelation (time-series persistence) ------------
+
+  /** Lag-1 Pearson autocorrelation of each event type's hourly arrival
+   * series — the persistence diagnostic that separates traffic regimes
+   * before any forecasting or anomaly model is chosen: r₁ near 1 means
+   * smooth diurnal load (model the trend), near 0 memoryless arrivals
+   * (model the rate), negative means alternating/bursty ingestion (fix
+   * the upstream batching). Consecutive OBSERVED hours only (the
+   * [[levelShiftDetect]] convention — an empty hour emits no row and a
+   * gap reads as one regular lag step; the useful reading for telemetry
+   * whose gaps ARE outages). Output (event_type, n_pairs, r1), r1 NULL
+   * when a series has no variance or fewer than 2 pairs.
+   *
+   * Determinism: the hourly counts and all five moment sums
+   * (Σx, Σy, Σx², Σy², Σxy over the lag pairs) are exact BIGINTs; r₁
+   * is ONE fixed IEEE sequence over those exact integers (cast each to
+   * double, then the textbook k·Σxy − Σx·Σy form), mirrored verbatim
+   * by the oracle — no order-dependent float accumulation anywhere.
+   *
+   * Shape: partial-agg to O(types × hours) rows, ONE exchange on
+   * event_type whose single sort serves the lag window, then a
+   * partial-capable moment aggregate to O(types) rows. At raw scale the
+   * exchange carries hours × types rows — bytes. */
+  def hourlyAutocorr(s: SparkSession, dir: String): DataFrame =
+    hourlyAutocorrFrom(Tables.events(s, dir))
+
+  private[operators] def hourlyAutocorrFrom(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val lagW = Window.partitionBy("event_type").orderBy("hour_ts")
+    val pairs = hourly
+      .withColumn("x", lag(col("n"), 1).over(lagW))
+      .filter(col("x").isNotNull)
+    val d = (c: Column) => c.cast("double")
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("n")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("n") * col("n")).as("syy"),
+        sum(col("x") * col("n")).as("sxy"))
+      .select(col("event_type"), col("k").as("n_pairs"),
+        when(col("k") >= 2 &&
+          (d(col("k")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) > 0.0 &&
+          (d(col("k")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) > 0.0,
+          (d(col("k")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("k")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+             sqrt(d(col("k")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("r1"))
+  }
+
+  def hourlyAutocorrSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, n,
+      |         lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour_ts) AS x
+      |  FROM hourly),
+      |m AS (
+      |  SELECT event_type, count(*) AS k,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(n * n) AS BIGINT) AS syy,
+      |         CAST(sum(x * n) AS BIGINT) AS sxy
+      |  FROM p WHERE x IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, k AS n_pairs,
+      |       CASE WHEN k >= 2
+      |                 AND CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+      |                 AND CAST(k AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+      |            THEN (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                 / (sqrt(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                    * sqrt(CAST(k AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |            ELSE NULL END AS r1
+      |FROM m""".stripMargin
 }

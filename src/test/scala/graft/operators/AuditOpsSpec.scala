@@ -86,6 +86,56 @@ class AuditOpsSpec extends AnyFunSuite with SparkTestHarness {
     assert(r.getBoolean(3))
   }
 
+  test("hourly autocorr: linear ramp ~1, constant series NULL, alternating negative") {
+    import java.sql.Timestamp
+    def hour(h: Int) = Timestamp.valueOf(f"2026-01-01 ${h}%02d:00:00")
+    // ramp: 1,2,3,4 events in hours 0..3; const: 2,2,2; alt: 1,5,1,5
+    val rows =
+      (0 until 4).flatMap(h => Seq.fill(h + 1)(("ramp", hour(h)))) ++
+      (0 until 3).flatMap(h => Seq.fill(2)(("const", hour(h)))) ++
+      (0 until 4).flatMap(h => Seq.fill(if (h % 2 == 0) 1 else 5)(("alt", hour(h))))
+    val events = rows.toDF("event_type", "ts")
+    val r = Relational.hourlyAutocorrFrom(events).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), Option(x.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(r("ramp")._1 === 3L)
+    assert(math.abs(r("ramp")._2.get - 1.0) < 1e-12, "perfectly linear series")
+    assert(r("const")._2.isEmpty, "zero variance must yield NULL, not NaN")
+    assert(r("alt")._2.get < -0.9, "alternating series is strongly anti-persistent")
+  }
+
+  test("dedup savings: per-source rollup recomputes from the labeling + keepers") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLsh(docs)
+    val labeled = DedupClusters.assign(docs, pairs)
+    val keep = DedupClusters.keepersFromLabeled(labeled, docs)
+      .select(col("cluster_id"), col("keeper_id"))
+    val expect = labeled
+      .join(docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_toks")), "doc_id")
+      .join(keep, Seq("cluster_id"), "left")
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, rs) =>
+        val dups = rs.filter(r => !r.isNullAt(r.fieldIndex("keeper_id")) &&
+          r.getAs[Long]("keeper_id") != r.getAs[Long]("doc_id"))
+        src -> ((rs.length.toLong, rs.map(_.getAs[Long]("n_toks")).sum,
+          dups.length.toLong, dups.map(_.getAs[Long]("n_toks")).sum))
+      }
+    val got = DedupClusters.dedupSavings(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (src, (nd, nt, ndd, dt)) =>
+      val g = got(src)
+      assert((g._1, g._2, g._3, g._4) === ((nd, nt, ndd, dt)), s"source $src")
+      assert(g._5 === dt.toDouble / nt.toDouble, s"savings_rate $src")
+    }
+    assert(got.values.exists(_._3 > 0L), "the corpus has planted near-dups")
+  }
+
   test("semantic decontaminate on the real table: verdict consistent, " +
     "contaminated queries exist (planted near-dups)") {
     val rows = VectorOps.semanticDecontaminate(Tables.embeddings(spark, dir)).collect()
