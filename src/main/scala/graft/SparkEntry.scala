@@ -316,6 +316,9 @@ object SparkEntry {
     "hourly_autocorr"     -> ((s, d) => Relational.hourlyAutocorr(s, d)),
     // per-column null/blank/distinct schema-health profile
     "null_profile"        -> ((s, d) => Corpus.nullProfile(Tables.documents(s, d))),
+    // certified vocabulary heavy hitters via the native Misra-Gries aggregate
+    // (mergeable O(k) sketch — rows-only check like the HLL/GK sketches)
+    "mg_heavy_hitters"    -> ((s, d) => Corpus.mgHeavyHitters(Tables.documents(s, d))),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile

@@ -1474,6 +1474,44 @@ object Corpus {
        |       bit_xor(hv) AS checksum_xor
        |FROM h GROUP BY source""".stripMargin
 
+  // ---- Misra-Gries heavy hitters (mergeable sketch vocabulary screen) ------
+
+  /** Counter budget for [[mgHeavyHitters]] — certification threshold is
+   * n/(MgK+1) of the total token stream. */
+  val MgK = 48
+
+  /** Certified vocabulary heavy hitters via the native Misra-Gries
+   * aggregate ([[graft.plans.MisraGriesAgg]]) — the raw-scale form of
+   * [[vocab_topk]]'s exact count: O([[MgK]]) state per task instead of
+   * an O(vocab) shuffle, the third mergeable sketch next to HLL
+   * (`approx_distinct_users`) and GK (`length_quantiles_approx`), and
+   * the batch/Catalyst twin of the streaming trending-token detector.
+   * Output (token, est, n_stream) for the CERTIFIED hitters only —
+   * est·(MgK+1) > n proves true_freq > n/(MgK+1) because MG only ever
+   * underestimates. Like the other two sketches the interior counts are
+   * merge-order-dependent within the ±n/(MgK+1) bound, so the driver
+   * check is rows-only; the sbt spec pins the deterministic guarantees
+   * (exact n, underestimate-only, bounded error, no missed hitter)
+   * against exact counts at two different parallelisms.
+   *
+   * Shape: ONE ObjectHashAggregate pass — each task folds its document
+   * arrays into a ≤MgK-entry sketch map-side, the exchange carries one
+   * sketch per task (O(MgK · tasks) bytes at ANY corpus size), one
+   * merge chain, then a ≤MgK-row explode + filter. Compare the exact
+   * `vocab_topk`: correct but its exchange is O(vocab) rows — this is
+   * the 100 TB degradation path. */
+  def mgHeavyHitters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val sk = toCol(graft.plans.MisraGriesAgg(toExpr(tokens(col("text"))), MgK)
+      .toAggregateExpression())
+    docs.agg(sk.as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"),
+        col("e.n").as("n_stream"))
+      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
   // ---- column null/blank/distinct profile (schema-health audit) ------------
 
   /** The documents table's columns with their blank predicate — BLANK is

@@ -81,6 +81,29 @@ object GraftFunctions {
     ("rolling_winnow",
       info("rolling_winnow", "rolling_winnow(text) - K=4 minimal 16-char rolling-hash window values"),
       (es: Seq[Expression]) => arity("rolling_winnow", 1, es)(e => RollingWinnow(e(0), 16, 4))),
+    ("misra_gries",
+      info("misra_gries",
+        "misra_gries(tokens, k) - mergeable k-counter heavy-hitters sketch over ARRAY<STRING> rows"),
+      (es: Seq[Expression]) => arity("misra_gries", 2, es) { e =>
+        val k = e(1) match {
+          case lit if lit.foldable =>
+            lit.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+                messageParameters = Map("functionName" -> "misra_gries",
+                  "expectedNum" -> "integer literal k", "actualNum" -> String.valueOf(other),
+                  "docroot" -> ""))
+            }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "misra_gries",
+              "expectedNum" -> "foldable k", "actualNum" -> "non-foldable",
+              "docroot" -> ""))
+        }
+        MisraGriesAgg(e(0), k).toAggregateExpression()
+      }),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

@@ -1,0 +1,167 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Misra-Gries heavy-hitters sketch state: at most `k` counters plus the
+ * total stream length `n`. The classic deterministic frequent-items
+ * summary (Misra & Gries 1982; the merge rule is Agarwal et al. PODS'12
+ * "Mergeable Summaries"): after any sequence of updates and merges,
+ * every item with true frequency > n/(k+1) is present, and each
+ * reported count underestimates the true frequency by at most n/(k+1).
+ */
+final class MGSketch(val k: Int) {
+  val counts: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  var n: Long = 0L
+
+  /** One stream item: increment, admit, or decrement-all. Amortized
+   * O(1): each decrement-all removes k+1 total count mass and every
+   * update adds 1, so decrement events are ≤ n/(k+1). */
+  def add(tok: String): Unit = {
+    n += 1
+    counts.get(tok) match {
+      case Some(c) => counts.update(tok, c + 1)
+      case None if counts.size < k => counts.update(tok, 1L)
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        counts.mapValuesInPlace((_, c) => c - 1)
+        counts.foreach { case (t, c) => if (c == 0L) dead += t }
+        dead.foreach(counts.remove)
+    }
+  }
+
+  /** Mergeable-summaries merge: add counters pointwise, then reduce back
+   * to k counters by subtracting the (k+1)-th largest count from every
+   * counter (the batched decrement-all) — preserves the n/(k+1) error
+   * bound of the COMBINED stream. */
+  def merge(other: MGSketch): MGSketch = {
+    n += other.n
+    other.counts.foreach { case (t, c) =>
+      counts.update(t, counts.getOrElse(t, 0L) + c)
+    }
+    if (counts.size > k) {
+      val cut = counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      counts.mapValuesInPlace((_, c) => c - cut)
+      counts.foreach { case (t, c) => if (c <= 0L) dead += t }
+      dead.foreach(counts.remove)
+    }
+    this
+  }
+}
+
+/**
+ * `misra_gries(tokens, k)` — native Catalyst heavy-hitters aggregate
+ * over `ARRAY<STRING>` rows (each row's array streams element-wise into
+ * the sketch). The batch/Catalyst-native twin of the streaming
+ * Misra-Gries trending detector (`StreamingOps`), and the third member
+ * of the engine's mergeable-sketch family next to HLL
+ * (`approx_distinct_users`) and Greenwald-Khanna
+ * (`length_quantiles_approx`).
+ *
+ * Why an aggregate and not an exact groupBy: at raw-corpus scale an
+ * exact vocabulary count shuffles O(vocab) rows; this is a
+ * TypedImperativeAggregate with O(k) state that rides ObjectHashAggregate
+ * with full map-side partial aggregation — each task ships ONE ≤k-entry
+ * sketch, the exchange carries O(k · tasks) bytes, and the merge
+ * preserves the deterministic n/(k+1) error bound (Agarwal et al. 2012).
+ * Estimated counts are merge-order-dependent WITHIN the bound (like any
+ * parallel MG), so the checked query carries a rows-only driver check;
+ * the sbt spec pins the guarantees against exact counts instead.
+ *
+ * Output: `ARRAY<STRUCT<token STRING, est BIGINT, n BIGINT>>` sorted by
+ * est DESC, token ASC (deterministic given the final sketch); `n` is the
+ * exact total stream length (every element ever added), replicated per
+ * entry so a consumer can apply the ±n/(k+1) bound without a second
+ * aggregate.
+ */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGSketch] with UnaryLike[Expression] {
+
+  require(k >= 1, "misra_gries needs k >= 1")
+
+  override def prettyName: String = "misra_gries"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): MGSketch = new MGSketch(k)
+
+  override def update(buf: MGSketch, input: InternalRow): MGSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val m = arr.numElements()
+      while (i < m) {
+        buf.add(arr.getUTF8String(i).toString)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: MGSketch, b: MGSketch): MGSketch = a.merge(b)
+
+  override def eval(buf: MGSketch): Any = {
+    val entries = buf.counts.toArray.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(entries.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c, buf.n)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: MGSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.n)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (t, c) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new MGSketch(in.readInt())
+    sk.n = in.readLong()
+    var m = in.readInt()
+    while (m > 0) {
+      val len = in.readInt()
+      val tb = new Array[Byte](len)
+      in.readFully(tb)
+      sk.counts.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      m -= 1
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestHarness
+import graft.functions.TextFunctions
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** The Misra-Gries TypedImperativeAggregate: deterministic guarantees
+ * (exact n, underestimate-only, ±n/(k+1) error, no missed heavy hitter)
+ * pinned against exact token counts on the real corpus, at two
+ * different parallelisms, plus the SQL registration path. */
+class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = Corpus.MgK
+
+  private def sketch(parts: Int): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val docs = Tables.documents(spark, dir).repartition(parts)
+    val agg = toCol(MisraGriesAgg(toExpr(TextFunctions.tokens(col("text"))), K)
+      .toAggregateExpression())
+    docs.agg(agg.as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token"), col("e.est"), col("e.n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  private lazy val exact: Map[String, Long] = Tables.documents(spark, dir)
+    .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    .groupBy("tok").count()
+    .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private lazy val nTotal: Long = exact.values.sum
+
+  for (parts <- Seq(1, 7)) {
+    test(s"misra-gries guarantees hold at $parts partition(s)") {
+      val sk = sketch(parts)
+      assert(sk.nonEmpty && sk.size <= K)
+      val bound = nTotal / (K + 1)
+      sk.foreach { case (tok, (est, n)) =>
+        assert(n === nTotal, "n is the exact stream length regardless of merging")
+        val truth = exact.getOrElse(tok, 0L)
+        assert(est <= truth, s"MG only underestimates: $tok est=$est truth=$truth")
+        assert(truth - est <= bound, s"error bound: $tok est=$est truth=$truth bound=$bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach { tok =>
+        assert(sk.contains(tok), s"heavy hitter $tok (freq ${exact(tok)} > $bound) missing")
+      }
+    }
+  }
+
+  test("mg_heavy_hitters query: certified rows only, certification is sound") {
+    val rows = Corpus.mgHeavyHitters(Tables.documents(spark, dir)).collect()
+    assert(rows.nonEmpty, "the corpus has certified heavy hitters at k=" + K)
+    rows.foreach { r =>
+      val (tok, est, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est * (K + 1) > n, "query emits only certified hitters")
+      assert(exact(tok) > n / (K + 1), s"certification sound for $tok")
+    }
+  }
+
+  test("misra_gries is SQL-callable with arity and literal-k validation") {
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_mg")
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT explode(misra_gries(token_seq(text), $K)) AS e FROM docs_mg")
+      .select(col("e.token"), col("e.est")).collect()
+    assert(viaSql.nonEmpty && viaSql.length <= K)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT misra_gries(token_seq(text)) FROM docs_mg").collect()
+    }
+    assert(err.getMessage.contains("misra_gries"))
+  }
+}

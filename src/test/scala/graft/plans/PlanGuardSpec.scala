@@ -57,7 +57,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "colloc_lift" -> 1, // 1-row total-token broadcast (mix_weights shape)
     "hourly_seasonality" -> 1, // 1-row total-events broadcast (same shape)
     "quant_recall_audit" -> 1, // deliberate brute pass (ann_brute_topk shape)
-    "benford_profile" -> 1) // 1-row total broadcast (mix_weights shape)
+    "benford_profile" -> 1, // 1-row total broadcast (mix_weights shape)
+    "semantic_decontaminate" -> 1) // bounded eval-sample broadcast (brute shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
