@@ -319,6 +319,8 @@ object SparkEntry {
     // certified vocabulary heavy hitters via the native Misra-Gries aggregate
     // (mergeable O(k) sketch — rows-only check like the HLL/GK sketches)
     "mg_heavy_hitters"    -> ((s, d) => Corpus.mgHeavyHitters(Tables.documents(s, d))),
+    // grouped MG: per-language certified hitters (stopword/domain-term discovery)
+    "mg_hitters_by_lang"  -> ((s, d) => Corpus.mgHittersByLang(Tables.documents(s, d))),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile

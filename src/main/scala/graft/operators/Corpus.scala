@@ -1512,6 +1512,25 @@ object Corpus {
       .orderBy(col("est").desc, col("token"))
   }
 
+  /** Per-language certified heavy hitters — the GROUPED form of
+   * [[mgHeavyHitters]] (per-stratum stopword / domain-term discovery
+   * for multilingual mixes): one sketch per language key, certification
+   * against each language's OWN stream length. Same O(MgK) state per
+   * (task, language) and rows-only check; the keyed ObjectHashAggregate
+   * still partial-aggregates map-side, so the exchange carries
+   * O(langs · MgK · tasks) bytes — never token rows. */
+  def mgHittersByLang(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val sk = toCol(graft.plans.MisraGriesAgg(toExpr(tokens(col("text"))), MgK)
+      .toAggregateExpression())
+    docs.groupBy(col("lang")).agg(sk.as("sk"))
+      .select(col("lang"), explode(col("sk")).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.est").as("est"),
+        col("e.n").as("n_stream"))
+      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
+      .orderBy(col("lang"), col("est").desc, col("token"))
+  }
+
   // ---- column null/blank/distinct profile (schema-health audit) ------------
 
   /** The documents table's columns with their blank predicate — BLANK is

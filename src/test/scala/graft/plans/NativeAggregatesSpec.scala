@@ -65,6 +65,24 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("grouped mg: per-language guarantees hold against per-language exact counts") {
+    val byLang = Corpus.mgHittersByLang(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(byLang.nonEmpty)
+    val exactLang = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nLang = exactLang.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    byLang.foreach { case (lang, tok, est, n) =>
+      assert(n === nLang(lang), s"per-language stream length for $lang")
+      val truth = exactLang.getOrElse((lang, tok), 0L)
+      assert(est <= truth && truth - est <= n / (K + 1), s"($lang, $tok)")
+      assert(est * (K + 1) > n, "certified only")
+    }
+    assert(byLang.map(_._1).distinct.length > 1, "multiple language strata present")
+  }
+
   test("misra_gries is SQL-callable with arity and literal-k validation") {
     Tables.documents(spark, dir).createOrReplaceTempView("docs_mg")
     GraftFunctions.register(spark)
