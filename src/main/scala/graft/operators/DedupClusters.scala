@@ -222,7 +222,10 @@ object DedupClusters {
    * recomputes; `Corpus.dedupPipeline` is the labeling-once path.) */
   def dedupSavings(docs: DataFrame, pairs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val labeled = assign(docs, pairs)
+    // labeled feeds BOTH the keeper derivation and the rollup join —
+    // persist so Catalyst doesn't re-run the label join per consumer
+    // (the CC fixpoint itself is already localCheckpoint-backed)
+    val labeled = assign(docs, pairs).persist()
     val keep = keepersFromLabeled(labeled, docs)
       .select(col("cluster_id").as("k_cid"), col("keeper_id"))
     labeled
