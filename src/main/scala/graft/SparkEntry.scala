@@ -207,6 +207,8 @@ object SparkEntry {
     "neardup_source_mix"  -> ((s, d) => TextDedup.neardupSourceMix(Tables.documents(s, d))),
     "lang_confusion"      -> ((s, d) => Corpus.langConfusion(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    // tokenizer coverage: per-language OOV rate vs the broadcast top-V vocab
+    "oov_rate"            -> ((s, d) => Corpus.oovRate(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
     "budget_sample"       -> ((s, d) => Corpus.budgetSample(Tables.documents(s, d))),
     "tfidf_topk"          -> ((s, d) => Corpus.tfidfTopK(Tables.documents(s, d))),
@@ -418,6 +420,7 @@ object SparkEntry {
     "neardup_source_mix"  -> TextDedup.neardupSourceMixSql("documents"),
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
+    "oov_rate"            -> Corpus.oovRateSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
     "bigram_topk"         -> Corpus.bigramTopKSql("documents"),

@@ -718,6 +718,61 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Vocabulary size for [[oovRate]] — small enough to broadcast at any
+   * corpus size, large enough that the Zipf head carries most token
+   * mass on this corpus. */
+  val OovVocabV = 200
+
+  /** Per-language out-of-vocabulary profile against a corpus-derived
+   * top-[[OovVocabV]] vocabulary: (lang, total_tokens, oov_tokens,
+   * oov_rate). The tokenizer-coverage metric a training pipeline tracks
+   * per slice — a language whose oov_rate spikes is under-served by the
+   * shared vocabulary head and will fragment into long fallback
+   * tokenizations at training time.
+   *
+   * Shape: the vocabulary is the same vocabulary-keyed map-side-
+   * combining aggregate as [[vocabTopK]] closed by a TakeOrdered(V)
+   * (ties broken by token, so the V-set is total-ordered at any
+   * parallelism), yielding a V-row relation BROADCAST back onto the
+   * token stream — the membership probe costs NO exchange on the
+   * corpus-sized side, and the per-language rollup partial-aggregates
+   * to O(languages) rows. The corpus is tokenized twice (once deriving
+   * the vocabulary, once probing it); at raw-100 TB scale either
+   * persist the tokenized projection or derive the head from the
+   * [[graft.plans.MisraGriesAgg]] sketch (O(k) state per task, one
+   * pass) and accept its deterministic error bound. oov_rate is ONE
+   * IEEE division of two exact BIGINTs — bit-identical cross-engine. */
+  def oovRate(docs: DataFrame, v: Int = OovVocabV): DataFrame = {
+    val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(v)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        (col("oov_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  def oovRateSql(table: String, v: Int = OovVocabV): String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |vocab AS (
+       |  SELECT token FROM tok GROUP BY token
+       |  ORDER BY count(*) DESC, token LIMIT $v)
+       |SELECT t.lang,
+       |       CAST(count(*) AS BIGINT) AS total_tokens,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS oov_rate
+       |FROM tok t LEFT JOIN vocab v ON t.token = v.token
+       |GROUP BY t.lang""".stripMargin
+
   /** Result size for [[bigramTopK]]. */
   val BigramK = 20
 

@@ -382,6 +382,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.toSeq === expected)
   }
 
+  test("oov rate matches a driver-side vocabulary probe over the same tokens") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.oovRate(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty)
+    val byLang = docs.select(col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    byLang.foreach(_._2.foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1))
+    val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(Corpus.OovVocabV).map(_._1).toSet
+    val expected = byLang.groupBy(_._1).map { case (lang, rows) =>
+      val toks = rows.flatMap(_._2)
+      val oov = toks.count(t => !vocab.contains(t)).toLong
+      lang -> ((toks.length.toLong, oov, oov.toDouble / toks.length))
+    }
+    assert(out === expected)
+    out.values.foreach { case (total, oov, rate) =>
+      assert(oov <= total && rate < 1.0,
+        "top-V vocab must cover some tokens in every language")
+    }
+  }
+
   test("length outliers: exactly the docs with |z| >= cut, z from exact moments") {
     val docs = Tables.documents(spark, dir)
     val out = Corpus.lengthOutliers(docs).collect()
