@@ -54,6 +54,29 @@ object Bench {
     (total("io", "some"), total("io", "full"), total("cpu", "some"))
   }
 
+  /** Cumulative VM steal time (ms) from /proc/stat — PSI cannot see it:
+   * a noisy-neighbor host steals cycles without any io/cpu pressure
+   * registering inside the guest (BASELINE.md round-9 adjudication:
+   * BENCH_r09's 14.9× semantic_dedup episode left zero PSI signal but
+   * nonzero /proc/stat steal). Field 9 of the aggregate `cpu` line, in
+   * USER_HZ jiffies (100/s on every stock Linux) → ×10 for ms. -1 when
+   * unreadable. */
+  private def stealMs(): Long =
+    try {
+      val cpu = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong * 10 else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** cpu0's current cpufreq (kHz) — a host-level frequency drop (thermal
+   * or power capping) is the third noise source PSI and steal both miss.
+   * -1 when the VM exposes no cpufreq sysfs (common). */
+  private def cpuFreqKhz(): Long =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq")).trim.toLong
+    catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val rawSfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sfDir = SparkLocal.stageInput(rawSfDir)
@@ -110,10 +133,12 @@ object Bench {
     // listed in "failures" with a numeric median failed only some reps
     // and its median covers the successful ones.
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    // per-sample (seconds, io-some ms, io-full ms, cpu-some ms): the
-    // host-pressure telemetry that lets a reader separate an episode-hit
-    // sample from plan cost without a control rerun
-    val telemetry = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long, Long)]]
+    // per-sample (seconds, io-some ms, io-full ms, cpu-some ms, steal ms,
+    // cpufreq kHz): the host-pressure telemetry that lets a reader
+    // separate an episode-hit sample from plan cost without a control
+    // rerun. Steal + freq ride along because PSI is guest-local — VM CPU
+    // steal and host frequency capping are invisible to it.
+    val telemetry = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long, Long, Long, Long)]]
     val failures = scala.collection.mutable.Map.empty[String, Int]
     // first exception line per failed query: a driver-side break must be
     // diagnosable from the artifact alone (round 7's DATATYPE_MISMATCH was
@@ -121,6 +146,7 @@ object Bench {
     val failureDetail = scala.collection.mutable.Map.empty[String, String]
     for (r <- 1 to reps; (name, fn) <- queries) {
       val (ioS0, ioF0, cpu0) = psiStall()
+      val steal0 = stealMs()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -133,13 +159,16 @@ object Bench {
       spark.catalog.clearCache() // operators persist() intermediates; don't let caches leak across queries
       val dt = (System.nanoTime() - t0) / 1e9
       val (ioS1, ioF1, cpu1) = psiStall()
+      val steal1 = stealMs()
       def delta(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else (b - a) / 1000
       val (ioS, ioF, cpu) = (delta(ioS0, ioS1), delta(ioF0, ioF1), delta(cpu0, cpu1))
+      val steal = if (steal0 < 0 || steal1 < 0) -1L else steal1 - steal0
+      val freq = cpuFreqKhz()
       if (ok) {
         samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-        telemetry(name) = telemetry.getOrElse(name, Vector.empty) :+ ((dt, ioS, ioF, cpu))
+        telemetry(name) = telemetry.getOrElse(name, Vector.empty) :+ ((dt, ioS, ioF, cpu, steal, freq))
       } else failures(name) = failures.getOrElse(name, 0) + 1
-      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s  stall io ${ioS}ms/${ioF}ms cpu ${cpu}ms${if (ok) "" else "  FAILED"}")
+      System.err.println(f"[bench] pass $r $name%-22s $dt%8.3f s  stall io ${ioS}ms/${ioF}ms cpu ${cpu}ms steal ${steal}ms${if (ok) "" else "  FAILED"}")
     }
     val results = queries.map { case (name, _) =>
       samples.get(name) match {
@@ -156,9 +185,10 @@ object Bench {
       .mkString("{", ",", "}")
     val sampleJson = results.collect { case (k, Some(_)) =>
       "\"" + k + "\":" + telemetry.getOrElse(k, Vector.empty)
-        .map { case (s, io, iof, cpu) => // ROOT locale: a comma decimal separator would break the JSON
-          String.format(java.util.Locale.ROOT, "[%.3f,%d,%d,%d]",
-            Double.box(s), Long.box(io), Long.box(iof), Long.box(cpu)) }
+        .map { case (s, io, iof, cpu, steal, freq) => // ROOT locale: a comma decimal separator would break the JSON
+          String.format(java.util.Locale.ROOT, "[%.3f,%d,%d,%d,%d,%d]",
+            Double.box(s), Long.box(io), Long.box(iof), Long.box(cpu),
+            Long.box(steal), Long.box(freq)) }
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val completed = results.count(_._2.nonEmpty)

@@ -22,13 +22,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Per-query outcome, written as verify_status.json next to the dumps.
+    // Round 9's 117/117-green run was officially recorded as `{}` because
+    // the DRIVER's collection channel dropped the result — the repo itself
+    // must emit a machine-readable status (the Bench.scala
+    // SPARK_GRAFT_BENCH_OUT lesson applied to correctness): rows written
+    // per query, or the first exception line, so a lost driver artifact
+    // can be reconstructed from the dump directory alone.
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Long]]
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // re-read the written files: counts the rows the driver's compare
+        // will actually see, without running the query twice
+        status(name) = Right(spark.read.parquet(s"$outDir/$name").count())
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) = Left(
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
       }
       spark.catalog.clearCache() // operators persist() intermediates
     }
@@ -47,6 +61,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = {
+      val entries = status.map {
+        case (name, Right(rows)) => s"${q(name)}: {\"rows\": $rows, \"err\": null}"
+        case (name, Left(err))   => s"${q(name)}: {\"rows\": null, \"err\": ${q(err.take(500))}}"
+      }.mkString(", ")
+      val failed = status.count(_._2.isLeft)
+      s"""{"sf": ${q(sfDir)}, "n_queries": ${status.size}, "n_failed": $failed, """ +
+        s""""n_oracles": ${SparkEntry.oracleSql.size}, "queries": {$entries}}"""
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
+    // last-stdout-line summary, tail-survivable like Bench's compact line
+    println(s"""{"metric":"verify","queries":${status.size},""" +
+      s""""failed":${status.count(_._2.isLeft)},"oracles":${SparkEntry.oracleSql.size}}""")
     spark.stop()
   }
 }

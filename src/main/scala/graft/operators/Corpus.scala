@@ -1545,9 +1545,19 @@ object Corpus {
    * est·(MgK+1) > n proves true_freq > n/(MgK+1) because MG only ever
    * underestimates. Like the other two sketches the interior counts are
    * merge-order-dependent within the ±n/(MgK+1) bound, so the driver
-   * check is rows-only; the sbt spec pins the deterministic guarantees
-   * (exact n, underestimate-only, bounded error, no missed hitter)
-   * against exact counts at two different parallelisms.
+   * check is rows-only — and that check must tolerate ROW-COUNT drift
+   * too, not just value drift: a token whose true frequency sits inside
+   * (n/(MgK+1), 2n/(MgK+1)] can flip in/out of the certified set
+   * between shuffle-fetch orders (its est straddles the threshold by
+   * less than the error bound). No est-side margin can fix that — any
+   * threshold on a ±n/(MgK+1)-order-dependent statistic moves the flake
+   * window, never closes it — so the certification stays at the sound,
+   * tightest bound and the instability is documented here and in
+   * README's rows-only note. Every row that IS emitted is a true heavy
+   * hitter (soundness is order-independent); the sbt spec pins the
+   * deterministic guarantees (exact n, underestimate-only, bounded
+   * error, no missed hitter above 2n/(MgK+1)) against exact counts at
+   * two different parallelisms.
    *
    * Shape: ONE ObjectHashAggregate pass — each task folds its document
    * arrays into a ≤MgK-entry sketch map-side, the exchange carries one

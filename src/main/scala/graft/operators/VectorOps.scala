@@ -985,7 +985,9 @@ object VectorOps {
    * size. All sums are exact: q_i·q_j ≤ 2⁴⁰ accumulated as
    * DECIMAL(38,0) (exported as BIGINT — portable exact integer, fits
    * for corpora below ~2²³ vectors; the accumulation itself never
-   * overflows), and `cov` is a FIXED IEEE sequence over the exact
+   * overflows, and the export bound is RUNTIME-GUARDED — a raise_error
+   * branch fails the job loudly rather than letting a non-ANSI session
+   * NULL the overflowing cast), and `cov` is a FIXED IEEE sequence over the exact
    * sums (each E[..] one divide, then one multiply and subtract),
    * mirrored verbatim by the oracle — cross-engine deterministic, no
    * order-dependent float accumulation anywhere. */
@@ -1003,7 +1005,16 @@ object VectorOps {
         sum(col("qi").cast("decimal(38,0)")).as("sum_qi"),
         sum(col("qj").cast("decimal(38,0)")).as("sum_qj"))
       .select(col("i").cast("bigint").as("dim_i"), col("j").cast("bigint").as("dim_j"),
-        col("n_vecs"), col("sum_qq").cast("bigint").as("sum_qq"),
+        col("n_vecs"),
+        // the BIGINT export bound (~2²³ vectors, see doc above) enforced
+        // at runtime: a non-ANSI session would otherwise NULL the cast
+        // silently past the bound — fail loudly instead, independent of
+        // spark.sql.ansi.enabled. DuckDB's checked HUGEINT→BIGINT cast
+        // already errors loudly, so the oracle needs no mirror.
+        when(abs(col("sum_qq")) > lit(Long.MaxValue).cast("decimal(38,0)"),
+          expr("raise_error('emb_covariance: sum_qq exceeds BIGINT — corpus past the " +
+            "~2^23-vector export bound; export DECIMAL and convert driver-side')"))
+          .otherwise(col("sum_qq")).cast("bigint").as("sum_qq"),
         (col("sum_qq").cast("double") / (n * lit(scale2)) -
           (col("sum_qi").cast("double") / (n * lit(QuantScale))) *
             (col("sum_qj").cast("double") / (n * lit(QuantScale)))).as("cov"))
@@ -1272,8 +1283,11 @@ object VectorOps {
    * benchmark side of a real run), report the nearest-corpus cosine,
    * the count of corpus vectors above [[ContamSim]] (the contamination
    * MASS — one leaked paraphrase is curable, three hundred means the
-   * benchmark's domain saturates the corpus), and the verdict. Output
-   * (query_id, max_sim, n_contam, contaminated).
+   * benchmark's domain saturates the corpus), and the verdict. The
+   * corpus side is the scan MINUS the whole eval-bounded set (not just
+   * the self pair): eval vectors resembling each other is benchmark
+   * redundancy, not leakage, and must not count as contamination mass.
+   * Output (query_id, max_sim, n_contam, contaminated).
    *
    * Scale shape: the eval side is O(1) by construction and broadcasts;
    * scoring is map-side against the one quantized corpus scan, and the
@@ -1290,7 +1304,12 @@ object VectorOps {
     val qn = quantized(embeddings)
     val queries = qn.filter(queryBound)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
-    broadcast(queries).join(qn, col("query_id") =!= col("vec_id"))
+    // the corpus side excludes the WHOLE eval-bounded set, not just self:
+    // two eval vectors that merely resemble each other are benchmark
+    // redundancy, not training-data leakage, and must not inflate
+    // n_contam/contaminated. (annBruteTopK deliberately keeps the other
+    // convention — eval vectors ARE legitimate nearest neighbors there.)
+    broadcast(queries).crossJoin(qn.filter(!queryBound))
       .select(col("query_id"),
         cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
       .groupBy(col("query_id"))
@@ -1307,7 +1326,7 @@ object VectorOps {
        |scored AS (
        |  SELECT query_id,
        |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim
-       |  FROM queries JOIN qn c ON query_id <> c.vec_id)
+       |  FROM queries CROSS JOIN (SELECT * FROM qn WHERE NOT ($queryBoundSql)) c)
        |SELECT query_id, max(sim) AS max_sim,
        |       CAST(sum(CASE WHEN sim >= $ContamSim THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
        |       max(sim) >= $ContamSim AS contaminated

@@ -85,22 +85,22 @@ object GraftFunctions {
       info("misra_gries",
         "misra_gries(tokens, k) - mergeable k-counter heavy-hitters sketch over ARRAY<STRING> rows"),
       (es: Seq[Expression]) => arity("misra_gries", 2, es) { e =>
+        // type/foldability misuse gets a type-shaped error class — the
+        // arity check above already owns the wrong-count case
         val k = e(1) match {
           case lit if lit.foldable =>
             lit.eval() match {
               case i: Int => i
               case l: Long => l.toInt
               case other => throw new org.apache.spark.sql.AnalysisException(
-                errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-                messageParameters = Map("functionName" -> "misra_gries",
-                  "expectedNum" -> "integer literal k", "actualNum" -> String.valueOf(other),
-                  "docroot" -> ""))
+                errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+                messageParameters = Map("functionName" -> "`misra_gries`",
+                  "parameter" -> "`k`", "invalidValue" -> String.valueOf(other)))
             }
           case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map("functionName" -> "misra_gries",
-              "expectedNum" -> "foldable k", "actualNum" -> "non-foldable",
-              "docroot" -> ""))
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`misra_gries`",
+              "paramName" -> "`k`", "paramType" -> "\"INT\""))
         }
         MisraGriesAgg(e(0), k).toAggregateExpression()
       }),

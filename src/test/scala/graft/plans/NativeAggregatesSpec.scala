@@ -94,5 +94,14 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
       spark.sql("SELECT misra_gries(token_seq(text)) FROM docs_mg").collect()
     }
     assert(err.getMessage.contains("misra_gries"))
+    // k misuse is reported as a TYPE error, not a wrong-argument-count one
+    val errType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT misra_gries(token_seq(text), 'x') FROM docs_mg").collect()
+    }
+    assert(errType.getCondition === "INVALID_PARAMETER_VALUE.INTEGER")
+    val errFold = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT misra_gries(token_seq(text), length(text)) FROM docs_mg").collect()
+    }
+    assert(errFold.getCondition === "NON_FOLDABLE_ARGUMENT")
   }
 }
