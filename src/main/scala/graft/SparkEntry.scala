@@ -131,6 +131,10 @@ object SparkEntry {
     // deterministic KMV bottom-k sketch — the oracle-checkable
     // approximate-distinct (Relational.kmvDistinctUsers)
     "kmv_distinct_users"  -> ((s, d) => Relational.kmvDistinctUsers(s, d)),
+    // the same sketch as a native TypedImperativeAggregate: one
+    // partial-agg pass, O(k) state, no distinct shuffle or window sort —
+    // and still FULLY hash-checked (KMV bottom-k is merge-order-free)
+    "kmv_distinct_agg"    -> ((s, d) => Relational.kmvDistinctAggUsers(s, d)),
     // corpus distribution profiling: EXACT per-language length quantiles
     // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
     // linear-interpolation definition — verified value-identical)
@@ -495,6 +499,7 @@ object SparkEntry {
     "rollup_customers"    -> Relational.customerRollupSql,
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,
+    "kmv_distinct_agg"    -> Relational.kmvDistinctAggUsersSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
     "market_share"        -> Relational.marketShareSql,
     "level_shift"         -> Relational.levelShiftDetectSql,

@@ -694,6 +694,40 @@ object Relational {
        |        FROM bot WHERE rn <= $KmvK GROUP BY event_type)
        |SELECT event_type, ${kmvEstimator.replace("\n", " ")} AS n_users_kmv FROM agg""".stripMargin
 
+  /** [[kmvDistinctUsers]] recomputed by the native
+   * [[graft.plans.KmvDistinctAgg]] TypedImperativeAggregate — the
+   * raw-scale form: the window twin pays a DISTINCT shuffle plus two
+   * window sorts over the distinct hash set, while this is ONE
+   * ObjectHashAggregate pass whose exchange carries one ≤[[KmvK]]-entry
+   * sketch per (task, event_type) at ANY corpus size. Because KMV
+   * bottom-k is a pure function of the input SET (insert/union-trim are
+   * order-independent, unlike Misra-Gries counts), the output is
+   * deterministic under any merge order and the driver gate is the FULL
+   * hash check against the window-form oracle — exports
+   * (event_type, m, hk, n_users_kmv) so the sketch interior (bottom-k
+   * size + k-th minimum) is value-pinned cross-engine too, not just the
+   * final estimate. */
+  def kmvDistinctAggUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val h = md5(col("user_id").cast("string"))
+    val sk = toCol(graft.plans.KmvDistinctAgg(toExpr(h), KmvK).toAggregateExpression())
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sk.as("sk"))
+      .select(col("event_type"), col("sk.m").as("m"), col("sk.hk").as("hk"),
+        col("sk.est").as("n_users_kmv"))
+  }
+
+  def kmvDistinctAggUsersSql: String =
+    s"""WITH uh AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |bot AS (SELECT event_type, h,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |        FROM uh),
+       |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+       |               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |        FROM bot WHERE rn <= $KmvK GROUP BY event_type)
+       |SELECT event_type, m, hk, ${kmvEstimator.replace("\n", " ")} AS n_users_kmv FROM agg""".stripMargin
+
   // ---- pivot (wide cross-tab) ----------------------------------------------
 
   /** The document sources, pinned so [[docSourcePivot]] runs as a SINGLE

@@ -104,6 +104,28 @@ object GraftFunctions {
         }
         MisraGriesAgg(e(0), k).toAggregateExpression()
       }),
+    ("kmv_distinct",
+      info("kmv_distinct",
+        "kmv_distinct(h, k) - bottom-k KMV distinct sketch over pre-hashed STRING rows; " +
+          "returns STRUCT<m BIGINT, hk STRING, est DOUBLE>"),
+      (es: Seq[Expression]) => arity("kmv_distinct", 2, es) { e =>
+        val k = e(1) match {
+          case lit if lit.foldable =>
+            lit.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+                messageParameters = Map("functionName" -> "`kmv_distinct`",
+                  "parameter" -> "`k`", "invalidValue" -> String.valueOf(other)))
+            }
+          case _ => throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`kmv_distinct`",
+              "paramName" -> "`k`", "paramType" -> "\"INT\""))
+        }
+        KmvDistinctAgg(e(0), k).toAggregateExpression()
+      }),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

@@ -165,3 +165,127 @@ case class MisraGriesAgg(
   override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
     copy(child = newChild)
 }
+
+/**
+ * KMV (k-minimum-values) bottom-k distinct sketch state: the k
+ * lexicographically smallest DISTINCT hash strings seen so far (Beyer
+ * et al. SIGMOD'07, "On synopses for distinct-value estimation under
+ * multiset operations"). Unlike [[MGSketch]], the result is a PURE
+ * FUNCTION of the input set — insert and union-then-trim are
+ * order-independent — so the aggregate's output is deterministic under
+ * any merge order and can be hash-checked against a window-form SQL
+ * oracle, not just rows-checked.
+ */
+final class KmvSketch(val k: Int) {
+  /** Sorted ascending; size ≤ k; element 0 is the global minimum. */
+  val mins: java.util.TreeSet[String] = new java.util.TreeSet[String]()
+
+  def add(h: String): Unit =
+    if (mins.size < k) { mins.add(h); () }
+    else if (h.compareTo(mins.last) < 0 && mins.add(h)) { mins.pollLast(); () }
+
+  def merge(other: KmvSketch): KmvSketch = {
+    val it = other.mins.iterator()
+    while (it.hasNext) add(it.next())
+    this
+  }
+}
+
+/**
+ * `kmv_distinct(h, k)` — native KMV bottom-k distinct-count sketch over
+ * pre-hashed STRING rows (md5 hex in the checked query). The raw-scale
+ * replacement for the two-level window bottom-k in
+ * `Relational.kmvDistinctUsers`: that form is exact and oracle-friendly
+ * but pays a DISTINCT shuffle plus two window sorts; this is ONE
+ * ObjectHashAggregate pass with O(k) state per (task, group) — each
+ * task ships one ≤k-entry sketch and the exchange carries
+ * O(k · tasks · groups) bytes at ANY corpus size.
+ *
+ * Output `STRUCT<m BIGINT, hk STRING, est DOUBLE>`: m = |bottom-k|
+ * (the EXACT distinct count while below k), hk = the k-th smallest
+ * hash (null while m < k), est = the (k−1)/kth-min estimator computed
+ * by the same two correctly-rounded IEEE divisions as the SQL
+ * estimator text (`Relational.kmvEstimator`) over the same exact
+ * 52-bit hash prefix — so the struct hash-compares against the
+ * window-form oracle, making this the only sketch in the family with
+ * a full value-checked driver gate (HLL/GK/MG are all rows-only).
+ */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression] {
+
+  require(k >= 2, "kmv_distinct needs k >= 2 (the estimator divides by the k-th minimum)")
+
+  override def prettyName: String = "kmv_distinct"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("m", LongType, nullable = false),
+    StructField("hk", StringType, nullable = true),
+    StructField("est", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
+
+  override def update(buf: KmvSketch, input: InternalRow): KmvSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: KmvSketch, b: KmvSketch): KmvSketch = a.merge(b)
+
+  /** First 13 hex chars as an exact 52-bit long — the Scala twin of
+   * `Relational.hexVal13` (the shared cross-engine estimator contract). */
+  private def hexVal13(h: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 13) {
+      v = (v << 4) | java.lang.Long.parseLong(h.substring(i, i + 1), 16)
+      i += 1
+    }
+    v
+  }
+
+  override def eval(buf: KmvSketch): Any = {
+    val m = buf.mins.size.toLong
+    if (m < k) {
+      InternalRow(m, null, m.toDouble)
+    } else {
+      val hk = buf.mins.last
+      val hv = hexVal13(hk)
+      // identical IEEE sequence to the SQL estimator: hv is a ≤52-bit
+      // integer (long→double exact), then two correctly-rounded divides
+      val est = if (hv == 0L) m.toDouble
+        else (k - 1).toDouble / (hv.toDouble / (1L << 52).toDouble)
+      InternalRow(m, UTF8String.fromString(hk), est)
+    }
+  }
+
+  override def serialize(buf: KmvSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new KmvSketch(in.readInt())
+    var m = in.readInt()
+    while (m > 0) { sk.mins.add(in.readUTF()); m -= 1 }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
+    copy(child = newChild)
+}

@@ -104,4 +104,63 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     }
     assert(errFold.getCondition === "NON_FOLDABLE_ARGUMENT")
   }
+
+  // ---- KMV bottom-k distinct sketch ----------------------------------------
+
+  private def kmvRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3)))
+    }.toMap
+
+  test("kmv_distinct_agg is merge-order-free: identical to the window twin at two parallelisms") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val twin = kmvRows(graft.operators.Relational.kmvDistinctAggUsers(spark, dir))
+    assert(twin.nonEmpty)
+    for (parts <- Seq(1, 7)) {
+      val events = Tables.events(spark, dir).repartition(parts)
+      val sk = toCol(KmvDistinctAgg(
+        toExpr(md5(col("user_id").cast("string"))), graft.operators.Relational.KmvK)
+        .toAggregateExpression())
+      val got = kmvRows(events.groupBy(col("event_type")).agg(sk.as("sk"))
+        .select(col("event_type"), col("sk.m"), col("sk.hk"), col("sk.est")))
+      assert(got === twin, s"KMV output must be exactly parallelism-independent ($parts parts)")
+    }
+  }
+
+  test("kmv_distinct_agg estimator: exact below k, bounded relative error at/above k") {
+    val k = graft.operators.Relational.KmvK
+    val exactUsers = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = kmvRows(graft.operators.Relational.kmvDistinctAggUsers(spark, dir))
+    assert(got.keySet === exactUsers.keySet)
+    got.foreach { case (et, (m, hk, est)) =>
+      val truth = exactUsers(et)
+      if (truth < k) {
+        assert(m === truth && hk == null && est === truth.toDouble,
+          s"$et: below k the sketch IS the exact distinct count")
+      } else {
+        assert(m === k.toLong && hk != null, s"$et: sketch saturated at k")
+        // RSE ≈ 1/√(k−1) ≈ 12.6% at k=64; 5σ gives a no-flake bound
+        assert(math.abs(est - truth) <= 5.0 * truth / math.sqrt(k - 1.0),
+          s"$et: est=$est truth=$truth outside the 5σ KMV error bound")
+      }
+    }
+  }
+
+  test("kmv_distinct is SQL-callable with literal-k validation") {
+    Tables.events(spark, dir)
+      .select(md5(col("user_id").cast("string")).as("h"))
+      .createOrReplaceTempView("events_kmv")
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      s"SELECT kmv_distinct(h, ${graft.operators.Relational.KmvK}).est FROM events_kmv")
+      .collect()
+    assert(row.length === 1 && row(0).getDouble(0) > 0.0)
+    val errFold = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_distinct(h, length(h)) FROM events_kmv").collect()
+    }
+    assert(errFold.getCondition === "NON_FOLDABLE_ARGUMENT")
+  }
 }
