@@ -174,6 +174,9 @@ object SparkEntry {
     "line_dedup"          -> ((s, d) => TextDedup.lineDedup(Tables.documents(s, d))),
     // shift-invariant substring dedup (winnowing / MOSS sketch)
     "dedup_winnow"        -> ((s, d) => TextDedup.winnowDedup(Tables.documents(s, d))),
+    // EXACT duplicated-substring spans at arbitrary alignment (stride-1
+    // windows — the Lee et al. 2022 ExactSubstr half next to line_dedup)
+    "dedup_substr"        -> ((s, d) => TextDedup.substrDedup(Tables.documents(s, d))),
     // cluster assignment over the minhash pair graph (connected components)
     "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
       Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
@@ -404,6 +407,7 @@ object SparkEntry {
     "dedup_incremental"   -> TextDedup.incrementalSql("documents"),
     "line_dedup"          -> TextDedup.lineDedupSql("documents"),
     "dedup_winnow"        -> TextDedup.winnowDedupSql("documents"),
+    "dedup_substr"        -> TextDedup.substrDedupSql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_safe_split"  -> Corpus.clusterSafeSplitSql(

@@ -1083,6 +1083,123 @@ object TextDedup {
        |FROM flagged GROUP BY doc_id
        |HAVING count(CASE WHEN NOT dropped THEN 1 END) > 0""".stripMargin
 
+  // ---- 6b. exact-substring dedup (arbitrary alignment) ----------------------
+
+  /** Window width in tokens for [[substrDedup]] — the minimum duplicated
+   * substring length the pass detects (Lee et al. 2022's ExactSubstr
+   * uses 50 tokens on web crawl; 16 fits the shared corpus's planted
+   * duplicate runs while staying above [[lineDedup]]'s 10-token line so
+   * the two passes see different structure). */
+  val SubstrW = 16
+  /** A window present in at least this many DISTINCT documents marks its
+   * span as duplicated (cross-document only, like [[LineDfMax]]). */
+  val SubstrDfMin = 2
+
+  /** Exact duplicated-SUBSTRING detection at ARBITRARY alignment — the
+   * other half of the Lee et al. 2022 exact pipeline next to
+   * [[lineDedup]]: that pass only sees duplication that respects its
+   * fixed 10-token segmentation, so a copied paragraph starting
+   * mid-line is invisible to it, while this pass slides a
+   * [[SubstrW]]-token window at STRIDE 1 — a duplicated substring of
+   * length ≥ W at any offset makes EVERY interior W-window repeat, so
+   * detection is EXACT (no sampling, no candidate approximation; the
+   * reference implementation's suffix array finds the same spans — a
+   * suffix array just cannot be expressed as a shuffle-friendly,
+   * SQL-mirrorable dataflow, and stride-1 fingerprints can). Per
+   * affected document: covered-token mass (union of overlapping
+   * duplicated windows, merged gaps-and-islands style), the longest
+   * single duplicated run, and the duplicated fraction. Output
+   * (doc_id, n_tokens, n_dup_windows, n_dup_tokens, max_run,
+   * dup_fraction) for docs with ≥ 1 duplicated window.
+   *
+   * Scale shape, stage by stage: windowing is a Generate (corpus ×
+   * ~tokens rows, map-side — the md5-of-joined-slice fingerprint costs
+   * W× transient bytes per token, the price of a DuckDB-mirrorable
+   * fingerprint; the raw-100 TB swap is a native O(n) rolling
+   * token-hash kernel, the [[graft.plans.RollingWinnow]] pattern over
+   * tokens, which leaves every downstream stage unchanged). Window df
+   * is the [[lineDedup]] two-phase distinct — one shuffle on the
+   * UNIFORM md5 (fp, doc_id) pair, then a partial-agg count per fp,
+   * never a count-distinct expand over a hot key. The duplicated
+   * postings semi-join back on fp, and the island/run reduction is ONE
+   * doc_id exchange serving the lag window, the running-sum island
+   * numbering, the per-island collapse AND the per-doc rollup (all
+   * cluster on doc_id — Catalyst plans a single Exchange). Nothing
+   * touches the driver; no stage is quadratic anywhere. */
+  def substrDedup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SubstrW)
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val nwin = col("n") - lit(SubstrW) + lit(1)
+    val win = toks
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(1), nwin),
+          k => md5(array_join(slice(col("toks"), k, lit(SubstrW)), " "))))
+          .as(Seq("p0", "fp")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("fp"))
+      .persist() // feeds the df count AND the duplicated-posting semi-join
+    val dupFp = win.select(col("fp"), col("doc_id")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= SubstrDfMin)
+      .select("fp")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    // two windows at interval distance ≤ W overlap or touch → same run
+    val isl = win.join(dupFp, Seq("fp"), "left_semi")
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) <= SubstrW, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(w))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n")).as("n"), min(col("p")).as("s"),
+        max(col("p")).as("e"), count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("bigint").as("n_tokens"),
+        sum(col("nw")).cast("bigint").as("n_dup_windows"),
+        // run [s, e+W-1] covers e − s + W tokens
+        sum(col("e") - col("s") + lit(SubstrW)).cast("bigint").as("n_dup_tokens"),
+        max(col("e") - col("s") + lit(SubstrW)).cast("bigint").as("max_run"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+        col("n_dup_tokens"), col("max_run"),
+        (col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  def substrDedupSql(table: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table)
+       |  WHERE len(toks) >= $SubstrW),
+       |win AS (
+       |  SELECT doc_id, n, unnest(range(1, n - $SubstrW + 2)) AS p,
+       |         unnest([md5(array_to_string(toks[k : k + ${SubstrW - 1}], ' '))
+       |                 for k in range(1, n - $SubstrW + 2)]) AS fp
+       |  FROM tk),
+       |dupfp AS (
+       |  SELECT fp FROM (
+       |    SELECT fp, count(*) AS df FROM (SELECT DISTINCT fp, doc_id FROM win) GROUP BY fp)
+       |  WHERE df >= $SubstrDfMin),
+       |dup AS (SELECT w.doc_id, w.n, w.p FROM win w JOIN dupfp d ON w.fp = d.fp),
+       |isl AS (
+       |  SELECT doc_id, n, p,
+       |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $SubstrW
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM dup),
+       |isl2 AS (
+       |  SELECT doc_id, n, p,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |  FROM isl),
+       |runs AS (
+       |  SELECT doc_id, max(n) AS n, min(p) AS s, max(p) AS e, count(*) AS nw
+       |  FROM isl2 GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+       |       CAST(sum(e - s + $SubstrW) AS BIGINT) AS n_dup_tokens,
+       |       CAST(max(e - s + $SubstrW) AS BIGINT) AS max_run,
+       |       CAST(CAST(sum(e - s + $SubstrW) AS BIGINT) AS DOUBLE) /
+       |       CAST(CAST(max(n) AS BIGINT) AS DOUBLE) AS dup_fraction
+       |FROM runs GROUP BY doc_id""".stripMargin
+
   // ---- 6a-bis. near-dup similarity histogram --------------------------------
 
   /** Histogram bins per unit of Jaccard in [[neardupSimHist]] (width 0.02). */

@@ -586,6 +586,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(out(4L)._1 === "completely original prose with no repeated window at all here")
   }
 
+  test("substring dedup finds a copied run at ARBITRARY alignment (line-dedup-blind)") {
+    // a 20-token run copied into two docs at DIFFERENT offsets (5 vs 7
+    // tokens of unique prefix) — line_dedup's fixed 10-token segmentation
+    // sees two different line sets and misses it entirely; the stride-1
+    // window pass must find exactly the run: 20 − 16 + 1 = 5 duplicated
+    // windows merging into one island of 20 covered tokens per doc.
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"one two three four five $shared tail words here"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta $shared different ending"),
+      (3L, "completely original prose with no repeated window at all in this doc whatsoever today ok"))
+    ).toDF("doc_id", "text")
+    val out = TextDedup.substrDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(!out.contains(3L), "a dup-free doc is absent from the output")
+    assert(out(1L) === ((28L, 5L, 20L, 20L, 20.0 / 28.0)))
+    assert(out(2L) === ((29L, 5L, 20L, 20L, 20.0 / 29.0)))
+    // the same corpus through line_dedup: nothing dropped — the copied
+    // run straddles its segmentation, proving the two passes differ
+    assert(TextDedup.lineDedup(docs).collect().forall(_.getLong(3) === 0L))
+  }
+
   test("null and empty texts flow through the dedup family without error") {
     // a crawl corpus always contains null/empty payload rows — the
     // operators must drop them from candidates, never throw
@@ -604,6 +627,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(TextDedup.ngramJaccard(docs).collect().isEmpty)
     assert(TextDedup.winnowDedup(docs).collect().isEmpty)   // sketchless rows excluded
     assert(TextDedup.lineDedup(docs).count() === 1)         // only the real doc survives
+    assert(TextDedup.substrDedup(docs).collect().isEmpty)   // sub-W rows excluded
     assert(TextDedup.exact(docs).count() === 3) // null, "", and real each a group
     assert(Corpus.piiScan(docs).count() === 3)  // null counts stay null, no throw
     assert(Corpus.repetitionStats(docs).count() === 1) // tokenless rows excluded
