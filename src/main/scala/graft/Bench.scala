@@ -59,14 +59,25 @@ object Bench {
    * registering inside the guest (BASELINE.md round-9 adjudication:
    * BENCH_r09's 14.9× semantic_dedup episode left zero PSI signal but
    * nonzero /proc/stat steal). Field 9 of the aggregate `cpu` line, in
-   * USER_HZ jiffies (100/s on every stock Linux) → ×10 for ms. -1 when
-   * unreadable. */
+   * USER_HZ jiffies → ms via the tick rate read ONCE from the system
+   * (`getconf CLK_TCK`; a kernel built with a non-100 USER_HZ would
+   * otherwise silently mis-scale the telemetry). -1 when unreadable. */
+  private lazy val clkTck: Long =
+    try {
+      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.US_ASCII).trim
+      p.waitFor()
+      val v = out.toLong
+      if (v > 0) v else 100L
+    } catch { case _: Throwable => 100L }
+
   private def stealMs(): Long =
     try {
       val cpu = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = cpu.trim.split("\\s+")
-      if (f.length > 8) f(8).toLong * 10 else -1L
+      if (f.length > 8) f(8).toLong * 1000L / clkTck else -1L
     } catch { case _: Throwable => -1L }
 
   /** cpu0's current cpufreq (kHz) — a host-level frequency drop (thermal

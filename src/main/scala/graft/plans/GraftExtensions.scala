@@ -45,6 +45,34 @@ object GraftFunctions {
     build(es)
   }
 
+  /** Foldable-INT parameter gate shared by the sketch aggregates: the
+   * argument must be a literal Int/Long inside [lo, Int.MaxValue] — an
+   * out-of-range literal (including a Long that `toInt` would silently
+   * truncate) and a non-literal both surface as the same typed
+   * AnalysisException the rest of this file emits, never as a raw
+   * require() IllegalArgumentException from the aggregate's constructor
+   * or a wrapped value at runtime. */
+  private def literalIntParam(fn: String, param: String, e: Expression, lo: Int): Int = {
+    def bad(v: Any): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+      messageParameters = Map("functionName" -> s"`$fn`",
+        "parameter" -> s"`$param`", "invalidValue" -> String.valueOf(v)))
+    val v: Long = e match {
+      case lit if lit.foldable =>
+        lit.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => bad(other)
+        }
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map("funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`", "paramType" -> "\"INT\""))
+    }
+    if (v < lo || v > Int.MaxValue.toLong) bad(v)
+    v.toInt
+  }
+
   /** (name, info, builder) for every SQL-exposed native function. Arity
    * beyond the first argument is fixed to the engine defaults used by the
    * dedup operators (word trigrams, 16-char grams with 1-in-4 sampling,
@@ -85,46 +113,21 @@ object GraftFunctions {
       info("misra_gries",
         "misra_gries(tokens, k) - mergeable k-counter heavy-hitters sketch over ARRAY<STRING> rows"),
       (es: Seq[Expression]) => arity("misra_gries", 2, es) { e =>
-        // type/foldability misuse gets a type-shaped error class — the
-        // arity check above already owns the wrong-count case
-        val k = e(1) match {
-          case lit if lit.foldable =>
-            lit.eval() match {
-              case i: Int => i
-              case l: Long => l.toInt
-              case other => throw new org.apache.spark.sql.AnalysisException(
-                errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
-                messageParameters = Map("functionName" -> "`misra_gries`",
-                  "parameter" -> "`k`", "invalidValue" -> String.valueOf(other)))
-            }
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "NON_FOLDABLE_ARGUMENT",
-            messageParameters = Map("funcName" -> "`misra_gries`",
-              "paramName" -> "`k`", "paramType" -> "\"INT\""))
-        }
-        MisraGriesAgg(e(0), k).toAggregateExpression()
+        // type/foldability/range misuse gets a type-shaped error class —
+        // the arity check above already owns the wrong-count case
+        MisraGriesAgg(e(0), literalIntParam("misra_gries", "k", e(1), lo = 1))
+          .toAggregateExpression()
       }),
     ("kmv_distinct",
       info("kmv_distinct",
         "kmv_distinct(h, k) - bottom-k KMV distinct sketch over pre-hashed STRING rows; " +
           "returns STRUCT<m BIGINT, hk STRING, est DOUBLE>"),
       (es: Seq[Expression]) => arity("kmv_distinct", 2, es) { e =>
-        val k = e(1) match {
-          case lit if lit.foldable =>
-            lit.eval() match {
-              case i: Int => i
-              case l: Long => l.toInt
-              case other => throw new org.apache.spark.sql.AnalysisException(
-                errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
-                messageParameters = Map("functionName" -> "`kmv_distinct`",
-                  "parameter" -> "`k`", "invalidValue" -> String.valueOf(other)))
-            }
-          case _ => throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "NON_FOLDABLE_ARGUMENT",
-            messageParameters = Map("funcName" -> "`kmv_distinct`",
-              "paramName" -> "`k`", "paramType" -> "\"INT\""))
-        }
-        KmvDistinctAgg(e(0), k).toAggregateExpression()
+        // lo = 2: the estimator divides by the k-th minimum, so k = 1 is
+        // rejected HERE as the typed analysis error, not by the
+        // aggregate's require() mid-analysis
+        KmvDistinctAgg(e(0), literalIntParam("kmv_distinct", "k", e(1), lo = 2))
+          .toAggregateExpression()
       }),
   )
 

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -90,12 +90,17 @@ case class MisraGriesAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MGSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[MGSketch] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k >= 1, "misra_gries needs k >= 1")
 
   override def prettyName: String = "misra_gries"
   override def nullable: Boolean = false
+  // analysis-time type gate: without it a non-array argument surfaces as
+  // an executor-side ClassCastException in update()'s ArrayData cast
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType, containsNull = false))
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType, nullable = false),
     StructField("est", LongType, nullable = false),
@@ -215,12 +220,16 @@ case class KmvDistinctAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(k >= 2, "kmv_distinct needs k >= 2 (the estimator divides by the k-th minimum)")
 
   override def prettyName: String = "kmv_distinct"
   override def nullable: Boolean = false
+  // analysis-time type gate: without it a non-string argument surfaces as
+  // an executor-side ClassCastException in update()'s UTF8String cast
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("m", LongType, nullable = false),
     StructField("hk", StringType, nullable = true),

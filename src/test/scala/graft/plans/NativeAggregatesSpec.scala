@@ -103,6 +103,22 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
       spark.sql("SELECT misra_gries(token_seq(text), length(text)) FROM docs_mg").collect()
     }
     assert(errFold.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // out-of-range literals: k = 0 and an Int.MaxValue-overflowing Long
+    // both get the typed analysis error, never a raw require() or a
+    // silently truncated toInt
+    for (bad <- Seq("0", s"${Int.MaxValue.toLong + 1}L")) {
+      val errRange = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT misra_gries(token_seq(text), $bad) FROM docs_mg").collect()
+      }
+      assert(errRange.getCondition === "INVALID_PARAMETER_VALUE.INTEGER", bad)
+    }
+    // non-array input is an analysis-time type error (ExpectsInputTypes),
+    // not an executor-side ClassCastException
+    val errInput = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT misra_gries(text, 4) FROM docs_mg").collect()
+    }
+    assert(errInput.getCondition != null &&
+      errInput.getCondition.startsWith("DATATYPE_MISMATCH"))
   }
 
   // ---- KMV bottom-k distinct sketch ----------------------------------------
@@ -162,5 +178,20 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
       spark.sql("SELECT kmv_distinct(h, length(h)) FROM events_kmv").collect()
     }
     assert(errFold.getCondition === "NON_FOLDABLE_ARGUMENT")
+    // k = 1 (the estimator needs k ≥ 2) and a truncating Long are both
+    // typed analysis errors from the registration gate
+    for (bad <- Seq("1", s"${Int.MaxValue.toLong + 1}L")) {
+      val errRange = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT kmv_distinct(h, $bad) FROM events_kmv").collect()
+      }
+      assert(errRange.getCondition === "INVALID_PARAMETER_VALUE.INTEGER", bad)
+    }
+    // non-string input is an analysis-time type error, not an
+    // executor-side ClassCastException
+    val errInput = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_distinct(length(h), 8) FROM events_kmv").collect()
+    }
+    assert(errInput.getCondition != null &&
+      errInput.getCondition.startsWith("DATATYPE_MISMATCH"))
   }
 }
