@@ -1113,11 +1113,16 @@ object TextDedup {
    * dup_fraction) for docs with ≥ 1 duplicated window.
    *
    * Scale shape, stage by stage: windowing is a Generate (corpus ×
-   * ~tokens rows, map-side — the md5-of-joined-slice fingerprint costs
-   * W× transient bytes per token, the price of a DuckDB-mirrorable
-   * fingerprint; the raw-100 TB swap is a native O(n) rolling
-   * token-hash kernel, the [[graft.plans.RollingWinnow]] pattern over
-   * tokens, which leaves every downstream stage unchanged). Window df
+   * ~tokens rows) fed by the native O(n)
+   * [[graft.plans.TokenWindowHash]] rolling kernel — each token is
+   * md5'd ONCE and every stride-1 window fingerprint is an O(1) rolling
+   * update (two independent 61-bit polynomial hashes, ≥122-bit
+   * identity), replacing the previous `md5(array_join(slice(...)))`
+   * form whose W× transient bytes per position made this the suite's
+   * heaviest map stage. The DuckDB oracle keeps the md5-of-slice form:
+   * only fingerprint EQUALITY ever reaches the output, and
+   * `SubstrKernelSpec` pins that the two fingerprints induce identical
+   * equality classes over the shared corpus. Window df
    * is the [[lineDedup]] two-phase distinct — one shuffle on the
    * UNIFORM md5 (fp, doc_id) pair, then a partial-agg count per fp,
    * never a count-distinct expand over a hot key. The duplicated
@@ -1128,15 +1133,14 @@ object TextDedup {
    * touches the driver; no stage is quadratic anywhere. */
   def substrDedup(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val toks = docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= SubstrW)
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-    val nwin = col("n") - lit(SubstrW) + lit(1)
     val win = toks
       .select(col("doc_id"), col("n"),
-        posexplode(transform(sequence(lit(1), nwin),
-          k => md5(array_join(slice(col("toks"), k, lit(SubstrW)), " "))))
+        posexplode(toCol(graft.plans.TokenWindowHash(toExpr(col("toks")), SubstrW)))
           .as(Seq("p0", "fp")))
       .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("fp"))
       .persist() // feeds the df count AND the duplicated-posting semi-join

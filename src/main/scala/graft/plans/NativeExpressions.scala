@@ -573,3 +573,140 @@ case class HammingStr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HammingStr =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * `TokenWindowHash(toks, w)`: the stride-1 w-token window fingerprints of
+ * an `ARRAY<STRING>` token sequence as `ARRAY<STRUCT<h1 BIGINT, h2 BIGINT>>`
+ * (element i = the fingerprint of tokens [i, i+w)), built from TWO
+ * independent polynomial rolling hashes mod the Mersenne prime 2^61 − 1 —
+ * the O(n) raw-scale kernel behind `TextDedup.substrDedup`'s exact-substring
+ * pass.
+ *
+ * Why it exists: the SQL-composable form fingerprints each position with
+ * `md5(array_join(slice(toks, k, w), ' '))` — w× transient bytes PER TOKEN
+ * (string build + md5 over ~w tokens at every stride-1 position), the
+ * suite's heaviest map stage. This kernel md5s each token ONCE (the two
+ * 61-bit token values come from independent md5 halves) and rolls the
+ * window in O(1) per position: remove the leading term, multiply by the
+ * base, add the next token.
+ *
+ * Equality contract: two windows fingerprint equal iff their token
+ * sequences are equal, up to hash collisions at ≥ 122 independent bits —
+ * collision expectation n²/2^123 stays ≪ 1 far beyond 10^16 windows
+ * (100 TB-corpus mass), matching the md5 form's effective exactness. The
+ * classes match the md5 form's on any real corpus, which is what the
+ * substrDedup spec pins (the DuckDB oracle keeps the md5 form — only
+ * equality of fingerprints ever reaches the operator's output, never the
+ * fingerprint values). Texts shorter than w yield an empty array; null
+ * array elements are hashed as the empty token (TokenSeq never emits
+ * nulls).
+ */
+case class TokenWindowHash(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "token_window_hash"
+
+  import TokenWindowHash._
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    // per-token 61-bit values from independent md5 halves, computed once
+    val t1 = new Array[Long](n)
+    val t2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val d = md.digest(if (s == null) Array.emptyByteArray else s.getBytes)
+      t1(i) = java.lang.Long.remainderUnsigned(beLong(d, 0), M61)
+      t2(i) = java.lang.Long.remainderUnsigned(beLong(d, 8), M61)
+      md.reset()
+      i += 1
+    }
+    val out = new Array[Any](n - w + 1)
+    // leading-term weights B^(w−1) mod M for the rolling removal
+    val p1 = powMod(B1, w - 1)
+    val p2 = powMod(B2, w - 1)
+    var a1 = 0L
+    var a2 = 0L
+    i = 0
+    while (i < w) { // initial window: Horner
+      a1 = addMod(mulMod(a1, B1), t1(i))
+      a2 = addMod(mulMod(a2, B2), t2(i))
+      i += 1
+    }
+    out(0) = InternalRowOf(a1, a2)
+    var k = 1
+    while (k <= n - w) {
+      a1 = addMod(mulMod(subMod(a1, mulMod(t1(k - 1), p1)), B1), t1(k + w - 1))
+      a2 = addMod(mulMod(subMod(a2, mulMod(t2(k - 1), p2)), B2), t2(k + w - 1))
+      out(k) = InternalRowOf(a1, a2)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHash =
+    copy(child = newChild)
+}
+
+object TokenWindowHash {
+  /** Mersenne prime 2^61 − 1: 128-bit products reduce with two shift-add
+   * folds, no BigInteger. */
+  val M61 = 2305843009213693951L
+  /** Two fixed odd bases — the fingerprints are content hashes, not
+   * security primitives; non-adversarial corpora are the contract. */
+  val B1 = 1000003L
+  val B2 = 998244353L
+
+  private def InternalRowOf(a: Long, b: Long) =
+    org.apache.spark.sql.catalyst.InternalRow(a, b)
+
+  /** Big-endian long from 8 md5 bytes at `off`. */
+  private[graft] def beLong(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** (a · b) mod 2^61−1 for a, b ∈ [0, M61): fold the 128-bit product —
+   * 2^64 ≡ 2^3 (mod 2^61−1), so x mod M = (lo & M) + ((hi << 3) | (lo >>> 61))
+   * folded once more. */
+  private[graft] def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & M61) + ((hi << 3) | (lo >>> 61))
+    r = (r & M61) + (r >>> 61)
+    if (r >= M61) r - M61 else r
+  }
+
+  private[graft] def addMod(a: Long, b: Long): Long = {
+    val r = a + b // both < 2^61: no overflow
+    if (r >= M61) r - M61 else r
+  }
+
+  private[graft] def subMod(a: Long, b: Long): Long = {
+    val r = a - b
+    if (r < 0) r + M61 else r
+  }
+
+  private[graft] def powMod(b: Long, e: Int): Long = {
+    var r = 1L
+    var base = b
+    var k = e
+    while (k > 0) {
+      if ((k & 1) == 1) r = mulMod(r, base)
+      base = mulMod(base, base)
+      k >>= 1
+    }
+    r
+  }
+}
