@@ -758,13 +758,36 @@ object VectorOps {
    * shuffle, hard-capped at [[SemMaxBucket]] postings with residual
    * oversize drops surfacing as observed metrics
    * (`graft_semdedup_buckets`) — and only in-bucket candidates pay the
-   * exact-cosine verify. Documented approximations (each the paper's own
-   * trade, mirrored exactly by the oracle): a qualifying pair straddling
-   * a cluster boundary is missed — cross-cluster recall is what
-   * [[embeddingNearDup]]'s data-independent hyperplane bands provide —
-   * and within an OVERSIZE cluster the sub-bands recall
-   * [[NearDupRecall]] of qualifying pairs rather than all of them. */
-  def semanticDedup(embeddings: DataFrame): DataFrame = {
+   * exact-cosine verify.
+   *
+   * Cross-cluster recall (round 11): cluster-only candidates miss any
+   * qualifying pair straddling an IVF cluster boundary — the one
+   * documented recall gap of the cluster-then-prune family. A SECOND
+   * posting branch closes it: every vector also posts
+   * [[embeddingNearDup]]'s data-independent hyperplane band keys at
+   * this operator's threshold (corpus-derived (R, B) from the same
+   * [[bandTableFor]] budget, `x:`-prefixed so the band namespace can
+   * never collide with the `cid:`-prefixed cluster buckets), into the
+   * SAME bounded-bucket pair stage and the same exact-cosine verify —
+   * still ONE groupBy shuffle, still hard-capped. Residual documented
+   * approximations (mirrored exactly by the oracle): a cross-cluster
+   * pair agreeing on NO band is missed (1 − [[NearDupRecall]] ≈ 10%
+   * worst-case AT the threshold, much less above it), and within an
+   * OVERSIZE cluster the sub-bands recall [[NearDupRecall]] of
+   * qualifying pairs rather than all of them. A consequence of global
+   * candidates: a cluster CAN now be emptied when its every member has
+   * a smaller-id near-dup in another cluster — the kept
+   * representatives live wherever the smallest ids sit, which is the
+   * correct global-dedup semantics (the old per-cluster-keeper
+   * guarantee was an artifact of the recall gap). */
+  def semanticDedup(embeddings: DataFrame): DataFrame =
+    semanticDedup(embeddings, crossClusterBands = true)
+
+  /** `crossClusterBands = false` disables the cross-cluster band branch —
+   * test-only, for measuring the recall the safety net buys (the checked
+   * query always runs with it on). */
+  private[operators] def semanticDedup(embeddings: DataFrame,
+                                       crossClusterBands: Boolean): DataFrame = {
     val n = corpusSize(embeddings)
     val stride = ivfStrideFor(n)
     val qn = quantized(embeddings).persist() // feeds centroids, assignment, verify
@@ -802,7 +825,17 @@ object VectorOps {
       .select(col("vec_id").as("doc_id"), explode(expr(
         "transform(sequence(0, b - 1), j -> concat(cast(cid as string), ':', " +
           "cast(j as string), ':', substring(bits, j * s + 1, s)))")).as("bv"))
-    val staged = TextDedup.boundedBucketPairs(small.unionByName(big), "bv", 2, SemMaxBucket)
+    // cross-cluster safety net: data-independent hyperplane bands at the
+    // same threshold, 'x:'-prefixed (cluster keys start with a digit)
+    val xRows = nearDupRowsFor(n, rowsMax = semRowsMax)
+    val xBands = semBandTable(xRows)
+    val cross = qn.select(col("vec_id").as("doc_id"),
+        explode(nearDupBandKeys(col("q"), xRows, xBands)).as("bk"))
+      .select(col("doc_id"), concat(lit("x:"), col("bk")).as("bv"))
+    val postings =
+      if (crossClusterBands) small.unionByName(big).unionByName(cross)
+      else small.unionByName(big)
+    val staged = TextDedup.boundedBucketPairs(postings, "bv", 2, SemMaxBucket)
     val dropped = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
       .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
@@ -838,15 +871,26 @@ object VectorOps {
        |sizes AS (SELECT cid, count(*) AS csize FROM assign GROUP BY 1),
        |widths AS (SELECT cid, s, ${semBandCaseSql("s")} AS b FROM
        |           (SELECT cid, ${semWidthSql("csize", "//")} AS s FROM sizes)),
-       |bits AS (SELECT vec_id, $bitStr AS bs
-       |         FROM assign JOIN widths USING (cid) WHERE s > 0),
+       |bits AS (SELECT vec_id, $bitStr AS bs FROM qn),
+       |xparams AS (
+       |  SELECT r, ${semBandCaseSql("r")} AS b FROM (
+       |    SELECT GREATEST(2, LEAST($semRowsMax,
+       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
+       |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
+       |          FROM $table))),
        |postings AS (
        |  SELECT a.vec_id AS doc_id,
        |         unnest([CAST(a.cid AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR) || ':' ||
        |                 substr(coalesce(bt.bs, ''), (j - 1) * w.s + 1, w.s)
        |                 for j in range(1, w.b + 1)]) AS bv
        |  FROM assign a JOIN widths w USING (cid)
-       |  LEFT JOIN bits bt ON bt.vec_id = a.vec_id),
+       |  LEFT JOIN bits bt ON bt.vec_id = a.vec_id
+       |  UNION ALL
+       |  SELECT b.vec_id AS doc_id,
+       |         unnest(['x:' || CAST(j - 1 AS VARCHAR) || ':' ||
+       |                 substr(b.bs, (j - 1) * p.r + 1, p.r)
+       |                 for j in range(1, p.b + 1)]) AS bv
+       |  FROM bits b CROSS JOIN xparams p),
        |bok AS ${TextDedup.boundedSql("postings", "bv", SemMaxBucket)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
