@@ -135,6 +135,12 @@ object SparkEntry {
     // partial-agg pass, O(k) state, no distinct shuffle or window sort —
     // and still FULLY hash-checked (KMV bottom-k is merge-order-free)
     "kmv_distinct_agg"    -> ((s, d) => Relational.kmvDistinctAggUsers(s, d)),
+    // the grouped sketch form: distinct users per (event_type, day) —
+    // k = 48 so sf0.01 groups (42-67 distinct) exercise BOTH branches
+    "kmv_users_by_day"    -> ((s, d) => Relational.kmvUsersByDay(s, d)),
+    // estimator-error audit: exact distinct vs the KMV estimate per
+    // event_type (the ann_recall-style design-point check of the sketch)
+    "kmv_error_audit"     -> ((s, d) => Relational.kmvErrorAudit(s, d)),
     // corpus distribution profiling: EXACT per-language length quantiles
     // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
     // linear-interpolation definition — verified value-identical)
@@ -504,6 +510,8 @@ object SparkEntry {
     "distinct_customers"  -> Relational.distinctCustomersSql,
     "kmv_distinct_users"  -> Relational.kmvDistinctUsersSql,
     "kmv_distinct_agg"    -> Relational.kmvDistinctAggUsersSql,
+    "kmv_users_by_day"    -> Relational.kmvUsersByDaySql,
+    "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
     "market_share"        -> Relational.marketShareSql,
     "level_shift"         -> Relational.levelShiftDetectSql,

@@ -728,6 +728,106 @@ object Relational {
        |        FROM bot WHERE rn <= $KmvK GROUP BY event_type)
        |SELECT event_type, m, hk, ${kmvEstimator.replace("\n", " ")} AS n_users_kmv FROM agg""".stripMargin
 
+  /** Sketch size for the PER-DAY grouped KMV: sized so the shared sf0.01
+   * data (42–67 distinct users per (event_type, day)) exercises BOTH
+   * branches under the driver's oracle gate — groups below 48 report the
+   * exact count, groups at/above it the estimator (the [[KmvK]] = 64
+   * global lesson applied to the finer grouping). */
+  val KmvDayK = 48
+
+  /** Distinct users per (event_type, day) by the native
+   * [[graft.plans.KmvDistinctAgg]] — the GROUPED sketch form next to the
+   * global [[kmvDistinctAggUsers]]: the everyday "distinct users per
+   * segment per day" report, where the raw-scale win is largest (an
+   * exact per-group DISTINCT shuffles O(users·groups) rows; this ships
+   * one ≤k sketch per (task, group)). Merge-order-free like the global
+   * form, so the driver gate is the FULL hash check against the
+   * window-form oracle. Output (event_type, day, m, hk, n_users_kmv). */
+  def kmvUsersByDay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val h = md5(col("user_id").cast("string"))
+    val sk = toCol(graft.plans.KmvDistinctAgg(toExpr(h), KmvDayK).toAggregateExpression())
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(sk.as("sk"))
+      .select(col("event_type"), col("day"), col("sk.m").as("m"), col("sk.hk").as("hk"),
+        col("sk.est").as("n_users_kmv"))
+  }
+
+  /** [[kmvEstimator]] at sketch size `k` (the shared text is pinned to
+   * [[KmvK]]; the grouped/audit forms parameterize it). */
+  private def kmvEstimatorAt(k: Int): String =
+    s"""CASE WHEN hk IS NULL OR ${hexVal13("hk")} = 0 THEN CAST(m AS DOUBLE)
+       |ELSE CAST(${k - 1} AS DOUBLE) /
+       |     (CAST(${hexVal13("hk")} AS DOUBLE) / ${1L << 52}.0) END""".stripMargin
+
+  def kmvUsersByDaySql: String =
+    s"""WITH uh AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS day,
+       |                   md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |bot AS (SELECT event_type, day, h,
+       |               row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+       |        FROM uh),
+       |agg AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS m,
+       |               max(CASE WHEN rn = $KmvDayK THEN h END) AS hk
+       |        FROM bot WHERE rn <= $KmvDayK GROUP BY event_type, day)
+       |SELECT event_type, day, m, hk,
+       |       ${kmvEstimatorAt(KmvDayK).replace("\n", " ")} AS n_users_kmv
+       |FROM agg""".stripMargin
+
+  /** KMV estimator-error audit — the `ann_recall`-style measurement for
+   * the sketch family: per event_type, the exact distinct user count
+   * next to the [[KmvK]]-sketch estimate and the absolute/relative
+   * error. The design-point check a pipeline runs BEFORE trusting the
+   * sketch at raw scale, where exact distinct is unaffordable but a
+   * sampled audit tier like this stays cheap. Everything is
+   * deterministic (exact BIGINT count; the estimator's two IEEE
+   * divisions over the exact 52-bit hash prefix), so the driver gate is
+   * the full hash check. Output (event_type, n_exact, n_kmv, abs_err,
+   * rel_err); rel_err ≈ RSE 1/√(k−1) ≈ 12.6% at k = [[KmvK]].
+   *
+   * Scale shape: ONE distinct-exchange on the uniform (event_type, h)
+   * pair feeds both the exact count and the window bottom-k — the
+   * audit costs what the exact side costs, as any audit must. */
+  def kmvErrorAudit(s: SparkSession, dir: String): DataFrame = {
+    // persist: the distinct exchange — the query's dominant cost at any
+    // scale — feeds BOTH the bottom-k sketch side and the exact count
+    val uh = Tables.events(s, dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .distinct().persist()
+    val wLocal = Window.partitionBy(col("event_type"), substring(col("h"), 1, 2))
+      .orderBy(col("h"))
+    val wGlobal = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    uh.withColumn("rn1", row_number().over(wLocal)).filter(col("rn1") <= KmvK)
+      .withColumn("rn", row_number().over(wGlobal))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("rn") <= KmvK, 1L).otherwise(0L)).as("m"),
+        max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .join(uh.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact")), "event_type")
+      .select(col("event_type"), col("n_exact"),
+        expr(kmvEstimator).as("n_kmv"))
+      .select(col("event_type"), col("n_exact"), col("n_kmv"),
+        abs(col("n_kmv") - col("n_exact").cast("double")).as("abs_err"),
+        (abs(col("n_kmv") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  def kmvErrorAuditSql: String =
+    s"""WITH uh AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |bot AS (SELECT event_type, h,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |        FROM uh),
+       |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+       |               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |        FROM bot WHERE rn <= $KmvK GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM uh GROUP BY event_type),
+       |est AS (SELECT a.event_type, e.n_exact,
+       |               ${kmvEstimator.replace("\n", " ")} AS n_kmv
+       |        FROM agg a JOIN ex e ON a.event_type = e.event_type)
+       |SELECT event_type, n_exact, n_kmv,
+       |       abs(n_kmv - CAST(n_exact AS DOUBLE)) AS abs_err,
+       |       abs(n_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est""".stripMargin
+
   // ---- pivot (wide cross-tab) ----------------------------------------------
 
   /** The document sources, pinned so [[docSourcePivot]] runs as a SINGLE

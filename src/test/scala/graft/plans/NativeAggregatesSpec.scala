@@ -165,6 +165,50 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("grouped KMV (per event_type x day): both branches exercised, error bound pinned") {
+    // sf0.01, not the suite's usual sf0.001: per-(type, day) distinct
+    // users there span 42-67 around k = 48, so BOTH the exact branch
+    // (m < k) and the estimator branch (saturated sketch) run — the
+    // branch coverage the checked query is sized for
+    val d01 = "/root/testdata/sf0.01"
+    val k = graft.operators.Relational.KmvDayK
+    val exact = Tables.events(spark, d01)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val got = graft.operators.Relational.kmvUsersByDay(spark, d01)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    assert(got.keySet === exact.keySet)
+    var sawExact = 0
+    var sawEst = 0
+    got.foreach { case (key, (m, hk, est)) =>
+      val truth = exact(key)
+      if (truth < k) {
+        sawExact += 1
+        assert(m === truth && hk == null && est === truth.toDouble,
+          s"$key: below k the sketch IS the exact distinct count")
+      } else {
+        sawEst += 1
+        assert(m === k.toLong && hk != null, s"$key: sketch saturated at k")
+        // RSE = 1/sqrt(k-1) ~ 14.6% at k=48; 5 sigma is the no-flake bound
+        assert(math.abs(est - truth) <= 5.0 * truth / math.sqrt(k - 1.0),
+          s"$key: est=$est truth=$truth outside the 5-sigma KMV error bound")
+      }
+    }
+    assert(sawExact > 0, "sf0.01 must exercise the exact (m < k) branch")
+    assert(sawEst > 0, "sf0.01 must exercise the estimator branch")
+    // the audit query's relative error agrees with the design RSE at the
+    // global k = 64: every event_type within 5 sigma
+    val audit = graft.operators.Relational.kmvErrorAudit(spark, d01).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val rse = 1.0 / math.sqrt(graft.operators.Relational.KmvK - 1.0)
+      assert(r.getDouble(4) <= 5.0 * rse,
+        s"${r.getString(0)}: rel_err ${r.getDouble(4)} beyond 5x RSE $rse")
+    }
+  }
+
   test("kmv_distinct is SQL-callable with literal-k validation") {
     Tables.events(spark, dir)
       .select(md5(col("user_id").cast("string")).as("h"))
