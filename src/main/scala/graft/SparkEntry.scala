@@ -183,17 +183,19 @@ object SparkEntry {
     // EXACT duplicated-substring spans at arbitrary alignment (stride-1
     // windows — the Lee et al. 2022 ExactSubstr half next to line_dedup)
     "dedup_substr"        -> ((s, d) => TextDedup.substrDedup(Tables.documents(s, d))),
-    // cluster assignment over the minhash pair graph (connected components)
-    "dedup_clusters"      -> ((s, d) => DedupClusters.assign(
-      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
-    "cluster_keepers"     -> ((s, d) => DedupClusters.keepers(
-      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
+    // cluster assignment over the minhash pair graph (connected
+    // components); the four cluster-family queries share the
+    // session-memoized labeling (DedupClusters.minhashLabels) — same
+    // audited plan on a cold session, no recompute per consumer
+    "dedup_clusters"      -> ((s, d) => DedupClusters.minhashLabels(Tables.documents(s, d))),
+    "cluster_keepers"     -> ((s, d) => DedupClusters.keepersFromLabeled(
+      DedupClusters.minhashLabels(Tables.documents(s, d)), Tables.documents(s, d))),
     // leakage-safe split: train/val/test hashed on the dup CLUSTER id
-    "cluster_safe_split"  -> ((s, d) => Corpus.clusterSafeSplit(DedupClusters.assign(
-      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d))))),
+    "cluster_safe_split"  -> ((s, d) => Corpus.clusterSafeSplit(
+      DedupClusters.minhashLabels(Tables.documents(s, d)))),
     // per-source token-mass savings forecast of cluster-collapse dedup
-    "dedup_savings"       -> ((s, d) => DedupClusters.dedupSavings(
-      Tables.documents(s, d), TextDedup.minhashLsh(Tables.documents(s, d)))),
+    "dedup_savings"       -> ((s, d) => DedupClusters.dedupSavingsFromLabeled(
+      DedupClusters.minhashLabels(Tables.documents(s, d)), Tables.documents(s, d))),
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),

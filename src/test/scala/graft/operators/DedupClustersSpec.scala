@@ -107,4 +107,30 @@ class DedupClustersSpec extends AnyFunSuite with SparkTestHarness {
     // doc count preserved
     assert(labels.size === docs.count())
   }
+
+  test("minhashLabels memoizes per (session, scan path) and matches assign") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val first = DedupClusters.minhashLabels(docs)
+    // second call on an equivalent scan returns the SAME cached frame —
+    // the minhash + CC stages never rebuild
+    val second = DedupClusters.minhashLabels(graft.sources.Tables.documents(spark, dir))
+    assert(first eq second, "labeling must be memoized for the same session + input path")
+    // and the memoized labeling IS the uncached assign over minhash pairs
+    val viaAssign = DedupClusters
+      .assign(docs, TextDedup.minhashLsh(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMemo = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMemo === viaAssign)
+    // a non-scan input (in-memory frame) must fall back to a fresh
+    // labeling, not poison or reuse the cache
+    import spark.implicits._
+    val adhoc = Seq((1L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll")).toDF("doc_id", "text")
+    val l1 = DedupClusters.minhashLabels(adhoc)
+    val l2 = DedupClusters.minhashLabels(adhoc)
+    assert(!(l1 eq l2), "in-memory inputs are not memoizable (no stable scan key)")
+    assert(l1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 1L)))
+  }
 }
