@@ -142,10 +142,20 @@ object StreamBench {
     val nF = n / 2 // per-key List state is heavier than join state rows
     runFaithful(nF, "warm") // warm-up
     val fps = runFaithful(nF, "main")
+    // faithful variant under the RocksDB state store provider — the
+    // spill-to-disk configuration a production cluster runs when keyed
+    // state outgrows the executor heap (the conf is read at query START,
+    // so setting it here scopes it to the runs below)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runFaithful(nF, "rocks_warm") // warm-up: native lib load, column families
+    val fpsRocks = runFaithful(nF, "rocks_main")
+    spark.conf.unset(providerKey)
     val nDocs = n / 10
     runDedup(nDocs) // warm-up
     val dps = runDedup(nDocs)
-    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_faithful_events_per_sec":${fps}%.0f,"faithful_events":${2 * nF},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
+    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
