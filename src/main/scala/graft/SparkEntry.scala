@@ -354,6 +354,7 @@ object SparkEntry {
     "distinct_customers"  -> ((s, d) => Relational.distinctCustomers(s, d)),
     // key-skew profile: heavy hitters on the flagship join key
     "skew_profile"        -> ((s, d) => Relational.eventKeySkew(s, d)),
+    "skew_join_salted"    -> ((s, d) => Relational.saltedSegmentJoin(s, d)),
     // deepest join tree in the suite: 2 facts + 5 broadcast dimension arms
     "market_share"        -> ((s, d) => Relational.marketShare(s, d)),
     // before/after window contrast: step changes in hourly arrival rates
@@ -515,6 +516,7 @@ object SparkEntry {
     "kmv_users_by_day"    -> Relational.kmvUsersByDaySql,
     "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
+    "skew_join_salted"    -> Relational.saltedSegmentJoinSql,
     "market_share"        -> Relational.marketShareSql,
     "level_shift"         -> Relational.levelShiftDetectSql,
     "corpus_checksum"     -> Corpus.corpusChecksumSql("documents"),

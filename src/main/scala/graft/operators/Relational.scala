@@ -623,6 +623,56 @@ object Relational {
        |       CAST(row_number() OVER (ORDER BY n DESC, key ASC NULLS LAST) AS BIGINT) AS rank
        |FROM top""".stripMargin
 
+  // ---- skew-mitigated join (salting) ---------------------------------------
+
+  /** Salt fan-out for [[saltedSegmentJoin]] — the number of sub-keys a
+   * hot key's rows spread across. S × the dim's row count is the whole
+   * replication cost; a 16-way salt turns a 1 TB hot partition into
+   * 16 × 64 GB ones. */
+  val JoinSaltFactor = 8
+
+  /** Customer-segment rollup of events via an explicitly SALTED fact⋈dim
+   * equi-join — the mitigation for exactly the skew [[eventKeySkew]]
+   * diagnoses: one key holding >1% of a 100 TB events table means the
+   * plain shuffle join sends ~1 TB to ONE reducer. Salting rewrites
+   * `fact ⋈ dim ON k` as `fact+salt ⋈ (dim × salts) ON (k, salt)`: every
+   * fact row gets a uniform salt in [0, S), the dim replicates S ways
+   * (cheap — dims are orders of magnitude smaller than facts), and the
+   * hot key's rows now hash to S distinct reducers. The join result is
+   * IDENTICAL to the unsalted join under ANY salt assignment — each fact
+   * row still meets exactly its key's dim rows, exactly once — which is
+   * what the oracle checks (the DuckDB side is the PLAIN join). The
+   * shuffle-hash hint keeps the demo honest: a broadcast would bypass
+   * the shuffle entirely (the right fix when the dim fits in executor
+   * memory; salting is for when it doesn't). Salt derives from xxhash64
+   * of the fact's unique id — deterministic, uniform, independent of the
+   * join key. AQE's skew-join split solves the same problem at runtime
+   * for sort-merge plans; the explicit salt is the portable form (works
+   * under any join strategy and in streaming, where AQE can't re-plan). */
+  def saltedSegmentJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("event_id")), lit(JoinSaltFactor)).cast("int"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(JoinSaltFactor - 1))))
+      .hint("shuffle_hash")
+    fact.join(dim,
+        fact("user_id") === dim("c_custkey") && fact("__salt") === dim("__salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+  }
+
+  def saltedSegmentJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   // ---- KMV (bottom-k) distinct sketch --------------------------------------
 
   /** Sketch size. Relative standard error ≈ 1/√(k−1) ≈ 12.6%. Sized so

@@ -1444,8 +1444,9 @@ object TextDedup {
    * via [[bucketBound]] (boilerplate openings — "copyright 2024 all
    * rights reserved" — are exactly the adversarial mass the cap exists
    * for), with drops surfacing as `graft_fuzzy_buckets` observed
-   * metrics. Levenshtein on two 48-char strings is a constant ~2.3k-cell
-   * DP per CANDIDATE (not per row); the blocking keeps candidates
+   * metrics. Verification uses the THRESHOLD levenshtein — the banded
+   * ~(2k+1)·48-cell DP (~430 cells at k=4) instead of the full ~2.3k-cell
+   * matrix, per CANDIDATE (not per row); the blocking keeps candidates
    * near-linear in corpus size. */
   def fuzzyPrefixDedup(docs: DataFrame): DataFrame = {
     val norm = docs.select(col("doc_id"), fuzzyNorm(col("text")).as("norm"))
@@ -1465,9 +1466,15 @@ object TextDedup {
       .filter(size(es) >= 2 && size(es) <= MaxBucket)
       .select(es, posexplode(es).as(Seq("i", "ea")))
       .select(col("ea"), explode(slice(es, col("i") + 2, size(es) - col("i") - 1)).as("eb"))
+      // THRESHOLD form: banded DP, O((2k+1)·n) per candidate instead of
+      // the full O(n²) matrix, with a free abs-length-difference bail —
+      // returns the exact distance when ≤ k and -1 otherwise, so the
+      // ≥ 0 filter is the same predicate as `dist <= FuzzyMaxDist` (the
+      // LevenshteinThresholdRule rewrite, applied by hand on the hot path)
       .select(col("ea.doc_id").as("id_a"), col("eb.doc_id").as("id_b"),
-        levenshtein(col("ea.norm"), col("eb.norm")).cast("bigint").as("dist"))
-      .filter(col("dist") <= FuzzyMaxDist) // verify BEFORE the dedup exchange
+        levenshtein(col("ea.norm"), col("eb.norm"), FuzzyMaxDist)
+          .cast("bigint").as("dist"))
+      .filter(col("dist") >= 0) // verify BEFORE the dedup exchange
       .distinct()
     observeDrops(
       pairs.withColumn("is_sentinel", lit(false))

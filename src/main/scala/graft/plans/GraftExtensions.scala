@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plain-SQL set-overlap gets the native count kernel automatically
     // (guarded rewrite — see the rule's soundness note)
     ext.injectOptimizerRule(_ => IntersectKernelRule)
+    // plain-SQL bounded edit-distance predicates get the banded DP
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRule)
   }
 }
 

@@ -114,6 +114,33 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     spark.catalog.clearCache()
   }
 
+  test("skew_join_salted shuffles on the salted key pair, never broadcasts") {
+    val df = SparkEntry.queries("skew_join_salted")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    // the demo's point: a shuffled hash join keyed on (key, salt) — a
+    // broadcast would bypass the shuffle the salt exists to spread
+    assert(countNodes(plan, "BroadcastHashJoin") === 0,
+      s"salted join must not broadcast:\n$plan")
+    val s = plan.toString
+    assert("ShuffledHashJoin \\[user_id[^\\]]*__salt".r.findFirstIn(s).isDefined,
+      s"expected a (user_id, __salt)-keyed ShuffledHashJoin in:\n$s")
+    // salt-invariance: identical to the PLAIN join (what the oracle runs)
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+    val ev = graft.sources.Tables.events(spark, dir)
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val plain = ev.join(cust, ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val salted = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(salted === plain)
+    assert(salted.values.map(_._1).sum > 0, "join must match rows")
+    spark.catalog.clearCache()
+  }
+
   test("ljot queries push the event_type predicate into the parquet scan") {
     Seq("ljot_events", "interval_join_inner", "timeout_only").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
