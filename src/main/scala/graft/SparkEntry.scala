@@ -355,6 +355,7 @@ object SparkEntry {
     // key-skew profile: heavy hitters on the flagship join key
     "skew_profile"        -> ((s, d) => Relational.eventKeySkew(s, d)),
     "skew_join_salted"    -> ((s, d) => Relational.saltedSegmentJoin(s, d)),
+    "format_roundtrip"    -> ((s, d) => graft.sources.TextFormats.formatRoundtrip(s, d)),
     // deepest join tree in the suite: 2 facts + 5 broadcast dimension arms
     "market_share"        -> ((s, d) => Relational.marketShare(s, d)),
     // before/after window contrast: step changes in hourly arrival rates
@@ -517,6 +518,7 @@ object SparkEntry {
     "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
     "skew_join_salted"    -> Relational.saltedSegmentJoinSql,
+    "format_roundtrip"    -> graft.sources.TextFormats.formatRoundtripSql,
     "market_share"        -> Relational.marketShareSql,
     "level_shift"         -> Relational.levelShiftDetectSql,
     "corpus_checksum"     -> Corpus.corpusChecksumSql("documents"),
