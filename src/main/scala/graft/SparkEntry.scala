@@ -333,6 +333,12 @@ object SparkEntry {
     "hourly_autocorr"     -> ((s, d) => Relational.hourlyAutocorr(s, d)),
     // per-column null/blank/distinct schema-health profile
     "null_profile"        -> ((s, d) => Corpus.nullProfile(Tables.documents(s, d))),
+    // raw-scale twin of null_profile's distinct column: per-column KMV
+    // cardinality estimates, one scan, O(k)-per-column exchange
+    "sketch_profile"      -> ((s, d) => Corpus.sketchProfile(Tables.documents(s, d))),
+    // snapshot-diff audit: added/removed/changed/unchanged per source
+    // between two (deterministically derived) corpus versions
+    "corpus_diff"         -> ((s, d) => Corpus.corpusDiff(Tables.documents(s, d))),
     // certified vocabulary heavy hitters via the native Misra-Gries aggregate
     // (mergeable O(k) sketch — rows-only check like the HLL/GK sketches)
     "mg_heavy_hitters"    -> ((s, d) => Corpus.mgHeavyHitters(Tables.documents(s, d))),
@@ -504,6 +510,8 @@ object SparkEntry {
     "hourly_autocorr"     -> Relational.hourlyAutocorrSql,
     "dedup_savings"       -> DedupClusters.dedupSavingsSql("documents", TextDedup.minhashLshSql("documents")),
     "null_profile"        -> Corpus.nullProfileSql("documents"),
+    "sketch_profile"      -> Corpus.sketchProfileSql("documents"),
+    "corpus_diff"         -> Corpus.corpusDiffSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

@@ -1652,4 +1652,124 @@ object Corpus {
          |       count(DISTINCT $c) AS n_distinct
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  // ---- one-scan sketch profile (the raw-scale cardinality audit) ------------
+
+  /** Sketch size for [[sketchProfile]] — small enough that the low-
+   * cardinality columns (lang, source) stay in the EXACT m < k branch
+   * at sf0.01 while the per-row columns (doc_id, text, n_chars) pin
+   * the estimator branch. */
+  val SketchProfileK = 64
+
+  /** Per-column string rendering for the sketch profile — the hashed
+   * value must be byte-identical across engines, so non-strings go
+   * through the shared integer CAST and strings ride raw. */
+  private val SketchCols: Seq[(String, String)] = Seq(
+    ("doc_id", "CAST(doc_id AS STRING)"), ("text", "text"),
+    ("lang", "lang"), ("source", "source"),
+    ("n_chars", "CAST(n_chars AS STRING)"))
+
+  /** The raw-100 TB twin of [[nullProfile]]'s exact distinct column:
+   * per-column distinct-cardinality ESTIMATES from the deterministic
+   * KMV bottom-k sketch ([[graft.plans.KmvDistinctAgg]]), ONE corpus
+   * scan for every column at once. `nullProfile`'s exact counts ride a
+   * multi-distinct Expand — each row fans out once per column AND the
+   * exchange carries every distinct value; here the fan-out feeds a
+   * map-side ObjectHashAggregate whose exchange is O(k) PER COLUMN at
+   * any corpus size, which is what a daily whole-schema cardinality
+   * monitor over 100 TB actually runs. Output one row per column:
+   * (col_name, m, hk, n_distinct_kmv) — m is the exact count while a
+   * column has < k distinct values (lang/source land here), hk/est the
+   * sketch evidence past it. Unlike the HLL swap `nullProfile`
+   * documents, the KMV output is a pure function of the input set, so
+   * this stays FULLY hash-checked against the window-form oracle. */
+  def sketchProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val stacked = SketchCols.map { case (c, render) => s"'$c', $render" }
+      .mkString(", ")
+    val sk = toCol(graft.plans.KmvDistinctAgg(
+      toExpr(md5(col("value"))), SketchProfileK).toAggregateExpression())
+    docs
+      .select(expr(s"stack(${SketchCols.size}, $stacked) AS (col_name, value)"))
+      .groupBy(col("col_name"))
+      .agg(sk.as("sk"))
+      .select(col("col_name"), col("sk.m").as("m"), col("sk.hk").as("hk"),
+        col("sk.est").as("n_distinct_kmv"))
+  }
+
+  /** DuckDB twin: per-column bottom-k of md5(value) via the shared
+   * window form, the same estimator text as the grouped KMV oracle. */
+  def sketchProfileSql(table: String): String = {
+    val k = SketchProfileK
+    val vals = SketchCols.map { case (c, render) =>
+      s"SELECT '$c' AS col_name, ${render.replace(" AS STRING", " AS VARCHAR")} AS value FROM $table"
+    }.mkString("\nUNION ALL ")
+    s"""WITH vals AS ($vals),
+       |uh AS (SELECT DISTINCT col_name, md5(value) AS h FROM vals WHERE value IS NOT NULL),
+       |bot AS (SELECT col_name, h,
+       |               row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn
+       |        FROM uh),
+       |agg AS (SELECT col_name, CAST(count(*) AS BIGINT) AS m,
+       |               max(CASE WHEN rn = $k THEN h END) AS hk
+       |        FROM bot WHERE rn <= $k GROUP BY col_name)
+       |SELECT col_name, m, hk,
+       |       ${Relational.kmvEstimatorAt(k).replace("\n", " ")} AS n_distinct_kmv
+       |FROM agg""".stripMargin
+  }
+
+  // ---- snapshot diff (dataset-version audit between two crawls) -------------
+
+  /** Classify every doc_id across two corpus snapshots as added /
+   * removed / changed / unchanged and roll up per (source, status) —
+   * the audit a pipeline runs between crawl N and crawl N+1 before
+   * retraining (a `changed` spike = upstream re-render; a `removed`
+   * spike = a feed silently dropped).
+   *
+   * Scale shape: each side collapses to (doc_id, md5 fingerprint,
+   * source) IN THE SCAN — the full-outer join on doc_id then shuffles
+   * 32-byte fingerprints, never text. One exchange per side, partial-
+   * agg rollup to O(sources × 4) rows. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"),
+      col("source").as("old_source"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_fp"),
+      col("source").as("new_source"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("new_source"), col("old_source")).as("source"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Deterministic synthetic snapshot pair over the shared table (the
+   * driver harness has ONE documents table, so the two "crawls" derive
+   * from it by doc_id arithmetic, mirrored exactly in the oracle):
+   * old = docs with doc_id % 10 ≠ 3, where every doc_id % 7 = 0 doc is
+   * truncated to its first 100 chars (the pre-re-render form);
+   * new = docs with doc_id % 10 ≠ 4, text as stored. So % 10 = 3 docs
+   * are `added`, % 10 = 4 `removed`, % 7 = 0 (minus those) `changed`. */
+  def corpusDiff(docs: DataFrame): DataFrame = {
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        substring(col("text"), 1, 100)).otherwise(col("text")))
+    val nw = docs.filter(col("doc_id") % 10 =!= 4)
+    snapshotDiff(old, nw).orderBy(col("source"), col("status"))
+  }
+
+  def corpusDiffSql(table: String): String =
+    s"""WITH old AS (SELECT doc_id, source,
+       |         md5(CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 100) ELSE text END) AS fp
+       |       FROM $table WHERE doc_id % 10 <> 3),
+       |nw AS (SELECT doc_id, source, md5(text) AS fp FROM $table WHERE doc_id % 10 <> 4)
+       |SELECT coalesce(nw.source, old.source) AS source,
+       |       CASE WHEN old.fp IS NULL THEN 'added'
+       |            WHEN nw.fp IS NULL THEN 'removed'
+       |            WHEN old.fp <> nw.fp THEN 'changed'
+       |            ELSE 'unchanged' END AS status,
+       |       count(*) AS n_docs
+       |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+       |GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 }

@@ -806,7 +806,7 @@ object Relational {
 
   /** [[kmvEstimator]] at sketch size `k` (the shared text is pinned to
    * [[KmvK]]; the grouped/audit forms parameterize it). */
-  private def kmvEstimatorAt(k: Int): String =
+  private[operators] def kmvEstimatorAt(k: Int): String =
     s"""CASE WHEN hk IS NULL OR ${hexVal13("hk")} = 0 THEN CAST(m AS DOUBLE)
        |ELSE CAST(${k - 1} AS DOUBLE) /
        |     (CAST(${hexVal13("hk")} AS DOUBLE) / ${1L << 52}.0) END""".stripMargin

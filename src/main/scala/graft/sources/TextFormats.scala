@@ -49,31 +49,49 @@ object TextFormats {
     df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
   }
 
+  /** Write `df` as ORC and read it back — the OTHER columnar format a
+   * warehouse migration hands you (Hive estates are ORC). Unlike the
+   * text formats it is self-describing (schema in the footer — the
+   * explicit schema here asserts writer/reader agreement rather than
+   * skipping an inference pass), splittable by stripe, and its
+   * min/max stripe stats serve predicate pushdown like parquet's row
+   * groups — so text columns ride it losslessly with no escaping
+   * layer at all. */
+  def orcRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
   /** Oracle-checked end-to-end proof over `documents`: the corpus goes
    * parquet → JSONL → DataFrame (text RIDES the JSON leg; its length
-   * is recomputed from the ROUNDTRIPPED text) and parquet → CSV →
-   * DataFrame (scalars only), then both legs aggregate per language.
-   * The two legs must agree with each other AND with the oracle that
+   * is recomputed from the ROUNDTRIPPED text), parquet → CSV →
+   * DataFrame (scalars only), and parquet → ORC → DataFrame (full
+   * fidelity, text included), then each leg aggregates per language.
+   * All legs must agree with each other AND with the oracle that
    * reads the parquet directly — any escaping or type-mapping defect
-   * in either format shows up as a count or char-sum drift. */
+   * in any format shows up as a count or char-sum drift. */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_fmt_rt").getPath
-    val viaJson = jsonRoundtrip(
-        docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
-        s"$base/json")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text")).cast("bigint")).as("total_chars"))
-      .withColumn("format", lit("json"))
+    def perLang(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("bigint")).as("total_chars"))
+        .withColumn("format", lit(fmt))
+    val viaJson = perLang(jsonRoundtrip(
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
+      s"$base/json"), "json")
+    val viaOrc = perLang(orcRoundtrip(
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source")),
+      s"$base/orc"), "orc")
     val viaCsv = csvRoundtrip(
         docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
         s"$base/csv")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .withColumn("format", lit("csv"))
-    viaJson.unionByName(viaCsv)
+    viaJson.unionByName(viaCsv).unionByName(viaOrc)
       .select(col("format"), col("lang"), col("n_docs"), col("total_chars"))
   }
 
@@ -83,6 +101,7 @@ object TextFormats {
     """SELECT f.format, d.lang, count(*) AS n_docs,
       |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
       |FROM documents d
-      |CROSS JOIN (SELECT 'json' AS format UNION ALL SELECT 'csv') f
+      |CROSS JOIN (SELECT 'json' AS format UNION ALL SELECT 'csv'
+      |            UNION ALL SELECT 'orc') f
       |GROUP BY f.format, d.lang""".stripMargin
 }

@@ -669,4 +669,73 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     // the doc holding the hapax maxes out; pure-boilerplate docs stay low
     assert(rows(32L) > rows(0L))
   }
+
+  test("sketch profile: exact below k, estimate within KMV error bound above") {
+    val docs = Tables.documents(spark, dir)
+    val prof = Corpus.sketchProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(prof.keySet ===
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    val exact = Corpus.nullProfile(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    prof.foreach { case (c, (m, est)) =>
+      val truth = exact(c)
+      if (truth < Corpus.SketchProfileK) {
+        // below k the sketch IS the exact distinct count
+        assert(m === truth, s"$c below-k branch must be exact")
+        assert(est === truth.toDouble, s"$c below-k estimate must be exact")
+      } else {
+        // standard KMV relative error ~ 1/sqrt(k-2); allow 4 sigma
+        val sigma = 1.0 / math.sqrt(Corpus.SketchProfileK - 2.0)
+        assert(math.abs(est - truth) / truth <= 4 * sigma,
+          s"$c estimate $est too far from exact $truth")
+      }
+    }
+    // the corpus must exercise BOTH branches for this test to mean anything
+    assert(exact.values.exists(_ < Corpus.SketchProfileK))
+    assert(exact.values.exists(_ >= Corpus.SketchProfileK))
+  }
+
+  test("sketch profile: one scan — no per-column re-read of the corpus") {
+    val plan = Corpus.sketchProfile(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single corpus scan, got $scans:\n$plan")
+  }
+
+  test("snapshot diff: classifies added/removed/changed/unchanged exactly") {
+    val old = Seq(
+      (1L, "alpha", "en", "a", 5L),   // unchanged
+      (2L, "beta old", "en", "a", 8L), // changed
+      (3L, "gamma", "en", "b", 5L)    // removed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nw = Seq(
+      (1L, "alpha", "en", "a", 5L),
+      (2L, "beta new", "en", "a", 8L),
+      (4L, "delta", "en", "b", 5L)    // added
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.snapshotDiff(old, nw).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", "unchanged") -> 1L, ("a", "changed") -> 1L,
+      ("b", "removed") -> 1L, ("b", "added") -> 1L))
+  }
+
+  test("corpus diff: statuses follow the doc_id arithmetic that derives the snapshots") {
+    val docs = Tables.documents(spark, dir)
+    val byStatus = Corpus.corpusDiff(docs).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val ids = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val added = ids.count(_._1 % 10 == 3)
+    val removed = ids.count(_._1 % 10 == 4)
+    // changed = in both snapshots, % 7 == 0, and truncation actually
+    // altered the text (longer than the 100-char cut)
+    val changed = ids.count { case (id, n) =>
+      id % 10 != 3 && id % 10 != 4 && id % 7 == 0 && n > 100 }
+    assert(byStatus.getOrElse("added", 0L) === added.toLong)
+    assert(byStatus.getOrElse("removed", 0L) === removed.toLong)
+    assert(byStatus.getOrElse("changed", 0L) === changed.toLong)
+    assert(byStatus.values.sum === ids.count(_._1 % 10 != 3) + added)
+  }
 }

@@ -81,6 +81,20 @@ class TextFormatsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("ORC roundtrip is byte-faithful on adversarial strings incl. newlines") {
+    // ORC is columnar — no escaping layer exists to get wrong, so the
+    // newline row rides along with the rest (the JSON/CSV divergence
+    // does not apply)
+    val rows = nasty :+ (7L, Some("line one\nline two\r\nthree"), Some("en"))
+    val out = byId(TextFormats.orcRoundtrip(toDf(rows), s"$base/orc_nasty"))
+    assert(out.size === rows.length)
+    rows.foreach { case (id, text, lang) =>
+      val r = out(id)
+      assert(Option(r.getAs[String]("text")) === text, s"text drift for id=$id")
+      assert(Option(r.getAs[String]("lang")) === lang, s"lang drift for id=$id")
+    }
+  }
+
   test("formatRoundtrip legs agree with the parquet source at sf0.001") {
     val df = TextFormats.formatRoundtrip(spark, "/root/testdata/sf0.001")
     val rows = df.collect().map(r =>
@@ -95,7 +109,8 @@ class TextFormatsSpec extends AnyFunSuite with SparkTestHarness {
     direct.foreach { case (lang, agg) =>
       assert(rows(("json", lang)) === agg, s"json leg drift for $lang")
       assert(rows(("csv", lang)) === agg, s"csv leg drift for $lang")
+      assert(rows(("orc", lang)) === agg, s"orc leg drift for $lang")
     }
-    assert(rows.size === 2 * direct.size)
+    assert(rows.size === 3 * direct.size)
   }
 }
