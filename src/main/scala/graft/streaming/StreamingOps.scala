@@ -168,6 +168,34 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Windowed distinct-count sketch: per tumbling window, the
+   * deterministic KMV bottom-k estimate of distinct `keyCol` values —
+   * the streaming form of the batch `kmv_distinct` aggregate
+   * ([[graft.plans.KmvDistinctAgg]]). An exact streaming
+   * `approx_count_distinct` twin exists in Spark, but its HLL state is
+   * engine-internal; KMV's state is a pure function of the input SET,
+   * so (a) the streaming answer is bit-identical to the batch answer
+   * over the same rows — pinned in `StreamingOpsSpec` — and (b) per-
+   * window state is O(k) FOREVER (an exact windowed distinct holds
+   * every key seen in the window — unbounded per-user state at scale).
+   * Output: (window_start, window_end, m, hk, n_distinct_kmv). */
+  def windowedKmvDistinct(in: DataFrame, windowDur: String,
+                          watermarkDelay: String, k: Int,
+                          keyCol: String = "key"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val h = md5(col(keyCol).cast("string"))
+    val sk = toCol(graft.plans.KmvDistinctAgg(toExpr(h), k).toAggregateExpression())
+    // batch DataFrames run the identical plan minus the watermark — the
+    // backfill path of the same metric (and the spec's equality oracle)
+    val wm = if (in.isStreaming) in.withWatermark("ts", watermarkDelay) else in
+    wm.groupBy(window(col("ts"), windowDur))
+      .agg(sk.as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("sk.m").as("m"), col("sk.hk").as("hk"),
+        col("sk.est").as("n_distinct_kmv"))
+  }
+
   /** Stream-static enrichment: join a streaming fact stream to a STATIC
    * dimension on `key` — the lookup-join every event pipeline runs
    * (user profile, device registry, doc metadata onto its stream).

@@ -243,6 +243,45 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct: streaming state equals the batch sketch bit-for-bit") {
+    // 3 micro-batches build the first window's sketch INCREMENTALLY
+    // through the state store; KMV is merge-order-free, so the result
+    // must equal the one-shot batch aggregate over the same rows —
+    // including the estimator branch (k=8 < 12 distinct keys)
+    val k = 8
+    val events =
+      (1 to 12).map(i => rec(i.toLong, 1.0, base + 1000 + i)) ++ // window 1: 12 distinct
+      (1 to 6).map(i => rec((i % 3).toLong, 1.0, base + 12000 + i)) // window 2: 3 distinct
+    val in = MemoryStream[VRec]
+    val out = StreamingOps.windowedKmvDistinct(in.toDF(), "10 seconds", "5 seconds", k)
+    val q = out.writeStream.format("memory").queryName("kmv_win_out")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = events.splitAt(5)
+      val (b2, b3) = rest.splitAt(5)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      in.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("kmv_win_out").collect()
+        .filter(_.getTimestamp(0).getTime < base + 3000 * 1000L)
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2),
+          Option(r.getString(3)), r.getDouble(4))).toSeq.sorted
+      val expect = StreamingOps.windowedKmvDistinct(
+          events.toDF(), "10 seconds", "0 seconds", k)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2),
+          Option(r.getString(3)), r.getDouble(4))).toSeq.sorted
+      assert(got === expect)
+      // branch sanity: window 1 saturated the sketch (m = k, estimator
+      // live), window 2 stayed exact
+      val byWin = got.map { case (w, m, hk, est) => w -> ((m, hk, est)) }.toMap
+      assert(byWin(base + 0L)._1 === k.toLong)
+      assert(byWin(base + 0L)._2.isDefined)
+      assert(byWin(base + 10000L) === ((3L, None, 3.0)))
+    } finally q.stop()
+  }
+
   test("kafka decode/encode projections round-trip the canonical schema") {
     val wire = Seq((Array[Byte]('4', '2'), "hello".getBytes, new Timestamp(base)))
       .toDF("key", "value", "timestamp")
