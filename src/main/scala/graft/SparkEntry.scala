@@ -141,6 +141,11 @@ object SparkEntry {
     // estimator-error audit: exact distinct vs the KMV estimate per
     // event_type (the ann_recall-style design-point check of the sketch)
     "kmv_error_audit"     -> ((s, d) => Relational.kmvErrorAudit(s, d)),
+    // trailing-7-day rolling distinct users: per-day KMV sketches merged
+    // RELATIONALLY per window (bottom-k of a union = bottom-k of the
+    // per-day bottom-k's) — exact rolling distinct is unaffordable at
+    // raw scale; this is one corpus pass + an O(days*k)-row merge
+    "kmv_rolling_users"   -> ((s, d) => Relational.kmvRollingUsers(s, d)),
     // corpus distribution profiling: EXACT per-language length quantiles
     // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
     // linear-interpolation definition — verified value-identical)
@@ -524,6 +529,7 @@ object SparkEntry {
     "kmv_distinct_agg"    -> Relational.kmvDistinctAggUsersSql,
     "kmv_users_by_day"    -> Relational.kmvUsersByDaySql,
     "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
+    "kmv_rolling_users"   -> Relational.kmvRollingUsersSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
     "skew_join_salted"    -> Relational.saltedSegmentJoinSql,
     "format_roundtrip"    -> graft.sources.TextFormats.formatRoundtripSql,

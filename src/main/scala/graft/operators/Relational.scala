@@ -878,6 +878,70 @@ object Relational {
        |       abs(n_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM est""".stripMargin
 
+  /** Trailing window width for [[kmvRollingUsers]] (days, inclusive). */
+  val RollDays = 7
+
+  /** Rolling trailing-[[RollDays]]-day distinct users per day via KMV
+   * sketch COMPOSITION — the query exact methods cannot survive at raw
+   * scale: an exact rolling distinct either re-scans every window
+   * ([[RollDays]]× the data) or holds per-(user, window) state
+   * (O(users·windows) exchange). Here ONE aggregate pass builds a
+   * per-day bottom-k hash array ([[graft.plans.KmvMinsAgg]]), and every
+   * window is a RELATIONAL merge over O(days·k) rows: the bottom-k of a
+   * set union is the bottom-k of the concatenated per-set bottom-k's
+   * (every global minimum is a minimum of its own day — Beyer et al.
+   * 2007), so explode + re-rank over the tiny sketch relation
+   * reconstructs each window's sketch EXACTLY as if built from raw
+   * data. The window fan-out is an `explode(sequence(...))` +
+   * equi-semi-join on observed days — never a range join. Everything
+   * downstream of the one corpus pass is deterministic, so the driver
+   * gate is the full hash check. Output (day_end, m, hk, n_users_7d);
+   * day_end is the epoch-day of the trailing window's last day. */
+  def kmvRollingUsers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val h = md5(col("user_id").cast("string"))
+    val sk = toCol(graft.plans.KmvMinsAgg(toExpr(h), KmvK).toAggregateExpression())
+    val daySk = Tables.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint").as("day"))
+      .agg(sk.as("mins"))
+      .persist() // feeds the window fan-out AND the observed-day list
+    val contrib = daySk
+      .select(col("day"), explode(col("mins")).as("h"))
+      .select(explode(sequence(col("day"), col("day") + lit(RollDays - 1).cast("bigint")))
+        .as("day_end"), col("h"))
+      // trailing windows end only on OBSERVED days (equi semi-join — a
+      // BETWEEN range join would be a BNLJ)
+      .join(daySk.select(col("day").as("day_end")), Seq("day_end"), "left_semi")
+      // a user hash can sit in several days' sketches within one window
+      .distinct()
+    val w = Window.partitionBy(col("day_end")).orderBy(col("h"))
+    contrib.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+      .groupBy(col("day_end"))
+      .agg(count(lit(1)).as("m"), max(when(col("rn") === KmvK, col("h"))).as("hk"))
+      .select(col("day_end"), col("m"), col("hk"),
+        expr(kmvEstimator).as("n_users_7d"))
+  }
+
+  def kmvRollingUsersSql: String =
+    s"""WITH uh AS (SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       |                   md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+       |day_bot AS (SELECT day, h,
+       |                   row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |            FROM uh),
+       |day_sk AS (SELECT day, h FROM day_bot WHERE rn <= $KmvK),
+       |days AS (SELECT DISTINCT day FROM uh),
+       |contrib AS (SELECT DISTINCT d.day AS day_end, s.h
+       |            FROM day_sk s JOIN days d
+       |            ON d.day BETWEEN s.day AND s.day + ${RollDays - 1}),
+       |ranked AS (SELECT day_end, h,
+       |                  row_number() OVER (PARTITION BY day_end ORDER BY h) AS rn
+       |           FROM contrib),
+       |agg AS (SELECT day_end, CAST(count(*) AS BIGINT) AS m,
+       |               max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |        FROM ranked WHERE rn <= $KmvK GROUP BY day_end)
+       |SELECT day_end, m, hk, ${kmvEstimator.replace("\n", " ")} AS n_users_7d
+       |FROM agg""".stripMargin
+
   // ---- pivot (wide cross-tab) ----------------------------------------------
 
   /** The document sources, pinned so [[docSourcePivot]] runs as a SINGLE

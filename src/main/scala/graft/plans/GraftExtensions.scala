@@ -131,6 +131,15 @@ object GraftFunctions {
         KmvDistinctAgg(e(0), literalIntParam("kmv_distinct", "k", e(1), lo = 2))
           .toAggregateExpression()
       }),
+    ("kmv_mins",
+      info("kmv_mins",
+        "kmv_mins(h, k) - bottom-k KMV sketch over pre-hashed STRING rows as the sorted " +
+          "hash ARRAY (relationally mergeable: bottom-k of a union = bottom-k of the " +
+          "concatenated per-group arrays)"),
+      (es: Seq[Expression]) => arity("kmv_mins", 2, es) { e =>
+        KmvMinsAgg(e(0), literalIntParam("kmv_mins", "k", e(1), lo = 2))
+          .toAggregateExpression()
+      }),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

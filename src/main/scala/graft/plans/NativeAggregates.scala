@@ -298,3 +298,75 @@ case class KmvDistinctAgg(
   override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
     copy(child = newChild)
 }
+
+/**
+ * `kmv_mins(h, k)` — the same KMV bottom-k sketch as [[KmvDistinctAgg]]
+ * but evaluating to the sorted bottom-k hash ARRAY itself instead of
+ * the (m, hk, est) summary. The array is what makes KMV sketches
+ * COMPOSABLE relationally: the bottom-k of a union of sets is a pure
+ * function of the per-set bottom-k arrays (every global minimum is a
+ * minimum of its own set — Beyer et al. 2007 §3), so per-group sketches
+ * can be merged DOWNSTREAM by explode + re-rank without touching the
+ * raw data again. That is the primitive behind rolling-window distinct
+ * counts: one pass builds per-day sketches, any window over them is an
+ * O(days·k)-row relational merge.
+ */
+case class KmvMinsAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSketch] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(k >= 2, "kmv_mins needs k >= 2 (downstream estimators divide by the k-th minimum)")
+
+  override def prettyName: String = "kmv_mins"
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
+
+  override def update(buf: KmvSketch, input: InternalRow): KmvSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: KmvSketch, b: KmvSketch): KmvSketch = a.merge(b)
+
+  override def eval(buf: KmvSketch): Any = {
+    val out = new Array[Any](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: KmvSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.mins.size)
+    val it = buf.mins.iterator()
+    while (it.hasNext) out.writeUTF(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new KmvSketch(in.readInt())
+    var m = in.readInt()
+    while (m > 0) { sk.mins.add(in.readUTF()); m -= 1 }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvMinsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMinsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinsAgg =
+    copy(child = newChild)
+}

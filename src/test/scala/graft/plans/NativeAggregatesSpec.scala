@@ -238,4 +238,64 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     assert(errInput.getCondition != null &&
       errInput.getCondition.startsWith("DATATYPE_MISMATCH"))
   }
+
+  test("kmv_mins composition: window merge of per-day sketches equals the raw-window sketch") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val k = 16
+    val ev = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint").as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+    val mins = toCol(KmvMinsAgg(toExpr(col("h")), k).toAggregateExpression())
+    val daySk = ev.groupBy("day").agg(mins.as("mins")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rawByDay = ev.distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(daySk.nonEmpty)
+    // per-day array IS the sorted bottom-k of that day's distinct hashes
+    daySk.foreach { case (d, arr) =>
+      assert(arr === rawByDay(d).toSeq.sorted.take(k), s"day $d")
+    }
+    // the composition claim: for every 7-day window, bottom-k of the
+    // CONCATENATED per-day arrays == bottom-k of the raw window union
+    val days = daySk.keySet.toSeq.sorted
+    days.foreach { dEnd =>
+      val win = days.filter(d => d >= dEnd - 6 && d <= dEnd)
+      val merged = win.flatMap(daySk).distinct.sorted.take(k)
+      val raw = win.flatMap(rawByDay).distinct.sorted.take(k)
+      assert(merged === raw, s"window ending $dEnd")
+    }
+  }
+
+  test("kmv_rolling_users: every window's sketch matches one built from raw window data") {
+    val got = graft.operators.Relational.kmvRollingUsers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2)), r.getDouble(3))))
+      .toMap
+    val k = graft.operators.Relational.KmvK
+    val uh = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint").as("day"),
+        md5(col("user_id").cast("string")).as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val days = uh.map(_._1).distinct.sorted
+    assert(got.keySet === days.toSet, "one output row per observed day")
+    days.foreach { dEnd =>
+      val bot = uh.filter { case (d, _) => d >= dEnd - 6 && d <= dEnd }
+        .map(_._2).distinct.sorted.take(k)
+      val (m, hk, est) = got(dEnd)
+      assert(m === bot.length.toLong, s"window $dEnd m")
+      assert(hk === (if (bot.length == k) Some(bot.last) else None), s"window $dEnd hk")
+      if (bot.length < k) assert(est === bot.length.toDouble, s"window $dEnd exact branch")
+      else assert(est > 0.0, s"window $dEnd estimator branch")
+    }
+    // sf0.001 has only ~15 users, so every window above ran the EXACT
+    // branch; the estimator branch needs the gate scale (sf0.01 windows
+    // hold 134-150 distinct users > k = 64) — assert it saturates there
+    assert(got.values.forall(_._2.isEmpty), "sf0.001 windows must stay below k")
+    val gate = graft.operators.Relational.kmvRollingUsers(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(gate.nonEmpty && gate.forall(_.getLong(1) === k.toLong),
+      "every sf0.01 window must saturate the sketch (estimator branch)")
+    assert(gate.forall(r => r.getDouble(3) > k.toDouble),
+      "saturated estimates must exceed k")
+  }
 }
