@@ -94,8 +94,20 @@ object VectorOps {
   def cosine(dotQ: Column, n2a: Column, n2b: Column): Column =
     dotQ.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
+  /** DuckDB-side exact integer dot. `list_dot_product` returns DOUBLE,
+   * but at these magnitudes the double IS the exact integer: every
+   * product is an integer ≤ 2^21 × 2^21 = 2^42, every partial sum an
+   * integer ≤ [[Dim]] × 2^42 = 2^48 < 2^53, and doubles represent all
+   * integers below 2^53 — so the result is order-independent and the
+   * BIGINT cast lossless. The previous indexed-comprehension form
+   * (`list_sum([qa[i] * qb[i] for i in range ...])`) was semantically
+   * identical but ~1000× slower: DuckDB re-evaluates an indexed list
+   * EXPRESSION per element access (the engine-side gotcha mirrored),
+   * which made the two candidate-verify oracles the multi-hour tail of
+   * every full sf0.1 compare (emb_neardup 30 min, semantic_dedup
+   * 50 min → seconds). */
   private def dotSql(qa: String, qb: String): String =
-    s"CAST(list_sum([$qa[i] * $qb[i] for i in range(1, ${Dim + 1})]) AS BIGINT)"
+    s"CAST(list_dot_product($qa, $qb) AS BIGINT)"
 
   private def cosineSql(dot: String, n2a: String, n2b: String): String =
     s"(CAST($dot AS DOUBLE) / sqrt(CAST($n2a AS DOUBLE) * CAST($n2b AS DOUBLE)))"
@@ -125,7 +137,7 @@ object VectorOps {
 
   private def quantizedSql(table: String): String =
     s"""q0 AS (SELECT vec_id, ${quantizeSql("embedding")} AS q FROM $table),
-       |qn AS (SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0)""".stripMargin
+       |qn AS (SELECT vec_id, q, ${dotSql("q", "q")} AS n2 FROM q0)""".stripMargin
 
   // ---- 1. embedding-cosine near-dup ----------------------------------------
 
@@ -287,7 +299,7 @@ object VectorOps {
     // and 216 planes blow its 128-deep recursion limit
     val bitStr = planes.map { h =>
       val lit = h.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product(q, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
     val bandCase = NearDupBandTable.toSeq.sorted
       .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
@@ -487,7 +499,7 @@ object VectorOps {
   private def lshBitsSql(q: String): String =
     lshPlanePool.map { h =>
       val lit = h.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([$q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product($q, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
 
   /** Approximate top-[[LshK]]: rank only within the query's hyperplane
@@ -864,7 +876,7 @@ object VectorOps {
     val planes = hyperplanesN(semRowsMax * semBandTable(semRowsMax))
     val bitStr = planes.map { h =>
       val lit = h.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([q[i] * $lit[i] for i in range(1, ${Dim + 1})]) >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN list_dot_product(q, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
     s"""WITH ${quantizedSql(table)},
        |${ivfAssignSql(table)},
@@ -1176,8 +1188,8 @@ object VectorOps {
        |  [CAST(floor(CAST(x AS DOUBLE) * $CoarseScale) AS BIGINT) for x in embedding] AS q8
        |  FROM $table),
        |qn AS (SELECT vec_id, q, q8,
-       |  CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2,
-       |  CAST(list_sum([x * x for x in q8]) AS BIGINT) AS m2 FROM q0),
+       |  CAST(list_dot_product(q, q) AS BIGINT) AS n2,
+       |  CAST(list_dot_product(q8, q8) AS BIGINT) AS m2 FROM q0),
        |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, q8 AS qq8, m2 AS mq
        |  FROM qn WHERE $queryBoundSql),
        |scored AS (
