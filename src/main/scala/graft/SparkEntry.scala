@@ -146,6 +146,10 @@ object SparkEntry {
     // per-day bottom-k's) — exact rolling distinct is unaffordable at
     // raw scale; this is one corpus pass + an O(days*k)-row merge
     "kmv_rolling_users"   -> ((s, d) => Relational.kmvRollingUsers(s, d)),
+    // set-operation estimation from per-side sketches: |A∪B| and |A∩B|
+    // of purchase-vs-error user sets from two O(k) arrays (the
+    // join-cardinality pricing primitive), with exact audit columns
+    "kmv_overlap_audit"   -> ((s, d) => Relational.kmvOverlapAudit(s, d)),
     // corpus distribution profiling: EXACT per-language length quantiles
     // (Spark `percentile` and DuckDB `quantile_cont` share the R-7
     // linear-interpolation definition — verified value-identical)
@@ -530,6 +534,7 @@ object SparkEntry {
     "kmv_users_by_day"    -> Relational.kmvUsersByDaySql,
     "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
     "kmv_rolling_users"   -> Relational.kmvRollingUsersSql,
+    "kmv_overlap_audit"   -> Relational.kmvOverlapAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,
     "skew_join_salted"    -> Relational.saltedSegmentJoinSql,
     "format_roundtrip"    -> graft.sources.TextFormats.formatRoundtripSql,

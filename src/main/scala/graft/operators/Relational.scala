@@ -878,6 +878,82 @@ object Relational {
        |       abs(n_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM est""".stripMargin
 
+  /** Set-operation estimation from KMV sketches (Beyer et al. 2007 §4 —
+   * the "multiset operations" half of the paper the distinct estimator
+   * comes from): the bottom-k of A ∪ B is computable from the two
+   * per-side bottom-k's alone, and the fraction ρ of those union minima
+   * present in BOTH sides estimates |A ∩ B| as ρ · est(|A ∪ B|). This
+   * is how an optimizer prices a join's output (or a pipeline prices an
+   * incremental-dedup pass) WITHOUT touching raw data twice: per-side
+   * sketches are O(k), the set arithmetic is driver-free column math on
+   * two ≤k arrays. One corpus pass builds BOTH side sketches
+   * (conditional child — NULLs skip the update), the exact
+   * union/overlap ride the same pass's distinct relation for the audit
+   * columns. Everything is deterministic → full hash check. Output one
+   * row: (m, hk, n_both, est_union, est_intersect, n_union_exact,
+   * n_intersect_exact). */
+  def kmvOverlapAudit(s: SparkSession, dir: String): DataFrame =
+    overlapAuditOf(Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error")), "purchase", "error")
+
+  /** The set-operation arithmetic over any (event_type, user_id)-shaped
+   * input — separated so the spec can drive PARTIAL-overlap sets (the
+   * shared tables' user sets overlap fully at every SF, which exercises
+   * the ρ = 1 edge but not the estimator's interior). */
+  private[graft] def overlapAuditOf(ev: DataFrame,
+                                        sideA: String, sideB: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val h = md5(col("user_id").cast("string"))
+    def sideSketch(t: String) = toCol(graft.plans.KmvMinsAgg(
+      toExpr(when(col("event_type") === t, h)), KmvK).toAggregateExpression())
+    val sketchRow = ev
+      .agg(sideSketch(sideA).as("a"), sideSketch(sideB).as("b"))
+      // materialize ku as a real column FIRST: element_at over an inline
+      // array expression re-evaluates the whole expression per access
+      .select(col("a"), col("b"),
+        slice(array_sort(array_union(col("a"), col("b"))), 1, KmvK).as("ku"))
+      .select(
+        size(col("ku")).cast("bigint").as("m"),
+        when(size(col("ku")) === KmvK, element_at(col("ku"), KmvK)).as("hk"),
+        size(array_intersect(array_intersect(col("ku"), col("a")), col("b")))
+          .cast("bigint").as("n_both"))
+    val exactRow = ev
+      .select(col("event_type"), h.as("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("sides"))
+      .agg(count(lit(1)).as("n_union_exact"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("n_intersect_exact"))
+    sketchRow.crossJoin(exactRow) // two 1-row relations
+      .select(col("m"), col("hk"), col("n_both"),
+        expr(kmvEstimator).as("est_union"),
+        expr(s"CAST(n_both AS DOUBLE) * (${kmvEstimator.replace("\n", " ")}) / CAST(m AS DOUBLE)")
+          .as("est_intersect"),
+        col("n_union_exact"), col("n_intersect_exact"))
+  }
+
+  def kmvOverlapAuditSql: String =
+    s"""WITH uh AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+       |            FROM events WHERE event_type IN ('purchase', 'error')),
+       |a AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |                     FROM (SELECT DISTINCT h FROM uh WHERE event_type = 'purchase'))
+       |      WHERE rn <= $KmvK),
+       |b AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |                     FROM (SELECT DISTINCT h FROM uh WHERE event_type = 'error'))
+       |      WHERE rn <= $KmvK),
+       |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |                      FROM (SELECT h FROM a UNION SELECT h FROM b))
+       |       WHERE rn <= $KmvK),
+       |sk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ku) AS m,
+       |              (SELECT CASE WHEN count(*) = $KmvK THEN max(h) END FROM ku) AS hk,
+       |              (SELECT CAST(count(*) AS BIGINT)
+       |               FROM ku JOIN a USING (h) JOIN b USING (h)) AS n_both),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_union_exact,
+       |              CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect_exact
+       |       FROM (SELECT h, count(*) AS sides FROM uh GROUP BY h))
+       |SELECT m, hk, n_both, ${kmvEstimator.replace("\n", " ")} AS est_union,
+       |       CAST(n_both AS DOUBLE) * (${kmvEstimator.replace("\n", " ")}) / CAST(m AS DOUBLE) AS est_intersect,
+       |       n_union_exact, n_intersect_exact
+       |FROM sk CROSS JOIN ex""".stripMargin
+
   /** Trailing window width for [[kmvRollingUsers]] (days, inclusive). */
   val RollDays = 7
 

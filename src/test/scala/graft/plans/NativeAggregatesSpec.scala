@@ -298,4 +298,35 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     assert(gate.forall(r => r.getDouble(3) > k.toDouble),
       "saturated estimates must exceed k")
   }
+
+  test("kmv overlap estimator: partial-overlap sets track the true union and intersection") {
+    // the shared tables' user sets overlap FULLY at every SF (ρ = 1 edge,
+    // covered by the checked kmv_overlap_audit); the estimator's interior
+    // needs constructed sets: A = 0..1999, B = 1000..2999 →
+    // |A ∪ B| = 3000, |A ∩ B| = 1000, ρ = 1/3
+    val rows = (0 until 2000).map(u => ("purchase", u.toLong)) ++
+               (1000 until 3000).map(u => ("error", u.toLong))
+    val ev = rows.toDF("event_type", "user_id").repartition(7)
+    val r = graft.operators.Relational.overlapAuditOf(ev, "purchase", "error").head()
+    val k = graft.operators.Relational.KmvK
+    assert(r.getLong(0) === k.toLong, "union sketch saturates")
+    assert(r.getLong(5) === 3000L && r.getLong(6) === 1000L, "exact audit columns")
+    val (estU, estI) = (r.getDouble(3), r.getDouble(4))
+    // KMV RSE = 1/sqrt(k-1) ~ 12.6%; allow 4 sigma on the union and a
+    // looser 50% band on the intersection (its ratio estimator compounds
+    // the union error with binomial noise on n_both/k)
+    assert(math.abs(estU - 3000.0) / 3000.0 <= 4 / math.sqrt(k - 1.0), s"est_union $estU")
+    assert(estI > 500.0 && estI < 1500.0, s"est_intersect $estI")
+    // degenerate edges: disjoint sets estimate 0; identical sets estimate the union
+    val disjoint = graft.operators.Relational.overlapAuditOf(
+      ((0 until 500).map(u => ("purchase", u.toLong)) ++
+       (500 until 1000).map(u => ("error", u.toLong))).toDF("event_type", "user_id"),
+      "purchase", "error").head()
+    assert(disjoint.getDouble(4) === 0.0 && disjoint.getLong(6) === 0L)
+    val same = graft.operators.Relational.overlapAuditOf(
+      ((0 until 800).map(u => ("purchase", u.toLong)) ++
+       (0 until 800).map(u => ("error", u.toLong))).toDF("event_type", "user_id"),
+      "purchase", "error").head()
+    assert(same.getDouble(4) === same.getDouble(3), "identical sets: est_intersect = est_union")
+  }
 }

@@ -58,6 +58,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "hourly_seasonality" -> 1, // 1-row total-events broadcast (same shape)
     "quant_recall_audit" -> 1, // deliberate brute pass (ann_brute_topk shape)
     "benford_profile" -> 1, // 1-row total broadcast (mix_weights shape)
+    "kmv_overlap_audit" -> 1, // two 1-row aggregates crossJoined (audit shape)
     "semantic_decontaminate" -> 1) // bounded eval-sample broadcast (brute shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
