@@ -258,6 +258,10 @@ object SparkEntry {
     "text_simsearch"      -> ((s, d) => TextDedup.simSearch(Tables.documents(s, d))),
     // vector similarity
     "emb_neardup"         -> ((s, d) => VectorOps.embeddingNearDup(Tables.embeddings(s, d))),
+    // incremental (new-batch x standing-corpus) semantic dedup: cross-
+    // side-only band candidates, old buckets capped — the vector twin
+    // of dedup_incremental
+    "semantic_incremental" -> ((s, d) => VectorOps.semanticIncremental(Tables.embeddings(s, d))),
     // semantic dedup: cluster-then-prune per-vector keep verdict (SemDeDup)
     "semantic_dedup"      -> ((s, d) => VectorOps.semanticDedup(Tables.embeddings(s, d))),
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
@@ -467,6 +471,7 @@ object SparkEntry {
     "doc_surprisal"       -> Corpus.docSurprisalSql("documents"),
     "text_simsearch"      -> TextDedup.simSearchSql("documents"),
     "emb_neardup"         -> VectorOps.embeddingNearDupSql("embeddings"),
+    "semantic_incremental" -> VectorOps.semanticIncrementalSql("embeddings"),
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "knn_label"           -> VectorOps.knnLabelSql("embeddings"),

@@ -328,6 +328,93 @@ object VectorOps {
        |WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $NearDupSim""".stripMargin
   }
 
+  /** New-crawl share for [[semanticIncremental]]'s deterministic split:
+   * vec_id % this == 0 plays the freshly-embedded batch, the rest the
+   * standing corpus (the [[TextDedup.incremental]] convention applied
+   * to vectors). */
+  val SemIncNewMod = 5
+
+  /** Incremental (new-batch × standing-corpus) semantic dedup — the
+   * vector twin of [[TextDedup.incremental]]: every NEW vector is
+   * dropped iff some OLD vector sits within cosine `threshold`. The
+   * everyday shape of SemDeDup in production is exactly this — a fresh
+   * crawl's embeddings screened against the corpus WITHOUT re-clustering
+   * the corpus itself.
+   *
+   * Scale shape: candidates are CROSS-SIDE ONLY — new postings equi-join
+   * old postings on the derived-(R, B) hyperplane band key, so no
+   * old×old or new×new pair is ever enumerated; old-side buckets are
+   * capped at [[NearDupMaxBucket]] (an oversize old bucket is duplicate
+   * mass the standing corpus should have collapsed already); one
+   * groupBy-free band shuffle + two narrow verify joins. Output
+   * (vec_id, keep) over the new batch. */
+  def semanticIncremental(embeddings: DataFrame,
+                          threshold: Double = SemDedupSim): DataFrame = {
+    val table = bandTableFor(threshold)
+    val rows = nearDupRowsFor(corpusSize(embeddings), rowsMax = table.keys.max)
+    val bands = table(rows)
+    val qn = quantized(embeddings).persist() // bands + both verify sides
+    val isNew = col("vec_id") % SemIncNewMod === 0
+    val banded = qn.select(col("vec_id"),
+      explode(nearDupBandKeys(col("q"), rows, bands)).as("bv"), isNew.as("is_new"))
+    val oldB = banded.filter(!col("is_new")).select(col("vec_id").as("old_id"), col("bv"))
+    val okOld = oldB.groupBy(col("bv")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= NearDupMaxBucket).select("bv")
+    val cand = banded.filter(col("is_new")).select(col("vec_id").as("new_id"), col("bv"))
+      .join(oldB.join(okOld, "bv"), "bv")
+      .select(col("new_id"), col("old_id")).distinct()
+    val dropped = cand
+      .join(qn.select(col("vec_id").as("new_id"), col("q").as("qa"), col("n2").as("na")), "new_id")
+      .join(qn.select(col("vec_id").as("old_id"), col("q").as("qb"), col("n2").as("nb")), "old_id")
+      .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= threshold)
+      .select(col("new_id")).distinct()
+    qn.filter(isNew).select(col("vec_id"))
+      .join(dropped.select(col("new_id").as("vec_id"), lit(true).as("hit")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("hit").isNull.as("keep"))
+  }
+
+  /** Oracle: [[embeddingNearDupSql]]'s bit-string/derived-(r, b)
+   * machinery with the band join restricted to new×old and the old side
+   * bucket-capped — the [[TextDedup.incrementalSql]] shape on vectors. */
+  def semanticIncrementalSql(table: String): String = {
+    val planes = hyperplanesN(NearDupMaxPlanes)
+    val bitStr = planes.map { h =>
+      val lit = h.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(q, $lit) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    val bandCase = NearDupBandTable.toSeq.sorted
+      .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
+    s"""WITH ${quantizedSql(table)},
+       |params AS (
+       |  SELECT r, CASE r $bandCase END AS b FROM (
+       |    SELECT GREATEST(2, LEAST($NearDupRowsMax,
+       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
+       |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
+       |          FROM $table))),
+       |bits AS (SELECT vec_id, $bitStr AS bs FROM qn),
+       |banded AS (
+       |  SELECT vec_id, vec_id % $SemIncNewMod = 0 AS is_new,
+       |         unnest([(j - 1)::VARCHAR || ':' || substr(bs, (j - 1) * r + 1, r)
+       |                 for j in range(1, b + 1)]) AS bv
+       |  FROM bits CROSS JOIN params),
+       |oldb AS (SELECT vec_id AS old_id, bv FROM banded WHERE NOT is_new),
+       |okb AS (SELECT bv FROM (SELECT bv, count(*) AS n FROM oldb GROUP BY 1)
+       |        WHERE n <= $NearDupMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT nw.vec_id AS new_id, ob.old_id
+       |  FROM (SELECT vec_id, bv FROM banded WHERE is_new) nw
+       |  JOIN (SELECT o.* FROM oldb o JOIN okb USING (bv)) ob ON nw.bv = ob.bv),
+       |dropped AS (
+       |  SELECT DISTINCT c.new_id
+       |  FROM cand c
+       |  JOIN qn a ON a.vec_id = c.new_id
+       |  JOIN qn b ON b.vec_id = c.old_id
+       |  WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $SemDedupSim)
+       |SELECT q.vec_id AS vec_id, (d.new_id IS NULL) AS keep
+       |FROM qn q LEFT JOIN dropped d ON q.vec_id = d.new_id
+       |WHERE q.vec_id % $SemIncNewMod = 0""".stripMargin
+  }
+
   /** The exact all-pairs baseline the bucketed [[embeddingNearDup]] is
    * measured against (recall test in OperatorsSpec — NOT a checked query:
    * the O(n²) cartesian compare dies at 100× scale). */

@@ -311,6 +311,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(recallAfter >= 0.9, "overall droppable-recall at/above the band design point")
   }
 
+  test("semantic incremental: sound drops, cross-side-only, recall vs brute new x old") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.semanticIncremental(emb).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val newIds = Tables.embeddings(spark, dir).select("vec_id").collect()
+      .map(_.getLong(0)).filter(_ % VectorOps.SemIncNewMod == 0).toSet
+    assert(out.keySet === newIds, "one verdict row per NEW vector, none for old")
+    val dropped = out.collect { case (id, false) => id }.toSet
+    // brute ground truth restricted to new x old pairs
+    val brute = VectorOps.embeddingNearDupBrute(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = brute.collect {
+      case (a, b) if newIds(a) && !newIds(b) => a
+      case (a, b) if newIds(b) && !newIds(a) => b
+    }.toSet
+    assert(truth.nonEmpty, "sf0.001 must contain cross-side near-dups")
+    // soundness: every drop has a REAL old-side near-dup (exact verify)
+    assert(dropped.subsetOf(truth), "a dropped new vector must have a true old near-dup")
+    // a new vector whose only near-dup is ANOTHER NEW vector must survive
+    val newOnly = brute.collect {
+      case (a, b) if newIds(a) && newIds(b) => Seq(a, b)
+    }.flatten.toSet -- truth
+    newOnly.foreach(id => assert(out(id), s"new-only near-dup $id must be kept"))
+    // banding recall at the design point
+    val recall = dropped.size.toDouble / truth.size
+    info(f"semantic_incremental drop-recall vs brute new x old: $recall%.3f " +
+      f"(${dropped.size}/${truth.size})")
+    assert(recall >= 0.85)
+  }
+
   test("near-dup band width derives from corpus size, clamped, table-backed") {
     // R = ceil(log2(ceil(n/256))) clamped to [2, 6] — the key cardinality
     // (B * 2^R) must grow with the corpus for the 100x story
