@@ -239,6 +239,24 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
       errInput.getCondition.startsWith("DATATYPE_MISMATCH"))
   }
 
+  test("kmv_mins is SQL-callable with the same literal-k and type validation as kmv_distinct") {
+    Tables.events(spark, dir)
+      .select(md5(col("user_id").cast("string")).as("h"))
+      .createOrReplaceTempView("events_kmv_mins")
+    GraftFunctions.register(spark)
+    val arr = spark.sql("SELECT kmv_mins(h, 8) FROM events_kmv_mins")
+      .head().getSeq[String](0)
+    assert(arr.length === 8 && arr === arr.sorted, "sorted bottom-8 array")
+    for (bad <- Seq("1", "length(h)")) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT kmv_mins(h, $bad) FROM events_kmv_mins").collect()
+      }
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_mins(length(h), 8) FROM events_kmv_mins").collect()
+    }
+  }
+
   test("kmv_mins composition: window merge of per-day sketches equals the raw-window sketch") {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val k = 16
