@@ -159,6 +159,11 @@ object SparkEntry {
           percentile(col("n_chars"), lit(0.5)).as("q50"),
           percentile(col("n_chars"), lit(0.9)).as("q90"),
           count(lit(1)).as("n_docs"))),
+    // the EXACT scale path for bounded-cardinality columns: one
+    // histogram pass (state O(distinct values), not O(rows)), quantiles
+    // read off the cumulative counts — bit-identical to length_quantiles
+    "length_quantiles_hist" -> ((s, d) =>
+      Corpus.lengthQuantilesHist(Tables.documents(s, d))),
     // the raw-scale form of length_quantiles: `approx_percentile` is a
     // mergeable GK sketch with bounded per-group state (vs `percentile`
     // buffering every group value — a memory hazard when a group holds
@@ -422,6 +427,14 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "fingerprint_rolling" -> TextSql.rollingFingerprintSql("documents"),
     "length_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.25) AS q25,
+        | quantile_cont(n_chars, 0.5) AS q50,
+        | quantile_cont(n_chars, 0.9) AS q90,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    // deliberately the SAME oracle text as length_quantiles: the
+    // histogram plan must be value-indistinguishable from the buffering one
+    "length_quantiles_hist" ->
       """SELECT lang, quantile_cont(n_chars, 0.25) AS q25,
         | quantile_cont(n_chars, 0.5) AS q50,
         | quantile_cont(n_chars, 0.9) AS q90,

@@ -1653,6 +1653,58 @@ object Corpus {
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // ---- exact quantiles via value histogram (the scale-correct exact path) ---
+
+  /** Per-language EXACT length quantiles WITHOUT per-group buffering —
+   * the third leg of the quantile story: the checked `length_quantiles`
+   * uses Spark's `percentile`, which buffers EVERY group value in the
+   * aggregation state (a memory hazard when a group holds billions of
+   * rows at 100 TB); `length_quantiles_approx` degrades to a GK sketch;
+   * THIS form stays exact at any row count for bounded-cardinality
+   * numeric columns (lengths, ages, counts, quantized scores — most
+   * profiling targets): ONE partial-agg pass builds the per-(lang,
+   * value) histogram — state is O(distinct values), not O(rows) — and
+   * the R-7 interpolated quantile is read off the cumulative counts of
+   * that tiny relation. The interpolation replicates Spark's
+   * `Percentile.getPercentile` IEEE sequence exactly ((hiIdx − pos)·vLo
+   * + (pos − loIdx)·vHi with the equal-index/equal-value early-outs),
+   * so the output is bit-identical to `length_quantiles` — the two
+   * queries share ONE oracle text, and the spec pins plan-equivalence
+   * directly. */
+  def lengthQuantilesHist(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    // hi = count of values <= this one; lo = count strictly below: the
+    // value at 0-based sorted index k is the row with lo <= k < hi
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(wCum))
+      .withColumn("lo", col("hi") - col("c"))
+      .withColumn("n_docs", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val qs = Seq(0.25 -> "25", 0.5 -> "50", 0.9 -> "90")
+    def pos(q: Double): Column = (col("n_docs") - 1).cast("double") * lit(q)
+    val aggs = qs.flatMap { case (q, tag) =>
+      val (loIdx, hiIdx) = (floor(pos(q)), ceil(pos(q)))
+      Seq(
+        max(when(col("lo").cast("double") <= loIdx &&
+          loIdx < col("hi").cast("double"), col("n_chars"))).as(s"v${tag}lo"),
+        max(when(col("lo").cast("double") <= hiIdx &&
+          hiIdx < col("hi").cast("double"), col("n_chars"))).as(s"v${tag}hi"))
+    }
+    val allAggs = max(col("n_docs")).as("n_docs") +: aggs
+    val byLang = cum.groupBy(col("lang")).agg(allAggs.head, allAggs.tail: _*)
+    val outQs = qs.map { case (q, tag) =>
+      val p = pos(q)
+      val (loIdx, hiIdx) = (floor(p), ceil(p))
+      val (vLo, vHi) = (col(s"v${tag}lo").cast("double"), col(s"v${tag}hi").cast("double"))
+      // Percentile.getPercentile's exact branch + IEEE sequence
+      when(loIdx === hiIdx || vLo === vHi, vLo)
+        .otherwise((hiIdx - p) * vLo + (p - loIdx) * vHi)
+        .as(s"q$tag")
+    }
+    byLang.select(col("lang") +: outQs :+ col("n_docs"): _*)
+  }
+
   // ---- one-scan sketch profile (the raw-scale cardinality audit) ------------
 
   /** Sketch size for [[sketchProfile]] — small enough that the low-

@@ -670,6 +670,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(rows(32L) > rows(0L))
   }
 
+  test("histogram quantiles are bit-identical to the buffering percentile form") {
+    val docs = Tables.documents(spark, dir)
+    val hist = Corpus.lengthQuantilesHist(docs).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val buffering = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.25)).as("q25"),
+        percentile(col("n_chars"), lit(0.5)).as("q50"),
+        percentile(col("n_chars"), lit(0.9)).as("q90"),
+        count(lit(1)).as("n_docs"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(hist === buffering, "every lang row must match bit-for-bit")
+    // the scale claim: aggregation state is the value histogram, never a
+    // per-group buffer of all rows — interpolation happens on the tiny
+    // cumulative relation past ONE corpus scan
+    val plan = Corpus.lengthQuantilesHist(docs).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1, s"one corpus scan:\n$plan")
+    assert(!plan.contains("percentile"), "must not fall back to the buffering aggregate")
+  }
+
   test("sketch profile: exact below k, estimate within KMV error bound above") {
     val docs = Tables.documents(spark, dir)
     val prof = Corpus.sketchProfile(docs).collect()
