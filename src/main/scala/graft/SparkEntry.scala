@@ -212,6 +212,9 @@ object SparkEntry {
       DedupClusters.minhashLabels(Tables.documents(s, d)), Tables.documents(s, d))),
     // corpus management: quality pre-filter + deterministic splits
     "quality_filter"      -> ((s, d) => Corpus.qualityFilter(Tables.documents(s, d))),
+    // the end-to-end capstone: quality pass -> exact-dedup keeper ->
+    // temperature-mixed source sampling -> (shard, pos) training order
+    "epoch_plan"          -> ((s, d) => Corpus.epochPlan(Tables.documents(s, d))),
     "sample_split"        -> ((s, d) => Corpus.sampleSplit(Tables.documents(s, d))),
     // deterministic global training-order shuffle -> (shard, pos) addresses
     "global_shuffle"      -> ((s, d) => Corpus.globalShuffle(Tables.documents(s, d))),
@@ -455,6 +458,7 @@ object SparkEntry {
     "cluster_safe_split"  -> Corpus.clusterSafeSplitSql(
       DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents"))),
     "quality_filter"      -> Corpus.qualityFilterSql("documents"),
+    "epoch_plan"          -> Corpus.epochPlanSql("documents"),
     "sample_split"        -> Corpus.sampleSplitSql("documents"),
     "global_shuffle"      -> Corpus.globalShuffleSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),

@@ -1653,6 +1653,69 @@ object Corpus {
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // ---- epoch plan (the end-to-end assembly capstone) -------------------------
+
+  /** Salt for the epoch sampler's keep hash (independent of every other
+   * hash family in the suite). */
+  val EpochSalt = "mix:"
+
+  /** The end-to-end "assemble one training epoch" composition — the
+   * chain every stage in this engine exists to serve, in one checked
+   * dataflow: (1) Gopher-style quality pass ([[qualityFilter]]);
+   * (2) exact-dedup collapse to the smallest-id keeper per content
+   * fingerprint ([[TextDedup.exact]]); (3) temperature-mixed source
+   * sampling — keep a doc iff its salted hash fraction falls below the
+   * source's τ=0.5 [[mixWeights]] weight (content-addressed, so the
+   * epoch is reproducible and append-stable); (4) deterministic
+   * training-order addresses from [[globalShuffle]]'s content-hash
+   * (shard, pos) scheme, derived over the KEPT set. Output
+   * (doc_id, source, shard, pos).
+   *
+   * Scale shape: every stage is the already-audited plan of its
+   * standalone query — tokenize-once projections, one fingerprint
+   * aggregate, a broadcast O(sources) weight join, and the two-level
+   * shard/pos scheme with NO corpus-wide ordered window. The sampler
+   * hash fraction is the exact 52-bit prefix over 2⁵², compared against
+   * the weight double — one deterministic comparison per doc. */
+  def epochPlan(docs: DataFrame): DataFrame = {
+    val kept1 = docs.join(
+      qualityFilter(docs).filter(col("passes")).select("doc_id"), "doc_id")
+    val keepers = TextDedup.exact(kept1).select(col("keeper_id").as("doc_id"))
+    val kept2 = kept1.join(keepers, Seq("doc_id"), "left_semi")
+    val weights = mixWeights(kept2).select(col("source"), col("weight"))
+    val frac = expr(graft.operators.Relational.hexVal13("h")).cast("double") /
+      lit((1L << 52).toDouble)
+    val kept3 = kept2
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit(EpochSalt), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .join(broadcast(weights), "source")
+      .filter(frac < col("weight"))
+      .select(col("doc_id"), col("source"))
+    globalShuffle(kept3).join(kept3, "doc_id")
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+  }
+
+  /** Oracle: the same four stages as nested WITH blocks — each stage's
+   * SQL is the standalone query's oracle text over the previous stage's
+   * CTE, so any drift in ANY stage shows up here too. */
+  def epochPlanSql(table: String): String =
+    s"""WITH q AS (${qualityFilterSql(table)}),
+       |kept1 AS (SELECT d.* FROM $table d JOIN q ON q.doc_id = d.doc_id AND q.passes),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM kept1
+       |            GROUP BY ${TextSql.fingerprint("text")}),
+       |kept2 AS (SELECT k.* FROM kept1 k JOIN keepers USING (doc_id)),
+       |mw AS (${mixWeightsSql("kept2")}),
+       |kept3 AS (
+       |  SELECT k.doc_id, k.source
+       |  FROM (SELECT doc_id, source, md5('$EpochSalt' || doc_id::VARCHAR) AS h
+       |        FROM kept2) k
+       |  JOIN mw ON mw.source = k.source
+       |  WHERE CAST(${graft.operators.Relational.hexVal13("h")} AS DOUBLE) / ${1L << 52}.0
+       |        < mw.weight),
+       |addressed AS (${globalShuffleSql("kept3")})
+       |SELECT a.doc_id, k.source, a.shard, a.pos
+       |FROM addressed a JOIN kept3 k USING (doc_id)""".stripMargin
+
   // ---- exact quantiles via value histogram (the scale-correct exact path) ---
 
   /** Per-language EXACT length quantiles WITHOUT per-group buffering —

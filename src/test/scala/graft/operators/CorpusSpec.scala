@@ -670,6 +670,38 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(rows(32L) > rows(0L))
   }
 
+  test("epoch plan: every kept doc passes each stage; addresses dense per shard") {
+    val docs = Tables.documents(spark, dir)
+    val plan = Corpus.epochPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(plan.nonEmpty)
+    val kept = plan.map(_._1).toSet
+    // stage 1: quality
+    val qualityPass = Corpus.qualityFilter(docs).filter(col("passes"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(qualityPass), "a kept doc must pass the quality filter")
+    // stage 2: exact-dedup keeper over the quality-kept set
+    val keepers = graft.operators.TextDedup.exact(
+        docs.join(qualityPass.toSeq.toDF("doc_id"), "doc_id"))
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keepers), "a kept doc must be its fingerprint group's keeper")
+    // stage 3: the anchor source (weight exactly 1.0) keeps every keeper
+    val weights = Corpus.mixWeights(docs.join(keepers.toSeq.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val anchor = weights.maxBy(_._2)._1
+    assert(weights(anchor) === 1.0)
+    val anchorKeepers = docs.join(keepers.toSeq.toDF("doc_id"), "doc_id")
+      .filter(col("source") === anchor).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(anchorKeepers.subsetOf(kept), "the weight-1 source is never downsampled")
+    // stage 4: (shard, pos) addresses are unique and dense per shard
+    assert(plan.map(p => (p._3, p._4)).distinct.length === plan.length)
+    plan.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions must be 1..n")
+    }
+  }
+
   test("histogram quantiles are bit-identical to the buffering percentile form") {
     val docs = Tables.documents(spark, dir)
     val hist = Corpus.lengthQuantilesHist(docs).collect()
