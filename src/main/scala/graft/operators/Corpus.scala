@@ -1681,16 +1681,24 @@ object Corpus {
     val kept1 = docs.join(
       qualityFilter(docs).filter(col("passes")).select("doc_id"), "doc_id")
     val keepers = TextDedup.exact(kept1).select(col("keeper_id").as("doc_id"))
-    val kept2 = kept1.join(keepers, Seq("doc_id"), "left_semi")
+    // persist: the filtered+deduped corpus feeds BOTH the weight
+    // derivation and the sampler — without it Catalyst replays the
+    // quality+dedup pipeline once per consumer (and a real pipeline
+    // materializes this exact relation anyway: it is the epoch's input)
+    val kept2 = kept1.join(keepers, Seq("doc_id"), "left_semi").persist()
     val weights = mixWeights(kept2).select(col("source"), col("weight"))
     val frac = expr(graft.operators.Relational.hexVal13("h")).cast("double") /
       lit((1L << 52).toDouble)
+    // persist: the kept (doc_id, source) set feeds BOTH the address
+    // derivation and the final join-back — narrow columns, so the cache
+    // is two thin columns of the epoch's rows
     val kept3 = kept2
       .select(col("doc_id"), col("source"),
         md5(concat(lit(EpochSalt), col("doc_id").cast("string")).cast("binary")).as("h"))
       .join(broadcast(weights), "source")
       .filter(frac < col("weight"))
       .select(col("doc_id"), col("source"))
+      .persist()
     globalShuffle(kept3).join(kept3, "doc_id")
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
   }

@@ -59,6 +59,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "quant_recall_audit" -> 1, // deliberate brute pass (ann_brute_topk shape)
     "benford_profile" -> 1, // 1-row total broadcast (mix_weights shape)
     "kmv_overlap_audit" -> 1, // two 1-row aggregates crossJoined (audit shape)
+    "epoch_plan" -> 1, // mixWeights' 1-row max-tokens broadcast (same shape)
     "semantic_decontaminate" -> 1) // bounded eval-sample broadcast (brute shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
