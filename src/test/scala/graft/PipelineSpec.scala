@@ -99,4 +99,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestHarness {
         === splitAlone)
     } finally labeled.unpersist()
   }
+
+  test("epoch plan is invariant to input partitioning (the determinism contract)") {
+    // every address in the plan is content-derived (quality signals,
+    // fingerprints, salted hashes, hash-ordered positions) — so the SAME
+    // corpus must yield the IDENTICAL epoch regardless of how the input
+    // happens to be split across tasks. A nondeterministic order sneaking
+    // into any stage (e.g. a row_number over a non-total order) breaks
+    // reproducible training and shows up here as a differing address.
+    val docs = Tables.documents(spark, dir)
+    def planOf(parts: Int): Set[(Long, String, Int, Long)] =
+      Corpus.epochPlan(docs.repartition(parts)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val p1 = planOf(1)
+    assert(p1.nonEmpty)
+    assert(planOf(7) === p1, "7-partition run must equal the single-partition run")
+  }
 }
