@@ -360,11 +360,17 @@ object SparkEntry {
     // snapshot-diff audit: added/removed/changed/unchanged per source
     // between two (deterministically derived) corpus versions
     "corpus_diff"         -> ((s, d) => Corpus.corpusDiff(Tables.documents(s, d))),
-    // certified vocabulary heavy hitters via the native Misra-Gries aggregate
-    // (mergeable O(k) sketch — rows-only check like the HLL/GK sketches)
+    // certified vocabulary heavy hitters: MG sketch nominates ≤k candidates,
+    // one broadcast re-count join restores exact counts — deterministic,
+    // hash-checked (the KMV find-then-verify move applied to Misra-Gries)
     "mg_heavy_hitters"    -> ((s, d) => Corpus.mgHeavyHitters(Tables.documents(s, d))),
-    // grouped MG: per-language certified hitters (stopword/domain-term discovery)
+    // grouped MG: per-language certified hitters (stopword/domain-term
+    // discovery), same sketch-then-exact-recount shape per language
     "mg_hitters_by_lang"  -> ((s, d) => Corpus.mgHittersByLang(Tables.documents(s, d))),
+    // the raw one-pass sketch forms (est within ±n/(k+1), merge-order-
+    // dependent → rows-only check; the sbt spec pins the bounds)
+    "mg_hitters_raw"      -> ((s, d) => Corpus.mgHittersSketch(Tables.documents(s, d))),
+    "mg_hitters_by_lang_raw" -> ((s, d) => Corpus.mgHittersByLangSketch(Tables.documents(s, d))),
     // repeated document openings per source (scraped-site boilerplate)
     "boilerplate_prefixes" -> ((s, d) => Corpus.boilerplatePrefixes(Tables.documents(s, d))),
     // top-spender segmentation: exact totals + NTILE decile
@@ -543,6 +549,8 @@ object SparkEntry {
     "null_profile"        -> Corpus.nullProfileSql("documents"),
     "sketch_profile"      -> Corpus.sketchProfileSql("documents"),
     "corpus_diff"         -> Corpus.corpusDiffSql("documents"),
+    "mg_heavy_hitters"    -> Corpus.mgHeavyHittersSql("documents"),
+    "mg_hitters_by_lang"  -> Corpus.mgHittersByLangSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),
     "user_ltv_deciles"    -> Relational.userLtvDecilesSql,
     "funnel_stages"       -> Relational.funnelStagesSql,

@@ -204,7 +204,7 @@ object Corpus {
    * (shard, pos) address such that reading shard 0 in pos order, then
    * shard 1, … replays the corpus in md5-hash order — the
    * randomized-but-reproducible example order a training run shards its
-   * input into. Content-addressed (md5 of the salted id), so the order
+   * input into. Id-addressed (md5 of the salted id), so the order
    * is engine-portable and append-stable per doc-id (a rerun after adding
    * docs keeps every old doc in the same global position RELATIVE to the
    * other old docs — `rand()`-based shuffles restart from nothing).
@@ -1549,15 +1549,12 @@ object Corpus {
    * too, not just value drift: a token whose true frequency sits inside
    * (n/(MgK+1), 2n/(MgK+1)] can flip in/out of the certified set
    * between shuffle-fetch orders (its est straddles the threshold by
-   * less than the error bound). No est-side margin can fix that — any
-   * threshold on a ±n/(MgK+1)-order-dependent statistic moves the flake
-   * window, never closes it — so the certification stays at the sound,
-   * tightest bound and the instability is documented here and in
-   * README's rows-only note. Every row that IS emitted is a true heavy
-   * hitter (soundness is order-independent); the sbt spec pins the
-   * deterministic guarantees (exact n, underestimate-only, bounded
+   * less than the error bound). Every row that IS emitted is a true
+   * heavy hitter (soundness is order-independent); the sbt spec pins
+   * the deterministic guarantees (exact n, underestimate-only, bounded
    * error, no missed hitter above 2n/(MgK+1)) against exact counts at
-   * two different parallelisms.
+   * two different parallelisms. The DETERMINISTIC, hash-checked form is
+   * [[mgHeavyHitters]] — sketch candidates + one exact re-count join.
    *
    * Shape: ONE ObjectHashAggregate pass — each task folds its document
    * arrays into a ≤MgK-entry sketch map-side, the exchange carries one
@@ -1565,7 +1562,16 @@ object Corpus {
    * merge chain, then a ≤MgK-row explode + filter. Compare the exact
    * `vocab_topk`: correct but its exchange is O(vocab) rows — this is
    * the 100 TB degradation path. */
-  def mgHeavyHitters(docs: DataFrame): DataFrame = {
+  def mgHittersSketch(docs: DataFrame): DataFrame =
+    mgSketchEntries(docs)
+      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
+      .orderBy(col("est").desc, col("token"))
+
+  /** The unfiltered ≤[[MgK]]-entry sketch as rows (token, est,
+   * n_stream) — every counter the merged sketch retained, certified or
+   * not. Shared by [[mgHittersSketch]] (threshold on est) and
+   * [[mgHeavyHitters]] (candidate set for the exact re-count). */
+  private def mgSketchEntries(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val sk = toCol(graft.plans.MisraGriesAgg(toExpr(tokens(col("text"))), MgK)
       .toAggregateExpression())
@@ -1573,18 +1579,66 @@ object Corpus {
       .select(explode(col("sk")).as("e"))
       .select(col("e.token").as("token"), col("e.est").as("est"),
         col("e.n").as("n_stream"))
-      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
-      .orderBy(col("est").desc, col("token"))
   }
 
-  /** Per-language certified heavy hitters — the GROUPED form of
-   * [[mgHeavyHitters]] (per-stratum stopword / domain-term discovery
+  /** Certified vocabulary heavy hitters with EXACT counts — the
+   * deterministic, oracle-checked closure of [[mgHittersSketch]]:
+   * (1) one MG sketch pass yields the ≤[[MgK]] candidate tokens plus
+   * the exact stream length n; (2) ONE broadcast re-count join back
+   * over the token stream computes each candidate's exact frequency;
+   * (3) certification runs on the EXACT count (cnt·(MgK+1) > n).
+   * Output (token, cnt, n_stream) — equal, row for row, to the exact
+   * "all tokens with freq > n/(MgK+1)" query, because the merged MG
+   * sketch retains EVERY token whose true frequency exceeds n/(MgK+1)
+   * (est ≥ true − n/(MgK+1) > 0 under any merge order — Agarwal et al.
+   * 2012's merge bound, which [[graft.plans.MGSketch.merge]]
+   * implements), so no qualifying candidate is missing and the exact
+   * re-count is merge-order-FREE. This is the same move that made the
+   * KMV family hash-checkable: the sketch finds, exactness certifies.
+   *
+   * Scale shape: two corpus scans, NO O(vocab) exchange anywhere — the
+   * sketch pass ships O(MgK · tasks) bytes, the re-count joins the
+   * token stream against a BROADCAST ≤MgK-row candidate relation
+   * (non-candidates die map-side) and partial-aggregates to ≤MgK
+   * groups. Compare `vocab_topk`'s exact pass: one scan but an
+   * O(vocab)-row exchange — at raw-corpus scale the two-scan
+   * sketch-then-verify wins. */
+  def mgHeavyHitters(docs: DataFrame): DataFrame = {
+    val cand = mgSketchEntries(docs).select(col("token"), col("n_stream"))
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .join(broadcast(cand), "token")
+      .groupBy(col("token"), col("n_stream"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(MgK + 1L) > col("n_stream"))
+      .select(col("token"), col("cnt"), col("n_stream"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Oracle: the exact heavy-hitter definition the sketch-then-verify
+   * plan provably equals — every token whose frequency strictly exceeds
+   * n/(MgK+1) of the total token stream, with its exact count. */
+  def mgHeavyHittersSql(table: String): String =
+    s"""WITH toks AS (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_stream FROM toks),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+       |SELECT token, cnt, n_stream FROM c CROSS JOIN n
+       |WHERE cnt * ${MgK + 1} > n_stream
+       |ORDER BY cnt DESC, token""".stripMargin
+
+  /** Per-language raw-sketch heavy hitters — the GROUPED form of
+   * [[mgHittersSketch]] (per-stratum stopword / domain-term discovery
    * for multilingual mixes): one sketch per language key, certification
    * against each language's OWN stream length. Same O(MgK) state per
    * (task, language) and rows-only check; the keyed ObjectHashAggregate
    * still partial-aggregates map-side, so the exchange carries
-   * O(langs · MgK · tasks) bytes — never token rows. */
-  def mgHittersByLang(docs: DataFrame): DataFrame = {
+   * O(langs · MgK · tasks) bytes — never token rows. Deterministic
+   * closure: [[mgHittersByLang]]. */
+  def mgHittersByLangSketch(docs: DataFrame): DataFrame =
+    mgSketchEntriesByLang(docs)
+      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
+      .orderBy(col("lang"), col("est").desc, col("token"))
+
+  private def mgSketchEntriesByLang(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val sk = toCol(graft.plans.MisraGriesAgg(toExpr(tokens(col("text"))), MgK)
       .toAggregateExpression())
@@ -1592,9 +1646,37 @@ object Corpus {
       .select(col("lang"), explode(col("sk")).as("e"))
       .select(col("lang"), col("e.token").as("token"), col("e.est").as("est"),
         col("e.n").as("n_stream"))
-      .filter(col("est") * lit(MgK + 1L) > col("n_stream"))
-      .orderBy(col("lang"), col("est").desc, col("token"))
   }
+
+  /** Per-language certified heavy hitters with EXACT counts — the
+   * grouped [[mgHeavyHitters]]: per-language sketches nominate ≤MgK
+   * candidates each (with that language's exact stream length), one
+   * broadcast re-count join on (lang, token) restores exact
+   * frequencies, certification runs on the exact count against the
+   * language's own n. Deterministic by the same merge-bound argument —
+   * each language's sketch retains every token above ITS n/(MgK+1).
+   * Exchange: O(langs · MgK · tasks) sketch bytes + a ≤langs·MgK-group
+   * rollup; the token stream itself never shuffles. */
+  def mgHittersByLang(docs: DataFrame): DataFrame = {
+    val cand = mgSketchEntriesByLang(docs)
+      .select(col("lang"), col("token"), col("n_stream"))
+    docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(cand), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"), col("n_stream"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(MgK + 1L) > col("n_stream"))
+      .select(col("lang"), col("token"), col("cnt"), col("n_stream"))
+      .orderBy(col("lang"), col("cnt").desc, col("token"))
+  }
+
+  def mgHittersByLangSql(table: String): String =
+    s"""WITH toks AS (SELECT lang, unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stream FROM toks GROUP BY 1),
+       |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2)
+       |SELECT c.lang AS lang, c.token AS token, cnt, n_stream
+       |FROM c JOIN n ON c.lang = n.lang
+       |WHERE cnt * ${MgK + 1} > n_stream
+       |ORDER BY lang, cnt DESC, token""".stripMargin
 
   // ---- column null/blank/distinct profile (schema-health audit) ------------
 
@@ -1664,10 +1746,14 @@ object Corpus {
    * dataflow: (1) Gopher-style quality pass ([[qualityFilter]]);
    * (2) exact-dedup collapse to the smallest-id keeper per content
    * fingerprint ([[TextDedup.exact]]); (3) temperature-mixed source
-   * sampling — keep a doc iff its salted hash fraction falls below the
-   * source's τ=0.5 [[mixWeights]] weight (content-addressed, so the
-   * epoch is reproducible and append-stable); (4) deterministic
-   * training-order addresses from [[globalShuffle]]'s content-hash
+   * sampling — keep a doc iff its salted-ID hash fraction falls below
+   * the source's τ=0.5 [[mixWeights]] weight (id-addressed, the
+   * [[globalShuffle]] convention: the epoch is reproducible and
+   * append-stable for STABLE ids — a re-crawled doc that keeps its id
+   * keeps its sampling verdict even if its text changed, while identical
+   * content under a new id resamples independently; stage 2's dedup is
+   * what stays content-addressed); (4) deterministic
+   * training-order addresses from [[globalShuffle]]'s salted-id
    * (shard, pos) scheme, derived over the KEPT set. Output
    * (doc_id, source, shard, pos).
    *
@@ -1851,7 +1937,15 @@ object Corpus {
    * Scale shape: each side collapses to (doc_id, md5 fingerprint,
    * source) IN THE SCAN — the full-outer join on doc_id then shuffles
    * 32-byte fingerprints, never text. One exchange per side, partial-
-   * agg rollup to O(sources × 4) rows. */
+   * agg rollup to O(sources × 4) rows.
+   *
+   * Presence is keyed off the side's SOURCE column (non-null whenever
+   * the row exists — it is a partition key upstream), NOT off the
+   * fingerprint: md5(NULL) is NULL on both engines, so a doc with NULL
+   * text present in both snapshots would otherwise misclassify as
+   * `added`. The changed/unchanged split is null-safe (`<=>`) for the
+   * same reason: two NULL-text rows are `unchanged`, a NULL↔non-NULL
+   * flip is `changed`. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
     val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_fp"),
       col("source").as("old_source"))
@@ -1859,9 +1953,9 @@ object Corpus {
       col("source").as("new_source"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(coalesce(col("new_source"), col("old_source")).as("source"),
-        when(col("old_fp").isNull, lit("added"))
-          .when(col("new_fp").isNull, lit("removed"))
-          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+        when(col("old_source").isNull, lit("added"))
+          .when(col("new_source").isNull, lit("removed"))
+          .when(!(col("old_fp") <=> col("new_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .groupBy(col("source"), col("status"))
       .agg(count(lit(1)).as("n_docs"))
@@ -1888,9 +1982,9 @@ object Corpus {
        |       FROM $table WHERE doc_id % 10 <> 3),
        |nw AS (SELECT doc_id, source, md5(text) AS fp FROM $table WHERE doc_id % 10 <> 4)
        |SELECT coalesce(nw.source, old.source) AS source,
-       |       CASE WHEN old.fp IS NULL THEN 'added'
-       |            WHEN nw.fp IS NULL THEN 'removed'
-       |            WHEN old.fp <> nw.fp THEN 'changed'
+       |       CASE WHEN old.source IS NULL THEN 'added'
+       |            WHEN nw.source IS NULL THEN 'removed'
+       |            WHEN old.fp IS DISTINCT FROM nw.fp THEN 'changed'
        |            ELSE 'unchanged' END AS status,
        |       count(*) AS n_docs
        |FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id

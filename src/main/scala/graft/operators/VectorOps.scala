@@ -375,19 +375,27 @@ object VectorOps {
 
   /** Oracle: [[embeddingNearDupSql]]'s bit-string/derived-(r, b)
    * machinery with the band join restricted to new×old and the old side
-   * bucket-capped — the [[TextDedup.incrementalSql]] shape on vectors. */
-  def semanticIncrementalSql(table: String): String = {
-    val planes = hyperplanesN(NearDupMaxPlanes)
+   * bucket-capped — the [[TextDedup.incrementalSql]] shape on vectors.
+   * Takes the SAME threshold parameter as [[semanticIncremental]] and
+   * derives its band table / R clamp / plane pool from it, so a
+   * non-default operating point cannot silently diverge from the oracle
+   * that checks it (round-11 advice). At the default the emitted text is
+   * unchanged ([[SemDedupSim]] == [[NearDupSim]] → same tables). */
+  def semanticIncrementalSql(table: String,
+                             threshold: Double = SemDedupSim): String = {
+    val bandTable = bandTableFor(threshold)
+    val rowsMax = bandTable.keys.max
+    val planes = hyperplanesN(rowsMax * bandTable(rowsMax))
     val bitStr = planes.map { h =>
       val lit = h.mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(q, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
-    val bandCase = NearDupBandTable.toSeq.sorted
+    val bandCase = bandTable.toSeq.sorted
       .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
     s"""WITH ${quantizedSql(table)},
        |params AS (
        |  SELECT r, CASE r $bandCase END AS b FROM (
-       |    SELECT GREATEST(2, LEAST($NearDupRowsMax,
+       |    SELECT GREATEST(2, LEAST($rowsMax,
        |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
        |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
        |          FROM $table))),
@@ -409,7 +417,7 @@ object VectorOps {
        |  FROM cand c
        |  JOIN qn a ON a.vec_id = c.new_id
        |  JOIN qn b ON b.vec_id = c.old_id
-       |  WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $SemDedupSim)
+       |  WHERE ${cosineSql(dotSql("a.q", "b.q"), "a.n2", "b.n2")} >= $threshold)
        |SELECT q.vec_id AS vec_id, (d.new_id IS NULL) AS keep
        |FROM qn q LEFT JOIN dropped d ON q.vec_id = d.new_id
        |WHERE q.vec_id % $SemIncNewMod = 0""".stripMargin

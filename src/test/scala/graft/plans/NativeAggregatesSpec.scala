@@ -55,8 +55,8 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
-  test("mg_heavy_hitters query: certified rows only, certification is sound") {
-    val rows = Corpus.mgHeavyHitters(Tables.documents(spark, dir)).collect()
+  test("mg_hitters_raw query: certified rows only, certification is sound") {
+    val rows = Corpus.mgHittersSketch(Tables.documents(spark, dir)).collect()
     assert(rows.nonEmpty, "the corpus has certified heavy hitters at k=" + K)
     rows.foreach { r =>
       val (tok, est, n) = (r.getString(0), r.getLong(1), r.getLong(2))
@@ -65,8 +65,24 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
-  test("grouped mg: per-language guarantees hold against per-language exact counts") {
-    val byLang = Corpus.mgHittersByLang(Tables.documents(spark, dir)).collect()
+  test("mg_heavy_hitters: sketch-then-exact-recount EQUALS the exact definition") {
+    val rows = Corpus.mgHeavyHitters(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the corpus has certified heavy hitters at k=" + K)
+    rows.foreach { case (tok, cnt, n) =>
+      assert(n === nTotal, "n is the exact stream length")
+      assert(cnt === exact(tok), s"re-counted frequency is exact for $tok")
+      assert(cnt * (K + 1) > n, "certified on the exact count")
+    }
+    // completeness: EVERY true heavy hitter is present (the merged sketch
+    // cannot miss a token above n/(K+1), so the re-count set is total)
+    val expected = exact.filter { case (_, c) => c * (K + 1) > nTotal }.keySet
+    assert(rows.map(_._1).toSet === expected,
+      "output set equals the exact heavy-hitter definition")
+  }
+
+  test("grouped mg raw sketch: per-language guarantees hold against exact counts") {
+    val byLang = Corpus.mgHittersByLangSketch(Tables.documents(spark, dir)).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(byLang.nonEmpty)
     val exactLang = Tables.documents(spark, dir)
@@ -81,6 +97,18 @@ class NativeAggregatesSpec extends AnyFunSuite with SparkTestHarness {
       assert(est * (K + 1) > n, "certified only")
     }
     assert(byLang.map(_._1).distinct.length > 1, "multiple language strata present")
+
+    // the exact-recount form equals the per-language exact definition
+    val rec = Corpus.mgHittersByLang(Tables.documents(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rec.foreach { case (lang, tok, cnt, n) =>
+      assert(n === nLang(lang) && cnt === exactLang((lang, tok)))
+      assert(cnt * (K + 1) > n)
+    }
+    val expected = exactLang.filter { case ((l, _), c) => c * (K + 1) > nLang(l) }
+      .keySet
+    assert(rec.map(t => (t._1, t._2)).toSet === expected,
+      "grouped output set equals the exact per-language definition")
   }
 
   test("misra_gries is SQL-callable with arity and literal-k validation") {
