@@ -220,9 +220,13 @@ object SparkEntry {
     "global_shuffle"      -> ((s, d) => Corpus.globalShuffle(Tables.documents(s, d))),
     "stratified_sample"   -> ((s, d) => Corpus.stratifiedSample(Tables.documents(s, d))),
     "decontaminate"       -> ((s, d) => Corpus.decontaminate(Tables.documents(s, d))),
-    // Bloom-filter membership pre-screen — approximate (no-false-negative
-    // superset of `decontaminate`), so rows-only like the HLL twin
-    "bloom_decontaminate" -> ((s, d) => Corpus.bloomDecontaminate(Tables.documents(s, d))),
+    // Bloom pre-screen + exact gram-join verify on the flagged sliver —
+    // deterministic (no false negatives => equals `decontaminate`), checked
+    // against the exact decontamination oracle
+    "bloom_decontaminate" -> ((s, d) => Corpus.bloomDecontaminateVerified(Tables.documents(s, d))),
+    // the raw scan-side membership screen — approximate (no-false-negative
+    // superset of `decontaminate`), rows-only like the HLL twin
+    "bloom_screen_raw"    -> ((s, d) => Corpus.bloomDecontaminate(Tables.documents(s, d))),
     // sequence packing: docs -> (bucket, bin, offset) under a token budget
     "pack_sequences"      -> ((s, d) => Corpus.packSequences(Tables.documents(s, d))),
     "pii_scan"            -> ((s, d) => Corpus.piiScan(Tables.documents(s, d))),
@@ -469,6 +473,9 @@ object SparkEntry {
     "global_shuffle"      -> Corpus.globalShuffleSql("documents"),
     "stratified_sample"   -> Corpus.stratifiedSampleSql("documents"),
     "decontaminate"       -> Corpus.decontaminateSql("documents"),
+    // the bloom pre-screen is exact-verified, so its oracle IS the exact
+    // decontamination query (superset screen -> exact prune = same rows)
+    "bloom_decontaminate" -> Corpus.decontaminateSql("documents"),
     "pack_sequences"      -> Corpus.packSequencesSql("documents"),
     "pii_scan"            -> Corpus.piiScanSql("documents"),
     "pii_redact"          -> Corpus.piiRedactSql("documents"),

@@ -1375,6 +1375,45 @@ object Corpus {
       .filter(col("n_hits") >= ContamMinShared)
   }
 
+  /** Bloom pre-screen + exact verify — the CHECKED closure of
+   * [[bloomDecontaminate]] (round-11 advice: the KMV/MG
+   * find-then-verify move applied to the Bloom stage): the scan-speed
+   * Bloom membership pass flags candidate corpus docs, then the exact
+   * [[decontaminate]] gram join runs restricted to the flagged set
+   * (left-semi on doc_id BEFORE the gram explode). Output is equal, row
+   * for row, to [[decontaminate]]'s (doc_id, bench_id, n_shared):
+   * Bloom filters have NO false negatives, so every doc carrying
+   * ≥ [[ContamMinShared]] truly-shared grams with some benchmark doc
+   * hits the filter that many times and is flagged — no qualifying pair
+   * escapes the pre-screen — while false positives only enlarge the set
+   * the exact join then prunes. Deterministic, so this is oracle-checked
+   * against the exact decontamination SQL.
+   *
+   * Scale shape: this is how the 100 TB pipeline actually runs the
+   * leakage check — the full corpus pays ONE codegen'd scan-side filter
+   * (no shuffle, no join), and the exact gram join processes only the
+   * flagged sliver (truly contaminated docs plus the filter's ~2%-rate
+   * coincidences that reach [[ContamMinShared]] hits). The semi-join's
+   * flagged side is unhinted like [[decontaminate]]'s bench side — AQE
+   * broadcasts the normal tiny case, a pathological flag-set degrades
+   * to a shuffle join instead of a driver OOM. */
+  def bloomDecontaminateVerified(docs: DataFrame,
+                                 benchSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val flagged = bloomDecontaminate(docs, benchSource).select(col("doc_id"))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(toCol(graft.plans.CharGramSeq(toExpr(col("text")),
+        TextDedup.CharGram, TextDedup.SampleHexMax))).as("gr"))
+    val bench = grams(docs.filter(col("source") === benchSource))
+      .withColumnRenamed("doc_id", "bench_id")
+    val corpus = grams(docs.filter(col("source") =!= benchSource)
+      .join(flagged, Seq("doc_id"), "left_semi"))
+    corpus.join(bench, "gr")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+  }
+
   // ---- context-window chunking ---------------------------------------------
 
   /** Chunk window (tokens) and stride for [[docChunks]]; the overlap

@@ -120,6 +120,16 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
   }
 
+  test("bloom pre-screen + exact verify equals the exact decontamination " +
+       "pair set (the checked bloom_decontaminate form)") {
+    val real = Tables.documents(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs(Corpus.bloomDecontaminateVerified(real)) ===
+      pairs(Corpus.decontaminate(real)),
+      "no-false-negative screen + exact prune must reproduce the exact rows")
+  }
+
   test("colloc lift matches hand-computed observed/expected on a fixture " +
        "and floors hapax pairs") {
     // "alpha beta" appears 6x; alpha and beta appear ONLY together ->
