@@ -105,6 +105,28 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     spark.catalog.clearCache()
   }
 
+  test("no query's plan contains a driver materialization (CollectLimit / " +
+       "computed LocalTableScan)") {
+    // CollectLimitExec pulls rows to the driver; a LocalTableScanExec is a
+    // driver-resident relation. Either inside a CHECKED plan means some
+    // parameter or relation was computed via collect()/head()/createDataFrame
+    // on the driver — the anti-pattern the suite's O(1)-row precedents
+    // (bloom literal, CC convergence checksum) deliberately keep OUT of the
+    // returned plan by resolving at construction time. localCheckpoint
+    // lineages (RDDScan) are executor-resident and stay allowed.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      val hits = Seq("CollectLimit", "LocalTableScan")
+        .map(n => n -> countNodes(plan, n)).filter(_._2 > 0)
+      if (hits.nonEmpty)
+        Some(s"$name: ${hits.map { case (n, c) => s"$n x$c" }.mkString(", ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"driver-materialization nodes planned by:\n  ${offenders.mkString("\n  ")}")
+    spark.catalog.clearCache()
+  }
+
   test("ann_ivf_topk's search stage is an equi-join on the centroid id") {
     val plan = SparkEntry.queries("ann_ivf_topk")(spark, dir)
       .queryExecution.executedPlan.toString
