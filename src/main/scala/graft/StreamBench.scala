@@ -105,11 +105,19 @@ object StreamBench {
     // reference's record-at-a-time engine, measured on the same harness.
     // processAllAvailable can spin against ProcessingTimeTimeout (the
     // repo-wide gotcha the specs work around), so this drives a memory
-    // sink and polls the DETERMINISTIC expected count instead: with a 1 s
-    // band and per-key events 10 s apart, left i joins exactly right i —
-    // the sink holds exactly the number of lefts ingested so far.
+    // sink and polls a GUARANTEED floor instead: with a 1 s band and
+    // per-key event gaps far beyond it, left i joins exactly right i, so
+    // the sink holds AT LEAST the number of lefts ingested so far.
+    // Retention must dwarf the bench's event-time span: the two addData
+    // calls can land in SEPARATE micro-batches (a race with the trigger
+    // loop), and with short retention the lefts trigger's older entries
+    // are evicted before the rights trigger probes them — the key-level
+    // cancel quirk then legally swallows their timeout emissions (one
+    // join per key cancels ALL pendings) and the floor is never reached.
+    // Long retention keeps every left probe-able in ANY trigger split;
+    // per-key state stays ≤ nEv/10k entries.
     def runFaithful(nEv: Int, tag: String): Double = {
-      val fCfg = LeftJoinOnTimeoutConfig(Duration.ofSeconds(1), Duration.ofSeconds(3))
+      val fCfg = LeftJoinOnTimeoutConfig(Duration.ofSeconds(1), Duration.ofDays(3650))
       val l = MemoryStream[Ev]
       val r = MemoryStream[Ev]
       val out = FaithfulLeftJoin(l.toDF(), r.toDF(), LeftJoinOnTimeout.testJoiner, fCfg)
@@ -137,25 +145,31 @@ object StreamBench {
       } finally q.stop()
     }
 
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksProvider =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     run() // warm-up: state store init, codegen, JIT
     val eps = run()
+    // idiomatic stream-stream join under the RocksDB state store — the
+    // spill-to-disk configuration a production cluster runs the headline
+    // operator with once keyed join state outgrows the executor heap
+    // (the conf is read at query START, so setting it here scopes it)
+    spark.conf.set(providerKey, rocksProvider)
+    run() // warm-up: native lib load, column families
+    val epsRocks = run()
+    spark.conf.unset(providerKey)
     val nF = n / 2 // per-key List state is heavier than join state rows
     runFaithful(nF, "warm") // warm-up
     val fps = runFaithful(nF, "main")
-    // faithful variant under the RocksDB state store provider — the
-    // spill-to-disk configuration a production cluster runs when keyed
-    // state outgrows the executor heap (the conf is read at query START,
-    // so setting it here scopes it to the runs below)
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    runFaithful(nF, "rocks_warm") // warm-up: native lib load, column families
+    // faithful variant under RocksDB, same rationale
+    spark.conf.set(providerKey, rocksProvider)
+    runFaithful(nF, "rocks_warm") // warm-up
     val fpsRocks = runFaithful(nF, "rocks_main")
     spark.conf.unset(providerKey)
     val nDocs = n / 10
     runDedup(nDocs) // warm-up
     val dps = runDedup(nDocs)
-    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
+    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_ljot_rocksdb_events_per_sec":${epsRocks}%.0f,"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -151,7 +151,37 @@ class LjotStreamingSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with the given state-store provider (None = session default),
+   * restoring the previous setting afterwards — the conf is read at query
+   * START, so per-test scoping is sound. */
+  private def withStateProvider[T](cls: Option[String])(f: => T): T = cls match {
+    case None => f
+    case Some(c) =>
+      val old = spark.conf.getOption(ProviderKey)
+      spark.conf.set(ProviderKey, c)
+      try f finally old match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+  }
+
   test("restore: checkpoint restart completes pending timeouts") {
+    restoreScenario()
+  }
+
+  test("restore under the RocksDB state store: the stream-stream join's " +
+       "watermark state recovers from the disk-backed provider") {
+    // the configuration a production cluster actually runs the headline
+    // operator with (keyed join state outgrows the executor heap at
+    // 100 TB scale) — same schedule/kill/restart/fire contract as above
+    withStateProvider(Some(RocksDbProvider)) { restoreScenario() }
+  }
+
+  private def restoreScenario(): Unit = {
     // mirrors shouldLeftJoinOnTimeoutAfterRestoration
     // (`LeftJoinOnTimeoutTest.java:131-153`): schedule, kill, restart, fire
     // memory sink can't recover from a checkpoint — use a file sink
