@@ -127,6 +127,34 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     spark.catalog.clearCache()
   }
 
+  test("mg_heavy_hitters re-counts via a token-keyed BROADCAST join — the " +
+       "corpus token stream never shuffles into the candidate probe") {
+    for (name <- Seq("mg_heavy_hitters", "mg_hitters_by_lang")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[(lang#\\d+, )?token".r.findFirstIn(plan).isDefined,
+        s"$name: expected the ≤k candidate set on the broadcast side of a " +
+          s"token-keyed hash join in:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: re-count must not sort-merge the token stream:\n$plan")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("bloom_decontaminate screens scan-side and joins only the flagged sliver") {
+    val plan = SparkEntry.queries("bloom_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus-wide pass is the codegen'd might_contain filter...
+    assert(plan.contains("might_contain"),
+      s"expected the Bloom screen inside the scan path:\n$plan")
+    // ...and the exact gram join's corpus side is restricted to flagged
+    // doc_ids by a broadcast left-semi BEFORE the gram explode
+    assert("BroadcastHashJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], LeftSemi".r
+        .findFirstIn(plan).isDefined,
+      s"expected a broadcast left-semi doc_id restriction in:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("ann_ivf_topk's search stage is an equi-join on the centroid id") {
     val plan = SparkEntry.queries("ann_ivf_topk")(spark, dir)
       .queryExecution.executedPlan.toString
