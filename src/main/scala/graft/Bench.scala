@@ -132,7 +132,12 @@ object Bench {
       }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional comma-separated name filter — targeted runs (e.g. the
+    // dedup/ANN family against generated sf1 data, which has only the
+    // documents/embeddings tables) without timing the whole registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // round-robin: pass r runs every query once, so the three samples of
     // any one query are separated by a full pass (~minutes) — longer than
     // most noise episodes
