@@ -279,4 +279,59 @@ class FaithfulLeftJoinSpec extends AnyFunSuite with SparkTestHarness {
       assert(got.contains((7L, "lonely+")), s"missing timeout row: $got")
     } finally q.stop()
   }
+
+  test("end-to-end: two CONCURRENT query instances stay isolated — the " +
+       "multi-instance contention analog") {
+    // ref `shouldLeftJoinOnTimeoutAfterRebalance` runs two app instances
+    // against one topology; the state-migration half is covered by the
+    // repartitioned-restart test above. This covers the CONTENTION half a
+    // single local session can express: two simultaneously-running
+    // instances of the operator (own sources, own checkpoints, one shared
+    // SparkSession and state-store infrastructure) ingest interleaved
+    // data, and each emits exactly its own joins and timeouts — no state
+    // cross-talk, no timer interference between the two queries' stores.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
+      Duration.ofMillis(300), timeout = Some(Duration.ofMillis(400)))
+    def launch(tag: String) = {
+      val ls = MemoryStream[Rec]; val rs = MemoryStream[Rec]
+      val q = FaithfulLeftJoin(ls.toDF(), rs.toDF(),
+        LeftJoinOnTimeout.testJoiner, cfg)
+        .writeStream.format("memory").queryName(s"faithful_conc_$tag")
+        .outputMode("append").start()
+      (ls, rs, q)
+    }
+    val (ls1, rs1, q1) = launch("a")
+    val (ls2, rs2, q2) = launch("b")
+    try {
+      // same KEY on both instances, different values: any cross-talk
+      // between the two queries' per-key states would join across them
+      ls1.addData(Rec(1L, "a_left", new Timestamp(1000L)))
+      ls2.addData(Rec(1L, "b_left", new Timestamp(1000L)))
+      rs1.addData(Rec(1L, "a_right", new Timestamp(1010L)))
+      ls2.addData(Rec(9L, "b_lonely", new Timestamp(5000L)))
+      def rows(t: String): Set[(Long, String)] =
+        spark.table(s"faithful_conc_$t").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val deadline = System.currentTimeMillis() + 60000L
+      def done(): Boolean =
+        rows("a").contains((1L, "a_left+a_right")) &&
+          rows("b").contains((1L, "b_left+")) &&
+          rows("b").contains((9L, "b_lonely+"))
+      while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(250L)
+      val (a, b) = (rows("a"), rows("b"))
+      // A's wall-clock timeout may legitimately race its right's
+      // micro-batch (late-right-after-timeout still joins — the quirk
+      // pinned above), so A is {join} or {timeout, join}; what it must
+      // NEVER contain is anything built from B's values.
+      assert(a.contains((1L, "a_left+a_right")), s"instance A join missing: $a")
+      assert(a.subsetOf(Set((1L, "a_left+a_right"), (1L, "a_left+"))),
+        s"instance A emitted foreign rows: $a")
+      // instance B never saw a right for key 1 -> ITS left times out;
+      // a_right joining b_left would be cross-query state corruption
+      assert(b === Set((1L, "b_left+"), (9L, "b_lonely+")),
+        s"instance B must time out its own lefts, nothing else: $b")
+    } finally { q1.stop(); q2.stop() }
+  }
 }
