@@ -736,14 +736,20 @@ object Corpus {
    * parallelism), yielding a V-row relation BROADCAST back onto the
    * token stream — the membership probe costs NO exchange on the
    * corpus-sized side, and the per-language rollup partial-aggregates
-   * to O(languages) rows. The corpus is tokenized twice (once deriving
-   * the vocabulary, once probing it); at raw-100 TB scale either
-   * persist the tokenized projection or derive the head from the
-   * [[graft.plans.MisraGriesAgg]] sketch (O(k) state per task, one
-   * pass) and accept its deterministic error bound. oov_rate is ONE
+   * to O(languages) rows. The token stream is PERSISTED between its two
+   * consumers (vocabulary derivation, membership probe), so the corpus
+   * tokenizes once; a cache-starved cluster can instead derive the head
+   * from the [[graft.plans.MisraGriesAgg]] sketch (O(k) state per task,
+   * one pass) and accept its deterministic error bound. oov_rate is ONE
    * IEEE division of two exact BIGINTs — bit-identical cross-engine. */
   def oovRate(docs: DataFrame, v: Int = OovVocabV): DataFrame = {
+    // persisted: the token stream feeds BOTH the vocabulary derivation and
+    // the membership probe — without it the corpus tokenizes twice (the
+    // scaladoc's raw-100 TB note, now the default: spill-backed cache of
+    // the exploded stream beats a second scan+tokenize pass, which is what
+    // a production pipeline does by materializing its tokenized corpus)
     val tok = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .persist()
     val vocab = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
