@@ -839,10 +839,15 @@ object Corpus {
    * global sort. Products accumulate in DECIMAL(38,0) — overflow-proof
    * past 10¹⁸-token corpora where `c_ab · T` exceeds BIGINT. */
   def collocLift(docs: DataFrame, k: Int = LiftK): DataFrame = {
+    // persisted twice over: `toks` feeds the unigram AND bigram counts
+    // (one tokenize pass instead of two), and `uni` — O(types) rows — has
+    // THREE consumers (the total and both lift joins); unpersisted, the
+    // whole tokenize+count pipeline replayed per consumer (4 corpus scans)
     val toks = TextFunctions.withTokens(
-      docs.select(col("doc_id"), col("text")), "text", "toks")
+      docs.select(col("doc_id"), col("text")), "text", "toks").persist()
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .persist()
     val bi = toks.select(explode(expr(
         "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> struct(t AS a, toks[i + 1] AS b))"))
         .as("p"))
@@ -1190,8 +1195,13 @@ object Corpus {
   def tfidfTopK(docs: DataFrame, k: Int = TfIdfK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = CountCache.exactCount(docs)
+    // persisted: tf feeds BOTH the document-frequency rollup and the score
+    // join — without it the tokenize+aggregate pipeline runs twice. The
+    // cache is the (doc_id, term, tf) aggregate, already collapsed below
+    // the raw token stream.
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dfr, "term")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
@@ -1246,8 +1256,12 @@ object Corpus {
    * have no tf rows and are absent, identically in the oracle. */
   def docSurprisal(docs: DataFrame): DataFrame = {
     def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    // persisted: tf feeds the corpus count chain AND the bits join —
+    // without it the tokenize+aggregate pipeline runs twice (tfidfTopK's
+    // trade, same shape)
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val cnts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val tot = cnts.agg(sum(col("cnt")).as("total"))
     tf.join(cnts, "term")
