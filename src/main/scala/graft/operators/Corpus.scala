@@ -1073,9 +1073,13 @@ object Corpus {
     val x = col("n_chars").cast("double")
     val med = docs.groupBy(col("lang").as("m_lang"))
       .agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+    // persisted: dev feeds the MAD rollup AND the final score join —
+    // three narrow columns plus the broadcast median, cached once
+    // instead of re-scanning per consumer
     val dev = docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(broadcast(med), col("lang") === col("m_lang"))
       .withColumn("adev", abs(x - col("med")))
+      .persist()
     val mad = dev.groupBy(col("lang").as("s_lang"))
       .agg(percentile(col("adev"), lit(0.5)).as("mad"))
     dev.join(broadcast(mad), col("lang") === col("s_lang"))
@@ -1133,16 +1137,20 @@ object Corpus {
    * Output (doc_id, lang, n_tokens, keep). */
   def budgetSample(docs: DataFrame, budget: Long = LangTokenBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: base feeds the bucket rollup AND the verdict join, and
+    // the joined frame j fans into THREE disjoint verdict branches —
+    // unpersisted, the tokenize scan replayed per branch (six scans)
     val base = docs.select(col("doc_id"), col("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       hashBucket("doc_id", BudgetSalt).as("pb"))
+      .persist()
     val bcum = base.groupBy(col("lang"), col("pb")).agg(sum(col("n_tokens")).as("bt"))
       .withColumn("cum_end", sum(col("bt")).over(
         Window.partitionBy("lang").orderBy("pb")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_start", col("cum_end") - col("bt"))
       .select(col("lang"), col("pb"), col("cum_start"), col("cum_end"))
-    val j = base.join(bcum, Seq("lang", "pb"))
+    val j = base.join(bcum, Seq("lang", "pb")).persist()
     val out = Seq(col("doc_id"), col("lang"), col("n_tokens"), col("keep"))
     // keep-all needs cum_end < budget STRICTLY: a zero-token doc at the
     // exact budget edge belongs to the boundary bucket's row-level check

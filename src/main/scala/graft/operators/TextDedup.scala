@@ -168,8 +168,13 @@ object TextDedup {
    * construction) in the buckets. */
   private[operators] def boundedBucketPairs(postings: DataFrame, bucketCol: String,
                                  minBucket: Int, maxBucket: Int): DataFrame = {
-    val (ok, sentinels) = bucketBound(postings, bucketCol, minBucket, maxBucket)
-    bucketPairs(postings.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+    // persisted: the postings relation feeds the bucket-size rollup AND
+    // the cap join — unpersisted, Catalyst replays the whole posting
+    // pipeline (minhash signatures / hyperplane dots upstream) twice for
+    // EVERY caller of this helper
+    val cached = postings.persist()
+    val (ok, sentinels) = bucketBound(cached, bucketCol, minBucket, maxBucket)
+    bucketPairs(cached.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
       .withColumn("is_sentinel", lit(false))
       .unionByName(sentinels)
       .persist()
@@ -302,7 +307,9 @@ object TextDedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
       .distinct()
-    val candSh = shingleDf(docs.join(candIds, "doc_id"))
+    // persisted: probed for BOTH pair sides — candidate docs only, so the
+    // cache is tiny, and unpersisted the shingle scan would run twice
+    val candSh = shingleDf(docs.join(candIds, "doc_id")).persist()
     val verified = cand
       .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -523,21 +530,30 @@ object TextDedup {
     // exact: new fingerprints that already exist in the corpus
     val newFp = newDocs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val oldFp = oldDocs.select(fingerprint(col("text")).as("fp"))
+    // persisted: consumed by the output union AND the near-branch anti
+    // join — tiny (dropped new ids only)
     val exactDropped = newFp
       .join(oldFp, Seq("fp"), "left_semi")
       .select(col("doc_id"))
+      .persist()
 
-    // near: cross-side LSH candidates, old-side buckets bounded
+    // near: cross-side LSH candidates, old-side buckets bounded.
+    // oldBands feeds the bucket-cap rollup AND the candidate join, and
+    // cand feeds BOTH shingle re-reads plus the verify join — without the
+    // persists Catalyst replays the shingle->signature->band pipeline per
+    // consumer (this query planned FIFTEEN corpus scans; now six, one per
+    // genuinely distinct pass)
     def bandsOf(side: DataFrame) = shingleDf(side).select(col("doc_id"),
       explode(lshBands(minhashSignature(col("sh")))).as("bv"))
     val newBands = bandsOf(newDocs)
-    val oldBands = bandsOf(oldDocs)
+    val oldBands = bandsOf(oldDocs).persist()
     val okOld = oldBands.groupBy(col("bv")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= MaxBucket).select("bv")
     val cand = newBands
       .join(oldBands.join(okOld, "bv").select(col("bv"), col("doc_id").as("old_id")), "bv")
       .select(col("doc_id").as("new_id"), col("old_id"))
       .distinct()
+      .persist()
     val newSh = shingleDf(newDocs.join(
       cand.select(col("new_id").as("doc_id")).distinct(), "doc_id"))
     val oldSh = shingleDf(oldDocs.join(
