@@ -445,13 +445,20 @@ object Relational {
    * row-level running concurrency sorts only WITHIN each hour. Every
    * value is an exact BIGINT; no floats anywhere. */
   def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the sessionize pipeline feeds BOTH halves of the
+    // enter/leave union, and the per-timestamp net feeds the bucket
+    // rollup AND the in-bucket running join — both relations are two
+    // narrow columns; unpersisted, the full sessionization replayed
+    // per consumer (four events scans)
     val sess = sessionizeEvents(s, dir)
       .select(unix_micros(col("session_start")).as("s_us"),
         (unix_micros(col("session_end")) + 1L).as("e_us"))
+      .persist()
     val bounds = sess.select(col("s_us").as("ts_us"), lit(1L).as("delta"))
       .unionByName(sess.select(col("e_us").as("ts_us"), lit(-1L).as("delta")))
     val net = bounds.groupBy(col("ts_us")).agg(sum(col("delta")).as("d"))
       .withColumn("hb", expr(s"ts_us div $HourUs"))
+      .persist()
     val enter = net.groupBy(col("hb")).agg(sum(col("d")).as("bd"))
       .withColumn("cum", sum(col("bd")).over(
         Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -867,11 +867,15 @@ object TextDedup {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id")))
       .distinct()
+    // persisted: probed for BOTH pair sides — candidate docs only, so the
+    // cache is tiny (unlike the full posting relation above, whose
+    // no-persist shape is the measured A/B decision)
     val gArr = {
       import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
       docs.join(candIds, "doc_id")
         .select(col("doc_id"),
           toCol(graft.plans.CharGramSeq(toExpr(col("text")), CharGram, SampleHexMax)).as("g"))
+        .persist()
     }
     cand
       .join(gArr.select(col("doc_id").as("id_a"), col("g").as("g_a")), "id_a")

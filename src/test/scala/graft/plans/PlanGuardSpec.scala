@@ -127,6 +127,57 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     spark.catalog.clearCache()
   }
 
+  /** Per-(query, table) scan-count budgets above the default of 2. Two
+   * scans of one table is the normal two-sided-derivation shape (self
+   * joins, sketch-then-verify); anything above is either one of these
+   * audited designs or a regression where a shared subtree lost its
+   * persist and Catalyst replays a whole pipeline per consumer (round 12
+   * found dedup_incremental planning FIFTEEN corpus scans this way). */
+  private val scanBudget = Map(
+    "bloom_decontaminate" -> 3, // screen + bench grams + flagged corpus grams
+    "dedup_incremental" -> 6,   // exact x2 + bands x2 + verify x2, cross-side
+    "dedup_ngram_jaccard" -> 3, // postings x2 (measured no-persist A/B) + cand grams
+    "ngram_containment" -> 3,   // same shared generator
+    "dedup_savings" -> 4,       // labeling + keepers + token mass + pair reuse
+    "epoch_plan" -> 4,          // quality + dedup + sampler + shuffle stages
+    "fk_orphans" -> 3,          // 8 audited edges over 6 tables, pre-aggregated
+    "neardup_source_mix" -> 4)  // minhash x2 + two narrow source probes
+
+  test("no query scans one table more than its audited budget (default 2) — " +
+       "a lost persist on a shared subtree fails here, not at 100 TB") {
+    def scansOf(root: SparkPlan): Seq[String] = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      def walk(p: SparkPlan): Seq[String] = {
+        val here = p match {
+          case s: FileSourceScanExec =>
+            Seq(s.relation.location.rootPaths.map(_.getName).mkString(","))
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+          case s: InMemoryTableScanExec =>
+            if (seen.add(s.relation.cachedPlan)) Seq(s.relation.cachedPlan) else Nil
+          case _ => p.children
+        }
+        here ++ (kids ++ p.subqueries).flatMap(walk)
+      }
+      walk(root)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val budget = scanBudget.getOrElse(name, 2)
+      val over = scansOf(fn(spark, dir).queryExecution.executedPlan)
+        .groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 > budget).toMap
+      if (over.nonEmpty)
+        Some(s"$name: ${over.map { case (t, c) => s"$t x$c (budget $budget)" }.mkString(", ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"scan-multiplicity regressions:\n  ${offenders.mkString("\n  ")}")
+    spark.catalog.clearCache()
+  }
+
   test("mg_heavy_hitters re-counts via a token-keyed BROADCAST join — the " +
        "corpus token stream never shuffles into the candidate probe") {
     for (name <- Seq("mg_heavy_hitters", "mg_hitters_by_lang")) {
