@@ -785,6 +785,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
       ("b", "removed") -> 1L, ("b", "added") -> 1L))
   }
 
+  test("snapshot diff: NULL text classifies by row presence, not fingerprint " +
+       "nullness (round-11 advice)") {
+    // md5(NULL) is NULL on both engines, so a fingerprint-based presence
+    // check would misread every NULL-text row; presence keys off source.
+    val old = Seq(
+      (1L, null.asInstanceOf[String], "en", "a", 0L), // NULL both -> unchanged
+      (2L, null.asInstanceOf[String], "en", "a", 0L), // NULL -> text: changed
+      (3L, "gone", "en", "a", 4L),                    // removed
+      (5L, "now null", "en", "a", 8L)                 // text -> NULL: changed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nw = Seq(
+      (1L, null.asInstanceOf[String], "en", "a", 0L),
+      (2L, "appeared", "en", "a", 8L),
+      (4L, null.asInstanceOf[String], "en", "a", 0L), // added with NULL text
+      (5L, null.asInstanceOf[String], "en", "a", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map(
+      "unchanged" -> 1L, "changed" -> 2L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("corpus diff: statuses follow the doc_id arithmetic that derives the snapshots") {
     val docs = Tables.documents(spark, dir)
     val byStatus = Corpus.corpusDiff(docs).collect()

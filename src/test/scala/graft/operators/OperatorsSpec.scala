@@ -311,6 +311,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(recallAfter >= 0.9, "overall droppable-recall at/above the band design point")
   }
 
+  test("semanticIncrementalSql derives its band machinery from the SAME " +
+       "threshold parameter as the operator (round-11 advice)") {
+    val dflt = VectorOps.semanticIncrementalSql("embeddings")
+    assert(dflt.contains(s">= ${VectorOps.SemDedupSim}"),
+      "default oracle verifies at the default threshold")
+    val t = 0.8
+    val sql = VectorOps.semanticIncrementalSql("embeddings", t)
+    assert(sql.contains(s">= $t"), "verify predicate re-derives from t")
+    val table = VectorOps.bandTableFor(t)
+    val rMax = table.keys.max
+    assert(sql.contains(s"LEAST($rMax,"), "R clamp re-derives from t")
+    val bandCase = table.toSeq.sorted
+      .map { case (r, b) => s"WHEN $r THEN $b" }.mkString(" ")
+    assert(sql.contains(bandCase), "band table re-derives from t")
+    assert(sql !== dflt, "a non-default threshold cannot silently reuse the default oracle")
+  }
+
   test("semantic incremental: sound drops, cross-side-only, recall vs brute new x old") {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.semanticIncremental(emb).collect()
