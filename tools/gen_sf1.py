@@ -59,7 +59,27 @@ COPY (
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings"):
+# events: 10 copies, user_id offset per copy (per-user streams intact),
+# timeline shifted by c * 31 days (the sf0.1 window is one month) so the
+# event RATE stays constant while the corpus covers 10x the wall-clock —
+# sessions, interval joins, and hour buckets scale without densifying.
+n_users = 1 + con.execute(
+    f"SELECT max(user_id) FROM read_parquet('{SRC}/events.parquet')").fetchone()[0]
+n_ev = con.execute(
+    f"SELECT count(*) FROM read_parquet('{SRC}/events.parquet')").fetchone()[0]
+con.execute(f"""
+COPY (
+  SELECT e.event_id + c.c * {n_ev} AS event_id,
+         e.ts + (c.c * INTERVAL 31 DAY) AS ts,
+         e.user_id + c.c * {n_users} AS user_id,
+         e.event_type, e.value, e.props
+  FROM read_parquet('{SRC}/events.parquet') e
+  CROSS JOIN (SELECT unnest(range(10)) AS c) c
+  ORDER BY ts
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "events"):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"{OUT}/{t}.parquet rows={n}")
