@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Parallel oracle compare: DuckDB runs each oracle SQL over the sf
+parquet tables in worker processes and diffs against the Spark dump
+(column-name-sorted, row-sorted, exact values) — the driver's comparison,
+parallelized for local iteration.
+
+At sf1 the heavy dedup oracles need real memory: more than ~6 workers
+OOMs DuckDB (round-12 finding), so each worker gets an explicit
+memory_limit of MEM_GB/workers and the default worker count stays low.
+Re-run stragglers serially with --only and a bigger limit if needed.
+
+Usage: python3 tools/check_par.py SF_DIR OUT_DIR [--workers N]
+           [--mem-gb G] [--only a,b,c]
+Prints one line per query ([ok]/[BAD]/[no-oracle]) and a final summary.
+Exit 1 if any BAD.
+"""
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def check_one(task):
+    name, sql, sf_dir, out_dir, mem_gb, threads = task
+    import duckdb
+    import pandas as pd
+    t0 = time.time()
+    try:
+        con = duckdb.connect()
+        con.execute(f"SET memory_limit='{mem_gb}GB'")
+        con.execute(f"SET threads={threads}")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        spark = con.execute(
+            f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')").df()
+        ora = con.execute(sql).df()
+
+        def canon(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            if len(df.columns):
+                df = df.sort_values(by=list(df.columns), kind="mergesort",
+                                    na_position="last")
+            return df.reset_index(drop=True)
+
+        s, o = canon(spark), canon(ora)
+        dt = time.time() - t0
+        if len(s) != len(o):
+            return (name, f"ROWS {len(s)} vs {len(o)}", dt)
+        if list(s.columns) != list(o.columns):
+            return (name, f"SCHEMA {list(s.columns)} vs {list(o.columns)}", dt)
+        for c in s.columns:
+            a, b = s[c], o[c]
+            try:
+                neq = ~((a == b) | (a.isna() & b.isna()))
+            except Exception:
+                neq = a.astype(str) != b.astype(str)
+            if neq.any():
+                i = neq.idxmax()
+                return (name,
+                        f"HASH col={c} n_diff={int(neq.sum())} "
+                        f"spark={a[i]!r} oracle={b[i]!r}", dt)
+        return (name, None, dt)
+    except Exception as e:
+        return (name, f"duckdb error: {e}", time.time() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--workers", type=int, default=6)
+    ap.add_argument("--mem-gb", type=int, default=48)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    oracle = json.load(open(os.path.join(args.out_dir, "oracle_sql.json")))
+    dumped = sorted(n for n in os.listdir(args.out_dir)
+                    if os.path.isdir(os.path.join(args.out_dir, n)))
+    only = set(args.only.split(",")) if args.only else None
+    tasks, skipped = [], []
+    per_mem = max(2, args.mem_gb // args.workers)
+    per_thr = max(1, (os.cpu_count() or 8) // args.workers)
+    for name in dumped:
+        if only and name not in only:
+            continue
+        if name not in oracle:
+            skipped.append(name)
+            continue
+        tasks.append((name, oracle[name], args.sf_dir, args.out_dir,
+                      per_mem, per_thr))
+    for n in skipped:
+        print(f"[no-oracle] {n}")
+    bad = 0
+    with mp.Pool(args.workers) as pool:
+        for name, err, dt in pool.imap_unordered(check_one, tasks):
+            if err is None:
+                print(f"[ok] {name} {dt:.1f}s", flush=True)
+            else:
+                print(f"[BAD] {name} {dt:.1f}s {err}", flush=True)
+                bad += 1
+    print(f"checked {len(tasks)} / BAD: {bad if bad else 'none'}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
