@@ -141,6 +141,13 @@ object SparkEntry {
     // estimator-error audit: exact distinct vs the KMV estimate per
     // event_type (the ann_recall-style design-point check of the sketch)
     "kmv_error_audit"     -> ((s, d) => Relational.kmvErrorAudit(s, d)),
+    // design-point guarantee audits for the three rows-only sketches:
+    // SQL-derivable exact values + bounds, sketch-dependent booleans that
+    // the sketch's deterministic guarantee forces true — the hash-green
+    // accuracy gate for HLL / GK / MG (round-12 verdict item #3)
+    "hll_error_audit"     -> ((s, d) => Relational.hllErrorAudit(s, d)),
+    "gk_error_audit"      -> ((s, d) => Corpus.gkErrorAudit(Tables.documents(s, d))),
+    "mg_error_audit"      -> ((s, d) => Corpus.mgErrorAudit(Tables.documents(s, d))),
     // trailing-7-day rolling distinct users: per-day KMV sketches merged
     // RELATIONALLY per window (bottom-k of a union = bottom-k of the
     // per-day bottom-k's) — exact rolling distinct is unaffordable at
@@ -570,6 +577,9 @@ object SparkEntry {
     "kmv_distinct_agg"    -> Relational.kmvDistinctAggUsersSql,
     "kmv_users_by_day"    -> Relational.kmvUsersByDaySql,
     "kmv_error_audit"     -> Relational.kmvErrorAuditSql,
+    "hll_error_audit"     -> Relational.hllErrorAuditSql,
+    "gk_error_audit"      -> Corpus.gkErrorAuditSql("documents"),
+    "mg_error_audit"      -> Corpus.mgErrorAuditSql("documents"),
     "kmv_rolling_users"   -> Relational.kmvRollingUsersSql,
     "kmv_overlap_audit"   -> Relational.kmvOverlapAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,

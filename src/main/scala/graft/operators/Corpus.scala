@@ -1745,6 +1745,109 @@ object Corpus {
        |WHERE cnt * ${MgK + 1} > n_stream
        |ORDER BY lang, cnt DESC, token""".stripMargin
 
+  // ---- sketch error audits (design-point guarantees, oracle-checkable) -----
+
+  /** Misra-Gries guarantee audit — the [[graft.operators.Relational.kmvErrorAudit]]
+   * pattern for the MG family: for every TRUE heavy hitter (exact
+   * freq · (MgK+1) > n, a set the oracle computes exactly in SQL), emit
+   * the deterministic guarantees the sketch must satisfy under ANY merge
+   * order (Agarwal et al. 2012): the token is PRESENT in the merged
+   * sketch, and its estimate lies in [f − ⌊n/(MgK+1)⌋, f]. The exact
+   * frequencies and the bound are SQL-derivable; the two booleans are
+   * sketch-dependent but provably true, so the driver's hash check
+   * verifies the sketch's accuracy every round — the round-12 verdict's
+   * "bounds, not interior counts" design. Output (token, f_exact,
+   * max_underestimate, present_in_sketch, est_within_bound).
+   *
+   * Scale shape: the exact side is [[vocab_topk]]'s O(vocab) exchange —
+   * an audit costs what its exact twin costs, run on a sampled tier in
+   * production; the sketch side is the same O(MgK·tasks) pass as
+   * [[mgHittersSketch]]. The persisted exact-count relation feeds both
+   * the stream length (one O(1)-row plan-time action, the
+   * [[DedupClusters]] checksum pattern) and the heavy filter, so the
+   * corpus scans exactly twice. */
+  def mgErrorAudit(docs: DataFrame): DataFrame = {
+    val c = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f_exact"))
+      .persist()
+    val nStream = c.agg(sum(col("f_exact"))).head().getLong(0)
+    val maxUnder = nStream / (MgK + 1L)
+    val heavy = c.filter(col("f_exact") * lit(MgK + 1L) > lit(nStream))
+    val sk = mgSketchEntries(docs).select(col("token"), col("est"))
+    heavy.join(broadcast(sk), Seq("token"), "left")
+      .select(col("token"), col("f_exact"),
+        lit(maxUnder).as("max_underestimate"),
+        col("est").isNotNull.as("present_in_sketch"),
+        (col("est").isNotNull && col("est") <= col("f_exact") &&
+          col("est") >= col("f_exact") - lit(maxUnder)).as("est_within_bound"))
+      .orderBy(col("f_exact").desc, col("token"))
+  }
+
+  def mgErrorAuditSql(table: String): String =
+    s"""WITH toks AS (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |c AS (SELECT token, CAST(count(*) AS BIGINT) AS f_exact FROM toks GROUP BY 1),
+       |n AS (SELECT CAST(sum(f_exact) AS BIGINT) AS n_stream FROM c)
+       |SELECT token, f_exact,
+       |       CAST(n_stream // ${MgK + 1} AS BIGINT) AS max_underestimate,
+       |       true AS present_in_sketch, true AS est_within_bound
+       |FROM c CROSS JOIN n
+       |WHERE f_exact * ${MgK + 1} > n_stream
+       |ORDER BY f_exact DESC, token""".stripMargin
+
+  /** `approx_percentile` accuracy parameter shared by
+   * `length_quantiles_approx` and its audit — rank error ≤ n/accuracy. */
+  val GkAccuracy = 10000
+  /** Audited rank-error budget: 2× the single-summary ε, because merged
+   * GK summaries can compound toward ε₁+ε₂ (Greenwald-Khanna merge
+   * bound) — the audit checks the MERGED design point a cluster runs. */
+  val GkEps: Double = 2.0 / GkAccuracy
+  private val GkQuantiles = Seq(0.25, 0.5, 0.9)
+
+  /** GK quantile-sketch guarantee audit — per (lang, q): the returned
+   * quantile's exact rank interval [count(<v)+1, count(≤v)] must
+   * intersect the allowed band [⌊(q−ε)n⌋ ∨ 1, ⌈(q+ε)n⌉ ∧ n]. The band
+   * endpoints are pure arithmetic over the exact per-language count
+   * (oracle-derivable); `within_bound` is sketch-dependent but
+   * guaranteed true at the audited ε, so the hash check pins the
+   * sketch's accuracy. The sketch value v itself is interior state and
+   * deliberately NOT emitted. Output (lang, q, n_docs, rank_lo,
+   * rank_hi, within_bound).
+   *
+   * Scale shape: one GK aggregation pass + one rank-counting pass
+   * against the ≤ langs·3-row broadcast of (lang, q, v) — two corpus
+   * scans, no sort, no window. */
+  def gkErrorAudit(docs: DataFrame): DataFrame = {
+    val qArr = array(GkQuantiles.map(lit): _*)
+    val agg = docs.groupBy(col("lang"))
+      .agg(approx_percentile(col("n_chars"), qArr, lit(GkAccuracy)).as("vs"),
+        count(lit(1)).as("n_docs"))
+    val qv = agg.select(col("lang"), col("n_docs"),
+        posexplode(col("vs")).as(Seq("i", "v")))
+      .select(col("lang"), col("n_docs"),
+        element_at(qArr, col("i") + 1).as("q"), col("v"))
+    docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(qv), "lang")
+      .groupBy(col("lang"), col("q"), col("n_docs"), col("v"))
+      .agg(sum(when(col("n_chars") <= col("v"), 1L).otherwise(0L)).as("r_le"),
+        sum(when(col("n_chars") < col("v"), 1L).otherwise(0L)).as("r_lt"))
+      .withColumn("rank_lo",
+        greatest(floor((col("q") - lit(GkEps)) * col("n_docs")).cast("long"), lit(1L)))
+      .withColumn("rank_hi",
+        least(ceil((col("q") + lit(GkEps)) * col("n_docs")).cast("long"), col("n_docs")))
+      .select(col("lang"), col("q"), col("n_docs"), col("rank_lo"), col("rank_hi"),
+        (col("r_lt") + 1L <= col("rank_hi") && col("r_le") >= col("rank_lo"))
+          .as("within_bound"))
+  }
+
+  def gkErrorAuditSql(table: String): String =
+    s"""WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM $table GROUP BY 1),
+       |qs AS (SELECT unnest([${GkQuantiles.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS q)
+       |SELECT lang, q, n_docs,
+       |       greatest(CAST(floor((q - $GkEps) * n_docs) AS BIGINT), 1) AS rank_lo,
+       |       least(CAST(ceil((q + $GkEps) * n_docs) AS BIGINT), n_docs) AS rank_hi,
+       |       true AS within_bound
+       |FROM pl CROSS JOIN qs""".stripMargin
+
   // ---- column null/blank/distinct profile (schema-health audit) ------------
 
   /** The documents table's columns with their blank predicate — BLANK is

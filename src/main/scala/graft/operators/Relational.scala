@@ -885,6 +885,40 @@ object Relational {
        |       abs(n_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
        |FROM est""".stripMargin
 
+  /** HLL++ relative-sd design point of `approx_distinct_users` (Spark's
+   * `approx_count_distinct` default) and the audited 3σ envelope. */
+  val HllRsd = 0.05
+  val HllErrBound: Double = 3 * HllRsd
+
+  /** HLL estimator-error audit — the oracle-checkable twin of
+   * `approx_distinct_users` in the [[kmvErrorAudit]] family: per
+   * event_type, the exact distinct count (SQL-derivable), the audited
+   * relative-error envelope (3× the configured rsd — the standard-error
+   * bound HLL++ is designed to), and whether the estimate landed inside
+   * it. The estimate itself is engine-specific sketch interior and NOT
+   * emitted; `within_bound` is deterministic on fixed data (HLL++ is
+   * hash-deterministic and merge-order-free), so the driver's hash
+   * check makes the sketch's accuracy visible every round. Output
+   * (event_type, n_exact, rel_err_bound, within_bound).
+   *
+   * Scale shape: the exact side is the distinct exchange any audit tier
+   * pays; the sketch side rides the SAME aggregation (two aggregate
+   * expressions, one pass each after Spark's distinct expansion). */
+  def hllErrorAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), HllRsd).as("n_hll"))
+      .select(col("event_type"), col("n_exact"),
+        lit(HllErrBound).as("rel_err_bound"),
+        (abs(col("n_hll").cast("double") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") <= lit(HllErrBound)).as("within_bound"))
+
+  def hllErrorAuditSql: String =
+    s"""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       |       CAST($HllErrBound AS DOUBLE) AS rel_err_bound,
+       |       true AS within_bound
+       |FROM events GROUP BY event_type""".stripMargin
+
   /** Set-operation estimation from KMV sketches (Beyer et al. 2007 §4 —
    * the "multiset operations" half of the paper the distinct estimator
    * comes from): the bottom-k of A ∪ B is computable from the two
