@@ -135,7 +135,16 @@ object Bench {
     // optional comma-separated name filter — targeted runs (e.g. the
     // dedup/ANN family against generated sf1 data, which has only the
     // documents/embeddings tables) without timing the whole registry
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // names are trimmed and validated: "a, b" must not silently drop b, and
+    // a typo'd name must not produce an empty run that still writes a bench
+    // artifact a reader could mistake for a real measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // round-robin: pass r runs every query once, so the three samples of
@@ -251,6 +260,16 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     println(compact)
+    // The driver's BENCH artifact is a ~2 kB TAIL of stdout: at 138 queries
+    // the compact line alone is ~4 kB, so its HEAD — the headline totals —
+    // is exactly what truncation discards. Print a map-free summary line
+    // LAST (~200 B) so the artifact's tail always ends with a complete,
+    // standalone-parseable record of total/completed/failures; the full
+    // per-query map remains in the compact line above and in the
+    // bench_out.json artifact.
+    println(s"""{"metric":"total_summary","value":${total.map(fmt).getOrElse("null")},""" +
+      s""""unit":"sec","completed":$completed,"n":${queries.size},""" +
+      s""""failures":$failJson,"sf":"$rawSfDir"}""")
     spark.stop()
   }
 }

@@ -159,10 +159,39 @@ object VectorOps {
           hit
         } else {
           val qn = quantizedFresh(embeddings).persist()
-          quantCache.put(key, qn)
+          val displaced = quantCache.put(key, qn)
+          // a displaced entry (identityHashCode collision or a compute
+          // race) would otherwise leak its persisted blocks for the JVM
+          // lifetime; same for entries whose session has been stopped
+          // (their key can never hit again — the hashCode belongs to a
+          // dead session object)
+          if (displaced != null && !(displaced eq qn)) safeUnpersist(displaced)
+          evictStoppedSessions()
           qn
         }
     }
+
+  private def safeUnpersist(df: DataFrame): Unit =
+    try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    catch { case _: Throwable => () }
+
+  private def evictStoppedSessions(): Unit = {
+    val it = quantCache.entrySet().iterator()
+    while (it.hasNext) {
+      val stopped =
+        try it.next().getValue.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => true }
+      if (stopped) it.remove()
+    }
+  }
+
+  /** Drop every memoized quantized projection (unpersisting live ones) —
+   * the [[CountCache.invalidate]] analog for harnesses that rewrite the
+   * embeddings parquet in place within one session. */
+  def invalidateQuantCache(): Unit = {
+    quantCache.forEach((_, df) => safeUnpersist(df))
+    quantCache.clear()
+  }
 
   private def quantizedFresh(embeddings: DataFrame): DataFrame =
     embeddings
