@@ -145,6 +145,44 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // Timeout-path complement to runFaithful: long retention above makes
+    // the faithful headline a JOIN-ONLY number (no timeout ever fires, no
+    // state is evicted — the retention dwarfs the bench's span by design).
+    // This run drives lefts with NO rights under a short processing-time
+    // timer, so EVERY event takes the schedule → wall-clock timer fire →
+    // emit-with-null → evict path; wall time is ingestion + the engine
+    // self-scheduling micro-batches (shouldRunAnotherBatch) until all
+    // timeouts have emitted. The two metrics bracket the operator: joins
+    // at full pressure vs timeouts at full pressure.
+    def runFaithfulTimeout(nEv: Int, tag: String): Double = {
+      val fCfg = LeftJoinOnTimeoutConfig(Duration.ofMillis(100),
+        Duration.ofMillis(300), timeout = Some(Duration.ofMillis(400)))
+      val l = MemoryStream[Ev]
+      val r = MemoryStream[Ev]
+      val out = FaithfulLeftJoin(l.toDF(), r.toDF(), LeftJoinOnTimeout.testJoiner, fCfg)
+      val name = s"faithful_timeout_bench_$tag"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < nEv) {
+          val m = math.min(chunk, nEv - i)
+          l.addData((0 until m).map(j =>
+            Ev((i + j) % 10000, s"l${i + j}", new Timestamp(base + (i + j) * 10000L))))
+          i += m
+        }
+        // every left is unmatched → exactly one timeout emission each;
+        // poll (processAllAvailable spins against ProcessingTimeTimeout)
+        val deadline = System.currentTimeMillis() + 300000L
+        while (spark.table(name).count() < nEv &&
+               System.currentTimeMillis() < deadline) Thread.sleep(50L)
+        require(spark.table(name).count() >= nEv,
+          s"timeout bench stalled at ${spark.table(name).count()}/$nEv")
+        nEv.toDouble / ((System.nanoTime() - t0) / 1e9)
+      } finally q.stop()
+    }
+
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val rocksProvider =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -166,10 +204,16 @@ object StreamBench {
     runFaithful(nF, "rocks_warm") // warm-up
     val fpsRocks = runFaithful(nF, "rocks_main")
     spark.conf.unset(providerKey)
+    val nT = n / 4
+    runFaithfulTimeout(nT, "warm") // warm-up
+    val tps = runFaithfulTimeout(nT, "main")
     val nDocs = n / 10
     runDedup(nDocs) // warm-up
     val dps = runDedup(nDocs)
-    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_ljot_rocksdb_events_per_sec":${epsRocks}%.0f,"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
+    // "stream_faithful_scope" records that the faithful events/sec numbers
+    // measure the JOIN path only (long retention, no timer fires); the
+    // timeout path has its own metric below
+    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_ljot_rocksdb_events_per_sec":${epsRocks}%.0f,"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_faithful_scope":"join_only","stream_faithful_timeout_events_per_sec":${tps}%.0f,"timeout_events":$nT,"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
