@@ -111,7 +111,18 @@ object TextDedup {
    * [[boundedBucketPairs]]): the collect_list itself is O(bucket) memory,
    * so this filter is a correctness backstop, not the memory bound. */
   private def bucketPairs(postings: DataFrame, bucketCol: String,
-                          minBucket: Int, maxBucket: Int): DataFrame = {
+                          minBucket: Int, maxBucket: Int): DataFrame =
+    rawBucketPairs(postings, bucketCol, minBucket, maxBucket).distinct()
+
+  /** [[bucketPairs]] WITHOUT the cross-band distinct: emits each in-bucket
+   * pair once PER BUCKET it co-occurs in. For callers whose per-candidate
+   * verify is a cheap map-side expression — there, deduplicating the few
+   * survivors after the verify beats shuffling the full candidate set
+   * through a distinct first (emb_neardup sf1: 57M distinct candidates for
+   * 169k survivors; the duplication factor across its bands is only ~1.3×,
+   * so the re-verified work is far cheaper than the saved exchange). */
+  private def rawBucketPairs(postings: DataFrame, bucketCol: String,
+                             minBucket: Int, maxBucket: Int): DataFrame = {
     val ids = col("ids")
     val grouped = postings.groupBy(col(bucketCol))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -123,7 +134,6 @@ object TextDedup {
       .select(ids, posexplode(ids).as(Seq("i", "id_a")))
       .select(col("id_a"),
         explode(slice(ids, col("i") + 2, size(ids) - col("i") - 1)).as("id_b"))
-      .distinct()
   }
 
   /** Sentinel rows carry drop statistics through the candidate-pair
@@ -178,6 +188,23 @@ object TextDedup {
       .withColumn("is_sentinel", lit(false))
       .unionByName(sentinels)
       .persist()
+  }
+
+  /** [[boundedBucketPairs]] built on [[rawBucketPairs]]: same cap and
+   * sentinel machinery, but candidates are NOT deduplicated across
+   * buckets and the output is NOT persisted — for single-consumer
+   * callers that verify map-side and distinct the survivors. The
+   * verify-then-distinct rewrite is value-identical when the verdict
+   * columns are a deterministic function of (id_a, id_b): duplicates of
+   * a pair produce byte-identical rows, so a distinct over survivors
+   * equals a distinct over candidates followed by the verify. */
+  private[operators] def boundedRawBucketPairs(postings: DataFrame, bucketCol: String,
+                                 minBucket: Int, maxBucket: Int): DataFrame = {
+    val cached = postings.persist()
+    val (ok, sentinels) = bucketBound(cached, bucketCol, minBucket, maxBucket)
+    rawBucketPairs(cached.join(ok, bucketCol), bucketCol, minBucket, maxBucket)
+      .withColumn("is_sentinel", lit(false))
+      .unionByName(sentinels)
   }
 
   /** The size-cap machinery of [[boundedBucketPairs]] alone: (in-bound

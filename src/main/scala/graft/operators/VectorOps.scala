@@ -329,24 +329,49 @@ object VectorOps {
    * exactly by the oracle): a qualifying pair agreeing on no band is
    * missed — 1 − recall ≈ 10% worst-case AT the threshold, much less
    * above it. Output (id_a, id_b, sim), id_a < id_b. */
+  /** Broadcast budget for the verify side's (vec_id, q, n2) relation, in
+   * rows: a row is ~550 B (64 longs + hash-map overhead), so 49152 rows
+   * ≈ 27 MB — comfortably broadcastable. Below the budget both verify
+   * joins broadcast the vector relation, so the RAW candidate stream is
+   * never exchanged (it pipelines generate → hash-probe → sim filter in
+   * one stage); above it they build a shuffled-hash join on the vector
+   * side — the exchanges then cost O(candidates), the honest price once
+   * the corpus outgrows every executor. The branch derives from the SAME
+   * cached count as (R, B), so the checked plan is the 100× plan modulo
+   * one planner-grade size gate — the [[IvfCentroidBudget]] pattern.
+   * Explicit because the raw pair stream (post-generate) has no usable
+   * stats: left alone, the planner mis-broadcasts the 74M-row PAIR side. */
+  val NearDupBroadcastRows = 49152L
+
   def embeddingNearDup(embeddings: DataFrame,
                        threshold: Double = NearDupSim): DataFrame = {
     val table = bandTableFor(threshold)
-    val rows = nearDupRowsFor(corpusSize(embeddings), rowsMax = table.keys.max)
+    val n = corpusSize(embeddings)
+    val rows = nearDupRowsFor(n, rowsMax = table.keys.max)
     val bands = table(rows)
     // persist: the narrow (id, q, n2) projection feeds band generation AND
     // both verify joins.
     val qn = quantized(embeddings).persist()
     val banded = qn.select(col("vec_id").as("doc_id"),
       explode(nearDupBandKeys(col("q"), rows, bands)).as("bv"))
-    val staged = TextDedup.boundedBucketPairs(banded, "bv", 2, NearDupMaxBucket)
+    // verify-then-distinct: candidates come out of the buckets RAW (a pair
+    // repeats once per agreeing band, ~1.3× duplication here) and the
+    // cross-band dedup runs over the sim-filtered SURVIVORS. Value-identical
+    // — sim is a deterministic function of the pair — but the exchanges now
+    // scale with the OUTPUT, not the candidate set (sf1: 169k survivors vs
+    // 57M distinct candidates; the old plan shuffled the candidate set three
+    // times — distinct + two verify joins — before filtering anything).
+    val staged = TextDedup.boundedRawBucketPairs(banded, "bv", 2, NearDupMaxBucket)
+    def vecSide(d: DataFrame): DataFrame =
+      if (n <= NearDupBroadcastRows) broadcast(d) else d.hint("shuffle_hash")
     val verified = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
-      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
-      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), "id_b")
+      .join(vecSide(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na"))), "id_a")
+      .join(vecSide(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(dot(col("qa"), col("qb")), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
     TextDedup.observeDrops(
       verified.withColumn("is_sentinel", lit(false))
         .unionByName(staged.filter(TextDedup.isSentinel)
