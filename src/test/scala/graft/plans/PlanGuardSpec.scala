@@ -192,6 +192,41 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     spark.catalog.clearCache()
   }
 
+  test("mg_hitters_by_lang's re-count broadcast stays under the 10 MB default " +
+       "at the sf1 vocabulary") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TextFunctions
+    // prefer the generated sf1 corpus (10× vocabulary pressure); the bound
+    // is structural — ≤ langs·MgK rows at ANY corpus size — so the sf0.1
+    // fallback still pins the row cap when the scale data is absent
+    val sf1 = "/root/repo/.scale/sf1"
+    val d = if (new java.io.File(s"$sf1/documents.parquet").exists()) sf1
+            else "/root/testdata/sf0.1"
+    // the broadcast side of mgHittersByLang's re-count join, rebuilt
+    // verbatim: per-language MG sketch entries (lang, token, n_stream)
+    val sk = toCol(MisraGriesAgg(
+      toExpr(TextFunctions.tokens(col("text"))), graft.operators.Corpus.MgK)
+      .toAggregateExpression())
+    val cand = graft.sources.Tables.documents(spark, d)
+      .groupBy(col("lang")).agg(sk.as("sk"))
+      .select(col("lang"), explode(col("sk")).as("e"))
+      .select(col("lang"), col("e.token").as("token"), col("e.n").as("n_stream"))
+      .collect()
+    val langs = cand.map(_.getString(0)).distinct.length
+    assert(cand.length <= langs * graft.operators.Corpus.MgK,
+      s"candidate rows ${cand.length} exceed langs($langs)·MgK")
+    // conservative UnsafeRow estimate: 2 B/char UTF-16 upper bound on both
+    // strings + 8 B long + ~48 B row/field overhead
+    val bytes = cand.map(r =>
+      2L * (r.getString(0).length + r.getString(1).length) + 8L + 48L).sum
+    assert(bytes < 10L * 1024 * 1024,
+      s"re-count broadcast ≈ $bytes B at the $d vocabulary — past the " +
+        "10 MB autoBroadcastJoinThreshold the probe join would silently " +
+        "flip to a token-stream shuffle")
+    spark.catalog.clearCache()
+  }
+
   test("bloom_decontaminate screens scan-side and joins only the flagged sliver") {
     val plan = SparkEntry.queries("bloom_decontaminate")(spark, dir)
       .queryExecution.executedPlan.toString

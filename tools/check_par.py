@@ -34,6 +34,12 @@ def check_one(task):
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{mem_gb}GB'")
         con.execute(f"SET threads={threads}")
+        # private spill dir per worker: concurrent connections sharing the
+        # default cwd/.tmp race on temp-file removal and abort the whole
+        # process with an uncatchable C++ IOException
+        tmp = os.path.join("/tmp", f"duckdb_spill_{os.getpid()}_{name}")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
