@@ -195,6 +195,25 @@ object StreamBench {
     spark.conf.set(providerKey, rocksProvider)
     run() // warm-up: native lib load, column families
     val epsRocks = run()
+    // tuned RocksDB: the default config does two pieces of maintenance on
+    // the commit hot path — an exact row-count bookkeeping pass per store
+    // commit (trackTotalNumberOfRows) and a full SST snapshot upload per
+    // checkpoint; disabling the former and switching the latter to
+    // changelog (delta) checkpointing is the documented production recipe
+    // for write-heavy state (Spark structured-streaming tuning guide)
+    val rocksTrackKey =
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val rocksChangelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    // (a third knob was MEASURED and rejected: compression=none drops the
+    // tuned number 43.0k -> 38.7k ev/s — lz4's CPU cost is below its I/O
+    // saving even on local SSD, so the default compression stays)
+    spark.conf.set(rocksTrackKey, "false")
+    spark.conf.set(rocksChangelogKey, "true")
+    run() // warm-up under the tuned config
+    val epsRocksTuned = run()
+    spark.conf.unset(rocksTrackKey)
+    spark.conf.unset(rocksChangelogKey)
     spark.conf.unset(providerKey)
     val nF = n / 2 // per-key List state is heavier than join state rows
     runFaithful(nF, "warm") // warm-up
@@ -213,7 +232,7 @@ object StreamBench {
     // "stream_faithful_scope" records that the faithful events/sec numbers
     // measure the JOIN path only (long retention, no timer fires); the
     // timeout path has its own metric below
-    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_ljot_rocksdb_events_per_sec":${epsRocks}%.0f,"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_faithful_scope":"join_only","stream_faithful_timeout_events_per_sec":${tps}%.0f,"timeout_events":$nT,"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
+    val json = f"""{"metric":"stream_ljot_events_per_sec","value":${eps}%.0f,"unit":"events/sec","events":${2 * n},"micro_batches":${2 * n / chunk},"stream_ljot_rocksdb_events_per_sec":${epsRocks}%.0f,"stream_ljot_rocksdb_tuned_events_per_sec":${epsRocksTuned}%.0f,"stream_faithful_events_per_sec":${fps}%.0f,"stream_faithful_rocksdb_events_per_sec":${fpsRocks}%.0f,"faithful_events":${2 * nF},"stream_faithful_scope":"join_only","stream_faithful_timeout_events_per_sec":${tps}%.0f,"timeout_events":$nT,"stream_dedup_docs_per_sec":${dps}%.0f,"dedup_docs":$nDocs}"""
     println(json)
     sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
