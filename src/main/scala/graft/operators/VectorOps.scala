@@ -343,6 +343,13 @@ object VectorOps {
    * stats: left alone, the planner mis-broadcasts the 74M-row PAIR side. */
   val NearDupBroadcastRows = 49152L
 
+  /** The verify-join build side for a raw (unpersisted, stats-free)
+   * candidate pair stream: broadcast the quantized-vector relation under
+   * the [[NearDupBroadcastRows]] budget, shuffled-hash build above it —
+   * shared by [[embeddingNearDup]] and [[semanticDedup]]. */
+  private def vecJoinSide(n: Long): DataFrame => DataFrame =
+    d => if (n <= NearDupBroadcastRows) broadcast(d) else d.hint("shuffle_hash")
+
   def embeddingNearDup(embeddings: DataFrame,
                        threshold: Double = NearDupSim): DataFrame = {
     val table = bandTableFor(threshold)
@@ -362,8 +369,7 @@ object VectorOps {
     // 57M distinct candidates; the old plan shuffled the candidate set three
     // times — distinct + two verify joins — before filtering anything).
     val staged = TextDedup.boundedRawBucketPairs(banded, "bv", 2, NearDupMaxBucket)
-    def vecSide(d: DataFrame): DataFrame =
-      if (n <= NearDupBroadcastRows) broadcast(d) else d.hint("shuffle_hash")
+    val vecSide = vecJoinSide(n)
     val verified = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
       .join(vecSide(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na"))), "id_a")
@@ -1033,11 +1039,16 @@ object VectorOps {
     val postings =
       if (crossClusterBands) small.unionByName(big).unionByName(cross)
       else small.unionByName(big)
-    val staged = TextDedup.boundedBucketPairs(postings, "bv", 2, SemMaxBucket)
+    // raw candidates (see [[embeddingNearDup]]): the consumer's dedup is
+    // already on the SURVIVING id_b set, so the cross-bucket candidate
+    // distinct (and the 1-copy candidate persist) bought nothing — a pair
+    // duplicated across buckets yields the same id_b
+    val staged = TextDedup.boundedRawBucketPairs(postings, "bv", 2, SemMaxBucket)
+    val vecSide = vecJoinSide(n)
     val dropped = staged.filter(!TextDedup.isSentinel)
       .select(col("id_a"), col("id_b"))
-      .join(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), "id_a")
-      .join(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), "id_b")
+      .join(vecSide(qn.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na"))), "id_a")
+      .join(vecSide(qn.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb"))), "id_b")
       .filter(cosine(dot(col("qa"), col("qb")), col("na"), col("nb")) >= SemDedupSim)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("hit", lit(true))
