@@ -33,15 +33,17 @@ Both engines read the SAME generated files, so any perturbation is
 correctness-neutral; what the gate exercises is count-derived parameter
 branches and join plans agreeing cross-engine one decade up.
 
-Usage: python3 tools/gen_sf1.py [outDir]   (default .scale/sf1)
+Usage: python3 tools/gen_sf1.py [outDir] [srcDir]
+  (defaults: .scale/sf1 from /root/testdata/sf0.1; pass .scale/sf10
+   .scale/sf1 to stack a second decade for bench-only scale runs)
 """
 import os
 import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 COPIES = 10
 os.makedirs(OUT, exist_ok=True)
 
