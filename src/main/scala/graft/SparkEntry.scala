@@ -371,6 +371,7 @@ object SparkEntry {
     // snapshot-diff audit: added/removed/changed/unchanged per source
     // between two (deterministically derived) corpus versions
     "corpus_diff"         -> ((s, d) => Corpus.corpusDiff(Tables.documents(s, d))),
+    "dsir_weights"        -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
     // certified vocabulary heavy hitters: MG sketch nominates ≤k candidates,
     // one broadcast re-count join restores exact counts — deterministic,
     // hash-checked (the KMV find-then-verify move applied to Misra-Gries)
@@ -563,6 +564,7 @@ object SparkEntry {
     "null_profile"        -> Corpus.nullProfileSql("documents"),
     "sketch_profile"      -> Corpus.sketchProfileSql("documents"),
     "corpus_diff"         -> Corpus.corpusDiffSql("documents"),
+    "dsir_weights"        -> Corpus.dsirWeightsSql("documents"),
     "mg_heavy_hitters"    -> Corpus.mgHeavyHittersSql("documents"),
     "mg_hitters_by_lang"  -> Corpus.mgHittersByLangSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),

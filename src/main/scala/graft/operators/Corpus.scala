@@ -2096,6 +2096,144 @@ object Corpus {
        |FROM agg""".stripMargin
   }
 
+  // ---- DSIR importance weights (target-domain data selection) ---------------
+
+  /** Hashed-feature space size for [[dsirWeights]] — 2^12 buckets, the
+   * paper's hashed n-gram trick at a width where the 16-bit md5 prefix
+   * folds evenly (65536 = 16 × 4096). Fixed, not corpus-derived: the
+   * feature space is part of the MODEL (weights learned at one scale
+   * apply at another), so it must not move with n. */
+  val DsirBuckets = 4096
+
+  /** Target-domain source for [[dsirWeights]] — the curated slice the
+   * raw corpus is scored against (same role src0 plays as the benchmark
+   * side of [[decontaminate]]). */
+  val DsirTargetSource = "src0"
+
+  /** DSIR importance weights — Data Selection via Importance Resampling
+   * (Xie et al., NeurIPS 2023): score every raw-corpus document by how
+   * target-domain-like its hashed-bigram distribution is, the modern
+   * replacement for binary quality classifiers when assembling a
+   * pretraining mix. Features are bigrams hashed into [[DsirBuckets]]
+   * buckets; per bucket the log-likelihood ratio
+   * `λ_b = log p_target(b) − log p_raw(b)` (Laplace +1 smoothing), per
+   * document `weight = Σ_b count_d(b) · λ_b`; `keep` = the doc's
+   * per-bigram affinity exceeds the raw corpus's own mean
+   * (`w_d·N > W·n_d`, exact cross-multiply in DECIMAL(38,0)) — the
+   * RELATIVE cut that mirrors resampling's bias toward above-average
+   * importance (an absolute `w > 0` degenerates on a homogeneous
+   * corpus where every doc sits slightly off the raw baseline).
+   * Output (doc_id, n_bigrams, weight_bits, keep) for every non-target
+   * doc — docs too short for a bigram score 0 and are not kept.
+   *
+   * Cross-engine exactness: each log2 factor is the integer bit-length
+   * discretization ([[docSurprisal]]'s floor-log2 convention applied
+   * per factor, so every term stays a BIGINT at any corpus size —
+   * `bitlen(t_b+1) − bitlen(T+B) − bitlen(r_b+1) + bitlen(R+B)`), never
+   * a transcendental the two engines could round apart.
+   *
+   * Scale shape: ONE tokenize+explode scan builds the per-(doc, bucket)
+   * count relation (map-side combining; ≤ min(doc_len, 4096) rows per
+   * doc); the bucket LLR table aggregates that relation to EXACTLY
+   * [[DsirBuckets]] rows (conditional sums — the one-pass
+   * target/raw split, no second scan) and broadcasts; per-doc weights
+   * are one more partial-agg pass over the count relation. The only
+   * full-width exchanges are keyed aggregates; nothing driver-side, no
+   * vocabulary-sized state — the bucket table is O(4096) at 100 TB. */
+  def dsirWeights(docs: DataFrame,
+                  targetSource: String = DsirTargetSource,
+                  buckets: Int = DsirBuckets): DataFrame = {
+    val cnts = TextFunctions.withTokens(
+        docs.select(col("doc_id"), col("source"), col("text")), "text", "toks")
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("bigram").cast("binary")), 1, 4), 16, 10)
+          .cast("int") % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .persist()
+    val byBucket = cnts.groupBy(col("bucket")).agg(
+      sum(when(col("source") === targetSource, col("cnt")).otherwise(lit(0L)))
+        .cast("bigint").as("t_cnt"),
+      sum(when(col("source") =!= targetSource, col("cnt")).otherwise(lit(0L)))
+        .cast("bigint").as("r_cnt"))
+    val tots = byBucket.agg(
+      sum(col("t_cnt")).cast("bigint").as("tt"),
+      sum(col("r_cnt")).cast("bigint").as("rt"))
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    // O(buckets) rows, persisted: referenced by the per-doc weight join
+    // AND the corpus-mean cut below (Σ_b r_cnt·λ_b ≡ Σ_d w_d, so the
+    // raw totals never need the per-doc relation a second time)
+    val lambda = byBucket.crossJoin(broadcast(tots))
+      .select(col("bucket"), col("r_cnt"),
+        (flog2(col("t_cnt") + 1) - flog2(col("tt") + buckets)
+          - flog2(col("r_cnt") + 1) + flog2(col("rt") + buckets))
+          .as("lambda_bits"))
+      .persist()
+    val perDoc = cnts.filter(col("source") =!= targetSource)
+      .join(broadcast(lambda.select(col("bucket"), col("lambda_bits"))), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("lambda_bits")).cast("bigint").as("weight_bits"),
+        sum(col("cnt")).cast("bigint").as("n_bigrams"))
+    val rawTots = lambda.agg(
+      coalesce(sum(col("r_cnt") * col("lambda_bits")), lit(0L))
+        .cast("bigint").as("w_tot"),
+      coalesce(sum(col("r_cnt")), lit(0L)).cast("bigint").as("n_tot"))
+    val dec = "decimal(38,0)"
+    docs.filter(col("source") =!= targetSource).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(rawTots))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_bits"), lit(0L)).as("weight_bits"),
+        (coalesce(col("weight_bits"), lit(0L)).cast(dec) * col("n_tot").cast(dec)
+          > col("w_tot").cast(dec) * coalesce(col("n_bigrams"), lit(0L)).cast(dec))
+          .as("keep"))
+  }
+
+  def dsirWeightsSql(table: String,
+                     targetSource: String = DsirTargetSource,
+                     buckets: Int = DsirBuckets): String = {
+    val tgt = sqlLit(targetSource)
+    s"""WITH tf AS (SELECT doc_id, source, ${TextSql.tokens("text")} AS toks FROM $table),
+       |idx AS (SELECT doc_id, CAST(unnest(range(1, len(toks))) AS INT) AS i FROM tf),
+       |bg AS (SELECT x.doc_id, t.source,
+       |              md5(concat(t.toks[x.i], ' ', t.toks[x.i + 1])) AS h
+       |       FROM idx x JOIN tf t ON t.doc_id = x.doc_id),
+       |cnts AS (SELECT doc_id, source,
+       |                ${hexPrefix16SqlDuck("h")} % $buckets AS bucket,
+       |                CAST(count(*) AS BIGINT) AS cnt
+       |         FROM bg GROUP BY 1, 2, 3),
+       |byb AS (SELECT bucket,
+       |               CAST(sum(CASE WHEN source = $tgt THEN cnt ELSE 0 END) AS BIGINT) AS t_cnt,
+       |               CAST(sum(CASE WHEN source <> $tgt THEN cnt ELSE 0 END) AS BIGINT) AS r_cnt
+       |        FROM cnts GROUP BY 1),
+       |tots AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS tt,
+       |                CAST(sum(r_cnt) AS BIGINT) AS rt FROM byb),
+       |lam AS (SELECT bucket,
+       |               CAST((length(bin(t_cnt + 1)) - 1) - (length(bin(tt + $buckets)) - 1)
+       |                  - (length(bin(r_cnt + 1)) - 1) + (length(bin(rt + $buckets)) - 1)
+       |                 AS BIGINT) AS lambda_bits
+       |        FROM byb CROSS JOIN tots),
+       |pd AS (SELECT c.doc_id,
+       |              CAST(sum(c.cnt * l.lambda_bits) AS BIGINT) AS weight_bits,
+       |              CAST(sum(c.cnt) AS BIGINT) AS n_bigrams
+       |       FROM cnts c JOIN lam l USING (bucket)
+       |       WHERE c.source <> $tgt GROUP BY 1),
+       |rawtots AS (SELECT CAST(sum(weight_bits) AS BIGINT) AS w_tot,
+       |                   CAST(sum(n_bigrams) AS BIGINT) AS n_tot FROM pd)
+       |SELECT d.doc_id AS doc_id,
+       |       coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       |       coalesce(pd.weight_bits, 0) AS weight_bits,
+       |       CAST(coalesce(pd.weight_bits, 0) AS HUGEINT) * r.n_tot
+       |         > CAST(r.w_tot AS HUGEINT) * coalesce(pd.n_bigrams, 0) AS keep
+       |FROM $table d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |CROSS JOIN rawtots r
+       |WHERE d.source <> $tgt""".stripMargin
+  }
+
   // ---- snapshot diff (dataset-version audit between two crawls) -------------
 
   /** Classify every doc_id across two corpus snapshots as added /

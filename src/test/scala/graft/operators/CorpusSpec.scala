@@ -824,4 +824,54 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(byStatus.getOrElse("changed", 0L) === changed.toLong)
     assert(byStatus.values.sum === ids.count(_._1 % 10 != 3) + added)
   }
+
+  test("dsir weights: target-like docs score positive, alien docs negative, " +
+       "short docs zero — and the bits match the hand-derived LLR sums") {
+    // target = 'alpha beta' x16 (bigrams ab x16, ba x15); raw docA lifts the
+    // target phrasing (ab x2, ba x1), docB is disjoint vocabulary (ze x2,
+    // ez x1), docC has no bigram at all. With B = 4096 the smoothed-total
+    // bitlens cancel (bitlen(31+B) = bitlen(6+B) = 12), so each bucket's
+    // lambda reduces to bitlen(t+1) - bitlen(r+1); the md5 buckets of the
+    // four distinct bigrams are collision-free (deterministic, checked by
+    // the exact values below).
+    val target = Seq.fill(16)("alpha beta").mkString(" ")
+    val docs = Seq(
+      (1L, target, "en", "src0"),
+      (2L, "alpha beta alpha beta", "en", "src1"),
+      (3L, "zeta eta zeta eta", "en", "src1"),
+      (4L, "solo", "en", "src2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Corpus.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet === Set(2L, 3L, 4L), "every non-target doc, only those")
+    // flog2(x) = floor(log2 x); lambda_b = flog2(t+1) - flog2(r+1) here
+    // docA: ab -> t=16 r=2: lambda = flog2(17)-flog2(3) = 4-1 = 3
+    //       ba -> t=15 r=1: lambda = flog2(16)-flog2(2) = 4-1 = 3
+    assert(got(2L) === ((3L, 2L * 3 + 1L * 3, true)), s"docA ${got(2L)}")
+    // docB: ze -> t=0 r=2: lambda = flog2(1)-flog2(3) = 0-1 = -1
+    //       ez -> t=0 r=1: lambda = flog2(1)-flog2(2) = 0-1 = -1
+    assert(got(3L) === ((3L, 2L * -1 + 1L * -1, false)), s"docB ${got(3L)}")
+    assert(got(4L) === ((0L, 0L, false)), "no bigram -> zero weight, not kept")
+  }
+
+  test("dsir weights on the corpus: total over non-target docs, both verdicts " +
+       "present, and weight sign tracks shared-vocabulary mass") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.dsirWeights(docs).collect()
+    val nRaw = docs.filter(col("source") =!= Corpus.DsirTargetSource).count()
+    assert(out.length.toLong === nRaw, "one row per non-target doc")
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // keep is the RELATIVE above-corpus-mean cut: w_d * N > W * n_d
+    val wTot = out.map(_.getLong(2)).sum
+    val nTot = out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      val expect = BigInt(r.getLong(2)) * nTot > BigInt(wTot) * r.getLong(1)
+      assert(r.getBoolean(3) === expect, s"keep <=> above-mean affinity: $r")
+      if (r.getLong(1) === 0L) assert(r.getLong(2) === 0L, s"no bigrams -> 0: $r")
+    }
+    val kept = out.count(_.getBoolean(3))
+    assert(kept > 0 && kept < out.length,
+      s"relative cut must discriminate on this corpus: $kept/${out.length}")
+  }
 }

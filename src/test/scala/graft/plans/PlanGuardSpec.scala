@@ -60,7 +60,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "benford_profile" -> 1, // 1-row total broadcast (mix_weights shape)
     "kmv_overlap_audit" -> 1, // two 1-row aggregates crossJoined (audit shape)
     "epoch_plan" -> 1, // mixWeights' 1-row max-tokens broadcast (same shape)
-    "semantic_decontaminate" -> 1) // bounded eval-sample broadcast (brute shape)
+    "semantic_decontaminate" -> 1, // bounded eval-sample broadcast (brute shape)
+    "dsir_weights" -> 2) // two 1-row broadcasts: smoothed totals + raw-mean cut (kmv_overlap_audit shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
