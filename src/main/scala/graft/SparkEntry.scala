@@ -372,6 +372,8 @@ object SparkEntry {
     // between two (deterministically derived) corpus versions
     "corpus_diff"         -> ((s, d) => Corpus.corpusDiff(Tables.documents(s, d))),
     "dsir_weights"        -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
+    "bigram_surprisal"    -> ((s, d) => Corpus.bigramSurprisal(Tables.documents(s, d))),
+    "filter_funnel"       -> ((s, d) => Corpus.filterFunnel(Tables.documents(s, d))),
     // certified vocabulary heavy hitters: MG sketch nominates ≤k candidates,
     // one broadcast re-count join restores exact counts — deterministic,
     // hash-checked (the KMV find-then-verify move applied to Misra-Gries)
@@ -565,6 +567,8 @@ object SparkEntry {
     "sketch_profile"      -> Corpus.sketchProfileSql("documents"),
     "corpus_diff"         -> Corpus.corpusDiffSql("documents"),
     "dsir_weights"        -> Corpus.dsirWeightsSql("documents"),
+    "bigram_surprisal"    -> Corpus.bigramSurprisalSql("documents"),
+    "filter_funnel"       -> Corpus.filterFunnelSql("documents"),
     "mg_heavy_hitters"    -> Corpus.mgHeavyHittersSql("documents"),
     "mg_hitters_by_lang"  -> Corpus.mgHittersByLangSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),

@@ -81,6 +81,74 @@ object Corpus {
        |  FROM $table)""".stripMargin
   }
 
+  /** The [[qualityFilter]] rules in their cascade order — (stage, name,
+   * per-doc pass predicate builder). Single source of truth for
+   * [[filterFunnel]] on both engines. */
+  private val QfRules: Seq[(Int, String, String)] = Seq(
+    (1, "min_tokens", s"n_tokens >= $QfMinTokens"),
+    (2, "max_tokens", s"n_tokens <= $QfMaxTokens"),
+    (3, "word_len", s"mean_word_len >= $QfMinMeanWordLen AND mean_word_len <= $QfMaxMeanWordLen"),
+    (4, "symbol_ratio", s"symbol_ratio <= $QfMaxSymbolRatio"),
+    (5, "stop_hits", s"stop_hits >= $QfMinStopHits"))
+
+  /** Filter-cascade attrition audit — the ablation table every data
+   * paper publishes for its cleaning pipeline (C4, Gopher, RefinedWeb
+   * all report per-rule removal rates): for each [[qualityFilter]] rule
+   * in cascade order, how many docs fail it IN ISOLATION
+   * (`n_fail_alone`), how many are dropped AT this stage (passed every
+   * earlier rule, fail this one — `n_dropped_here`), and how many
+   * survive rules 1..i (`n_surviving`). Σ n_dropped_here + final
+   * n_surviving = corpus size, and the last n_surviving equals
+   * `qualityFilter`'s pass count — the cascade is a partition of the
+   * corpus, which the spec asserts.
+   *
+   * Scale shape: the per-doc signals are [[qualityFilter]]'s one
+   * codegen'd projection; all 15 funnel cells come from ONE map-side-
+   * combining aggregate over it (conditional sums — no per-rule scan,
+   * no join), reshaped to the 5-row table by exploding a literal
+   * struct array over the single aggregate row. One scan, one
+   * exchange of one row, at any corpus size. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val sig = qualityFilter(docs)
+    val pass = QfRules.map { case (_, _, pred) => expr(pred) }
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L)).cast("bigint")
+    val cells = QfRules.indices.flatMap { i =>
+      val upTo = pass.take(i + 1).reduce(_ && _)
+      val before = if (i == 0) lit(true) else pass.take(i).reduce(_ && _)
+      Seq(cnt(!pass(i)).as(s"fa$i"),
+        cnt(before && !pass(i)).as(s"dh$i"),
+        cnt(upTo).as(s"sv$i"))
+    }
+    val one = sig.agg(cells.head, cells.tail: _*)
+    val rows = QfRules.map { case (stage, name, _) =>
+      val i = stage - 1
+      struct(lit(stage).as("stage"), lit(name).as("rule"),
+        col(s"fa$i").as("n_fail_alone"), col(s"dh$i").as("n_dropped_here"),
+        col(s"sv$i").as("n_surviving"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage").cast("int").as("stage"), col("r.rule"),
+        col("r.n_fail_alone"), col("r.n_dropped_here"), col("r.n_surviving"))
+  }
+
+  def filterFunnelSql(table: String): String = {
+    val cellDefs = QfRules.indices.flatMap { i =>
+      val upTo = QfRules.take(i + 1).map(r => s"(${r._3})").mkString(" AND ")
+      val before = if (i == 0) "TRUE" else QfRules.take(i).map(r => s"(${r._3})").mkString(" AND ")
+      Seq(
+        s"CAST(sum(CASE WHEN NOT (${QfRules(i)._3}) THEN 1 ELSE 0 END) AS BIGINT) AS fa$i",
+        s"CAST(sum(CASE WHEN ($before) AND NOT (${QfRules(i)._3}) THEN 1 ELSE 0 END) AS BIGINT) AS dh$i",
+        s"CAST(sum(CASE WHEN $upTo THEN 1 ELSE 0 END) AS BIGINT) AS sv$i")
+    }.mkString(",\n       ")
+    val arms = QfRules.map { case (stage, name, _) =>
+      val i = stage - 1
+      s"SELECT $stage AS stage, '$name' AS rule, fa$i AS n_fail_alone, " +
+        s"dh$i AS n_dropped_here, sv$i AS n_surviving FROM a"
+    }.mkString("\n       |", "\n       |UNION ALL ", "")
+    s"""WITH q AS (${qualityFilterSql(table)}),
+       |a AS (SELECT $cellDefs FROM q)$arms""".stripMargin
+  }
+
   // ---- 2. deterministic split ----------------------------------------------
 
   /** Split thresholds over the 256 md5-prefix buckets:
@@ -1297,6 +1365,78 @@ object Corpus {
        |         (length(bin(total)) - 1) - (length(bin(cnt)) - 1) AS bits
        |  FROM tf JOIN cnts USING (term) CROSS JOIN tot)
        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+       |       CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits,
+       |       CAST(max(bits) AS BIGINT) AS max_bits
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** Bigram-LM conditional surprisal — [[docSurprisal]]'s unigram filter
+   * upgraded to the CCNet shape (Wenzek et al. 2020 score with a 5-gram
+   * KenLM; a bigram model is the largest order whose count tables stay
+   * relational): per adjacent token pair the conditional bits
+   * `−log2 P(w2|w1) = log2 c(w1·) − log2 c(w1 w2)` with both counts from
+   * THIS corpus (`c(w1·)` = bigrams starting with w1, so the
+   * distribution is properly normalized and bits ≥ 0). Repetitive
+   * machine text scores near 0 bits/pair; incoherent token soup scores
+   * high — the two tails an LM filter cuts. Output (doc_id, n_pairs,
+   * sum_bits, mean_bits, max_bits); single-token docs have no pair and
+   * drop out, exactly as zero-token docs do in [[docSurprisal]].
+   *
+   * Cross-engine exactness: integer floor-log2 (binary digit length)
+   * per count — the [[docSurprisal]] discretization — so sum/max are
+   * BIGINTs and the mean is ONE IEEE divide.
+   *
+   * Scale shape: ONE tokenize scan; the per-(doc, bigram) tf relation
+   * persists and feeds (a) the corpus bigram counts, (b) the prefix
+   * counts derived from those (vocabulary-sized relations that
+   * Zipf-flatten far below corpus size — AQE broadcasts them at any
+   * realistic vocabulary), and (c) the final per-doc partial-agg
+   * rollup. No window, no global sort, nothing driver-side. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("bigint")
+    val tfb = TextFunctions.withTokens(
+        docs.select(col("doc_id"), col("text")), "text", "toks")
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> concat(t, ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+      .persist()
+    val cbg = tfb.groupBy(col("bigram")).agg(sum(col("tf")).as("c_bg"))
+    val cw1 = cbg.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
+    tfb.join(cbg, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(cw1, "w1")
+      .select(col("doc_id"), col("tf"),
+        (flog2(col("c_w1")) - flog2(col("c_bg"))).as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_pairs"),
+        sum(col("tf") * col("bits")).cast("bigint").as("sum_bits"),
+        max(col("bits")).cast("bigint").as("max_bits"))
+      .select(col("doc_id"), col("n_pairs"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_pairs").cast("double")).as("mean_bits"),
+        col("max_bits"))
+  }
+
+  def bigramSurprisalSql(table: String): String =
+    s"""WITH tf AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table),
+       |idx AS (SELECT doc_id, CAST(unnest(range(1, len(toks))) AS INT) AS i FROM tf),
+       |tfb AS (
+       |  SELECT x.doc_id, concat(t.toks[x.i], ' ', t.toks[x.i + 1]) AS bigram,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |  FROM idx x JOIN tf t ON t.doc_id = x.doc_id
+       |  GROUP BY 1, 2),
+       |cbg AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bg FROM tfb GROUP BY 1),
+       |cw1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+       |               CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM cbg GROUP BY 1),
+       |bits AS (
+       |  SELECT f.doc_id, f.tf,
+       |         (length(bin(w.c_w1)) - 1) - (length(bin(b.c_bg)) - 1) AS bits
+       |  FROM tfb f
+       |  JOIN cbg b ON b.bigram = f.bigram
+       |  JOIN cw1 w ON w.w1 = string_split(f.bigram, ' ')[1])
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_pairs,
        |       CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
        |       CAST(sum(tf * bits) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_bits,
        |       CAST(max(bits) AS BIGINT) AS max_bits

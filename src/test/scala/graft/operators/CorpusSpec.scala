@@ -874,4 +874,71 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(kept > 0 && kept < out.length,
       s"relative cut must discriminate on this corpus: $kept/${out.length}")
   }
+
+  test("bigram surprisal: conditional bits are exactly flog2(c(w1·)) - " +
+       "flog2(c(w1 w2)) and a repeated phrase scores zero bits") {
+    // doc 1 is ONE phrase repeated: every bigram it emits is (nearly) the
+    // only continuation of its prefix, so each pair costs flog2(c_w1) -
+    // flog2(c_bg) with c_bg ~ c_w1; doc 2's pairs are all unique
+    // continuations of shared prefixes, so its bits are strictly higher
+    val docs = Seq(
+      (1L, Seq.fill(8)("red fox").mkString(" ")),   // rf x8, fr x7
+      (2L, "red cat red dog red bird")              // rc, cr, rd, dr, rb
+    ).toDF("doc_id", "text")
+    val got = Corpus.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // c(red ·) = 8 (rf) + 3 (rc, rd, rb) = 11; c(fox ·) = 7 (fr);
+    // c(cat ·) = 1, c(dog ·) = 1; 'bird' opens no bigram
+    // doc1: rf -> flog2(11)-flog2(8) = 3-3 = 0; fr -> flog2(7)-flog2(7) = 0
+    assert(got(1L).getLong(1) === 15L) // n_pairs
+    assert(got(1L).getLong(2) === 0L, s"repeated phrase = 0 bits: ${got(1L)}")
+    assert(got(1L).getLong(4) === 0L)
+    // doc2: rc/rd/rb -> flog2(11)-flog2(1) = 3; cr -> flog2(1)-flog2(1) = 0;
+    //       dr -> 0
+    assert(got(2L).getLong(1) === 5L)
+    assert(got(2L).getLong(2) === 9L, s"doc2 sum_bits: ${got(2L)}")
+    assert(got(2L).getLong(4) === 3L)
+    assert(got(2L).getDouble(3) === 9.0 / 5.0)
+    assert(flog2(11) === 3 && flog2(8) === 3 && flog2(7) === 2,
+      "comment arithmetic (flog2(7)=2 makes fr bits flog2(7)-flog2(7)=0)")
+  }
+
+  test("bigram surprisal on the corpus: bits nonnegative, bounded by the " +
+       "prefix count's bit length, single-token docs absent") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.bigramSurprisal(docs).collect()
+    val multi = docs.select(col("doc_id"))
+      .where(size(TextFunctions.tokens(col("text"))) >= 2).count()
+    assert(out.length.toLong === multi, "exactly the docs with >= 2 tokens")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(4) >= 0L, s"bits >= 0: $r")
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1), s"mean: $r")
+    }
+    assert(out.map(_.getDouble(3)).distinct.length > 10,
+      "the score discriminates across the corpus")
+  }
+
+  test("filter funnel: cascade cells partition the corpus and the last " +
+       "survivor count is the quality filter's pass count") {
+    val docs = Tables.documents(spark, dir)
+    val funnel = Corpus.filterFunnel(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(funnel.keySet === Set(1, 2, 3, 4, 5))
+    assert(funnel(1)._1 === "min_tokens" && funnel(5)._1 === "stop_hits")
+    val n = docs.count()
+    val qf = Corpus.qualityFilter(docs)
+    val passed = qf.filter(col("passes")).count()
+    // drops at each stage + final survivors = the whole corpus
+    val dropped = (1 to 5).map(funnel(_)._3).sum
+    assert(dropped + funnel(5)._4 === n, s"partition: $dropped + ${funnel(5)._4} != $n")
+    assert(funnel(5)._4 === passed, "cascade end = composite verdict")
+    // survivors are monotonically non-increasing; dropped_here <= fail_alone
+    (1 to 4).foreach(i => assert(funnel(i)._4 >= funnel(i + 1)._4))
+    (1 to 5).foreach(i => assert(funnel(i)._3 <= funnel(i)._2))
+    // stage-1 isolation count equals its from-signals recount
+    val failMin = qf.filter(col("n_tokens") < Corpus.QfMinTokens).count()
+    assert(funnel(1)._2 === failMin)
+  }
 }
