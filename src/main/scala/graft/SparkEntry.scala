@@ -204,6 +204,7 @@ object SparkEntry {
     // EXACT duplicated-substring spans at arbitrary alignment (stride-1
     // windows — the Lee et al. 2022 ExactSubstr half next to line_dedup)
     "dedup_substr"        -> ((s, d) => TextDedup.substrDedup(Tables.documents(s, d))),
+    "ngram_novelty"       -> ((s, d) => TextDedup.ngramNovelty(Tables.documents(s, d))),
     // cluster assignment over the minhash pair graph (connected
     // components); the four cluster-family queries share the
     // session-memoized labeling (DedupClusters.minhashLabels) — same
@@ -473,6 +474,7 @@ object SparkEntry {
     "line_dedup"          -> TextDedup.lineDedupSql("documents"),
     "dedup_winnow"        -> TextDedup.winnowDedupSql("documents"),
     "dedup_substr"        -> TextDedup.substrDedupSql("documents"),
+    "ngram_novelty"       -> TextDedup.ngramNoveltySql("documents"),
     "dedup_clusters"      -> DedupClusters.assignSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_keepers"     -> DedupClusters.keepersSql("documents", TextDedup.minhashLshSql("documents")),
     "cluster_safe_split"  -> Corpus.clusterSafeSplitSql(

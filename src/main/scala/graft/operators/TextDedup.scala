@@ -1251,6 +1251,75 @@ object TextDedup {
        |       CAST(CAST(max(n) AS BIGINT) AS DOUBLE) AS dup_fraction
        |FROM runs GROUP BY doc_id""".stripMargin
 
+  /** N-gram novelty — the memorization/novelty audit over crawl order
+   * (doc_id as arrival order, the same id-as-arrival convention as
+   * [[graft.operators.Corpus.corpusDiff]] and the incremental dedups):
+   * for each document, how many of its DISTINCT [[SubstrW]]-token
+   * windows appear here FIRST (no doc with a smaller id contains the
+   * same window) vs how many were already seen. A corpus whose novelty
+   * fraction collapses over ids is re-crawling itself; a doc scoring
+   * near 0 is assembled from already-seen text (the Carlini-style
+   * memorization-risk signal, aggregated per doc). Distinct windows,
+   * not positions — internal repetition is [[substrDedup]]'s business,
+   * not novelty. Output (doc_id, n_windows, n_distinct, n_first_seen,
+   * novelty_frac) for docs with ≥ [[SubstrW]] tokens.
+   *
+   * Shape: the same stride-1 native rolling-window pass as
+   * [[substrDedup]] ([[graft.plans.TokenWindowHash]]; the DuckDB oracle
+   * keeps its md5-of-slice form — only fingerprint EQUALITY reaches the
+   * output, the `SubstrKernelSpec` contract), collapsed to the distinct
+   * (doc, fp) relation ONCE and persisted; the first-owner table is one
+   * fp-keyed partial-agg min, and the join back is fp→fp (the exchange
+   * is reused), then one doc_id rollup. No window function, nothing
+   * quadratic, nothing driver-side — at 100 TB this is two keyed
+   * aggregates and one co-partitioned join over the distinct-window
+   * relation. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val win = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SubstrW)
+      .select(col("doc_id"), size(col("toks")).as("n"),
+        explode(toCol(graft.plans.TokenWindowHash(toExpr(col("toks")), SubstrW)))
+          .as("fp"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(max(col("n")).as("n"))
+      .persist()
+    val first = win.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+    win.join(first, "fp")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("bigint").as("n_first_seen"))
+      .select(col("doc_id"),
+        (col("n") - lit(SubstrW) + 1).cast("bigint").as("n_windows"),
+        col("n_distinct"), col("n_first_seen"),
+        (col("n_first_seen").cast("double") / col("n_distinct").cast("double"))
+          .as("novelty_frac"))
+  }
+
+  def ngramNoveltySql(table: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, toks, len(toks) AS n
+       |  FROM (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table)
+       |  WHERE len(toks) >= $SubstrW),
+       |win AS (
+       |  SELECT DISTINCT doc_id, n,
+       |         unnest([md5(array_to_string(toks[k : k + ${SubstrW - 1}], ' '))
+       |                 for k in range(1, n - $SubstrW + 2)]) AS fp
+       |  FROM tk),
+       |fst AS (SELECT fp, min(doc_id) AS first_doc FROM win GROUP BY 1)
+       |SELECT w.doc_id AS doc_id,
+       |       CAST(max(w.n) - ${SubstrW - 1} AS BIGINT) AS n_windows,
+       |       CAST(count(*) AS BIGINT) AS n_distinct,
+       |       CAST(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_first_seen,
+       |       CAST(CAST(sum(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS novelty_frac
+       |FROM win w JOIN fst f ON f.fp = w.fp
+       |GROUP BY w.doc_id""".stripMargin
+
   // ---- 6a-bis. near-dup similarity histogram --------------------------------
 
   /** Histogram bins per unit of Jaccard in [[neardupSimHist]] (width 0.02). */

@@ -696,6 +696,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     assert(TextDedup.lineDedup(docs).collect().forall(_.getLong(3) === 0L))
   }
 
+  test("ngram novelty: first-seen windows count to the earlier doc, copies " +
+       "score zero, a half-lifted doc scores the exact mixed fraction") {
+    val orig = (1 to 32).map(i => s"a$i").mkString(" ")     // 17 windows, all novel
+    val lifted = ((1 to 16).map(i => s"a$i") ++ (1 to 16).map(i => s"b$i")).mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, orig),
+      (2L, orig),                                           // exact re-crawl
+      (3L, lifted),                                         // window 1 seen, 2..17 novel
+      (4L, "too short for a single sixteen token window here"))
+    ).toDF("doc_id", "text")
+    val out = TextDedup.ngramNovelty(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "sub-W docs absent")
+    assert(out(1L) === ((17L, 17L, 17L, 1.0)), s"origin doc all-novel: ${out(1L)}")
+    assert(out(2L) === ((17L, 17L, 0L, 0.0)), s"re-crawl zero-novel: ${out(2L)}")
+    assert(out(3L) === ((17L, 17L, 16L, 16.0 / 17.0)), s"half-lift: ${out(3L)}")
+  }
+
+  test("ngram novelty on the corpus: the first-seen columns partition the " +
+       "distinct-window universe") {
+    val docs = Tables.documents(spark, dir)
+    val out = TextDedup.ngramNovelty(docs).collect()
+    val eligible = docs
+      .where(size(TextFunctions.tokens(col("text"))) >= TextDedup.SubstrW).count()
+    assert(out.length.toLong === eligible)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"distinct <= windows: $r")
+      assert(r.getLong(3) <= r.getLong(2), s"first-seen <= distinct: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // every distinct window fingerprint in the corpus has exactly ONE
+    // first owner, so the per-doc first-seen counts sum to the universe
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val universe = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= TextDedup.SubstrW)
+      .select(explode(toCol(graft.plans.TokenWindowHash(
+        toExpr(col("toks")), TextDedup.SubstrW))).as("fp"))
+      .distinct().count()
+    assert(out.map(_.getLong(3)).sum === universe)
+  }
+
   test("null and empty texts flow through the dedup family without error") {
     // a crawl corpus always contains null/empty payload rows — the
     // operators must drop them from candidates, never throw
