@@ -375,6 +375,7 @@ object SparkEntry {
     "dsir_weights"        -> ((s, d) => Corpus.dsirWeights(Tables.documents(s, d))),
     "bigram_surprisal"    -> ((s, d) => Corpus.bigramSurprisal(Tables.documents(s, d))),
     "filter_funnel"       -> ((s, d) => Corpus.filterFunnel(Tables.documents(s, d))),
+    "pack_audit"          -> ((s, d) => Corpus.packAudit(Tables.documents(s, d))),
     // certified vocabulary heavy hitters: MG sketch nominates ≤k candidates,
     // one broadcast re-count join restores exact counts — deterministic,
     // hash-checked (the KMV find-then-verify move applied to Misra-Gries)
@@ -571,6 +572,7 @@ object SparkEntry {
     "dsir_weights"        -> Corpus.dsirWeightsSql("documents"),
     "bigram_surprisal"    -> Corpus.bigramSurprisalSql("documents"),
     "filter_funnel"       -> Corpus.filterFunnelSql("documents"),
+    "pack_audit"          -> Corpus.packAuditSql("documents"),
     "mg_heavy_hitters"    -> Corpus.mgHeavyHittersSql("documents"),
     "mg_hitters_by_lang"  -> Corpus.mgHittersByLangSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),

@@ -447,6 +447,56 @@ object Corpus {
        |FROM c""".stripMargin
   }
 
+  /** Packing audit — the efficiency table for [[packSequences]]'s
+   * continuous greedy packer: per pack bucket, how many documents cross
+   * a bin boundary (`n_split_docs` — each split is a truncation the
+   * model trains through; THE number a packing strategy is judged by),
+   * how many bins the bucket fills, and the tail bin's fill. The
+   * continuous packer wastes nothing except each bucket's tail
+   * (`last_fill < PackBinTokens`), so utilization is read off n_bins +
+   * last_fill; the split rate is the price paid for that zero waste —
+   * the audit quantifies exactly the trade a padded packer would
+   * invert. Output (pack_bucket, n_docs, n_split_docs, n_bins,
+   * last_fill, split_frac).
+   *
+   * Shape: [[packSequences]] unchanged (its plan is pinned in its own
+   * entry), then ONE partial aggregate already co-partitioned on
+   * pack_bucket — the window shuffle is the only exchange; output is
+   * O(buckets) rows at any corpus size. A doc is split iff its span
+   * crosses a boundary: tok_offset + n_tokens > [[PackBinTokens]]
+   * (ending exactly on the boundary is not a split); n_bins and
+   * last_fill derive from the bucket's exact token total. */
+  def packAudit(docs: DataFrame): DataFrame = {
+    val b = PackBinTokens
+    packSequences(docs)
+      .groupBy(col("pack_bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("tok_offset") + col("n_tokens") > b, 1L).otherwise(0L))
+          .cast("bigint").as("n_split_docs"),
+        sum(col("n_tokens")).cast("bigint").as("tot"))
+      .select(col("pack_bucket"), col("n_docs"), col("n_split_docs"),
+        expr(s"CAST((tot + ${b - 1}) DIV $b AS BIGINT)").as("n_bins"),
+        when(col("tot") % b === 0, when(col("tot") === 0, 0L).otherwise(lit(b.toLong)))
+          .otherwise(col("tot") % b).cast("bigint").as("last_fill"),
+        (col("n_split_docs").cast("double") / col("n_docs").cast("double"))
+          .as("split_frac"))
+  }
+
+  def packAuditSql(table: String): String =
+    s"""WITH p AS (${packSequencesSql(table)})
+       |SELECT pack_bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN tok_offset + n_tokens > $PackBinTokens
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |       CAST((sum(n_tokens) + ${PackBinTokens - 1}) // $PackBinTokens AS BIGINT) AS n_bins,
+       |       CAST(CASE WHEN sum(n_tokens) % $PackBinTokens = 0
+       |                 THEN (CASE WHEN sum(n_tokens) = 0 THEN 0 ELSE $PackBinTokens END)
+       |                 ELSE sum(n_tokens) % $PackBinTokens END AS BIGINT) AS last_fill,
+       |       CAST(sum(CASE WHEN tok_offset + n_tokens > $PackBinTokens
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |         AS split_frac
+       |FROM p GROUP BY pack_bucket""".stripMargin
+
   // ---- PII scan ------------------------------------------------------------
 
   /** RE2-safe ASCII patterns, identical semantics in Spark (java.util

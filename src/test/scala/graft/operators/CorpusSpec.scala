@@ -941,4 +941,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     val failMin = qf.filter(col("n_tokens") < Corpus.QfMinTokens).count()
     assert(funnel(1)._2 === failMin)
   }
+
+  test("pack audit: split flags, bin counts and tail fill re-derive from the " +
+       "raw pack assignment, and doc counts partition the corpus") {
+    val docs = Tables.documents(spark, dir)
+    val audit = Corpus.packAudit(docs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val b = Corpus.PackBinTokens
+    val pack = Corpus.packSequences(docs).collect()
+      .map(r => (r.getInt(1), r.getLong(3), r.getLong(4))) // bucket, offset, n_tokens
+    val byBucket = pack.groupBy(_._1)
+    assert(audit.keySet === byBucket.keySet, "one audit row per bucket")
+    assert(audit.values.map(_._1).sum === docs.count(), "docs partition")
+    byBucket.foreach { case (bk, rows) =>
+      val (nDocs, nSplit, nBins, lastFill, frac) = audit(bk)
+      assert(nDocs === rows.length.toLong)
+      assert(nSplit === rows.count { case (_, off, nt) => off + nt > b }.toLong)
+      val tot = rows.map(_._3).sum
+      assert(nBins === (tot + b - 1) / b, s"bucket $bk bins")
+      assert(lastFill === (if (tot == 0) 0L else if (tot % b == 0) b.toLong else tot % b))
+      assert(frac === nSplit.toDouble / nDocs)
+      // a bucket's tokens fit exactly: (n_bins - 1) full bins + the tail
+      if (tot > 0) assert((nBins - 1) * b + lastFill === tot)
+    }
+    // the packer is continuous, so SOME doc somewhere straddles a boundary
+    assert(audit.values.map(_._2).sum > 0, "split docs exist on this corpus")
+  }
 }
