@@ -287,6 +287,7 @@ object SparkEntry {
     "ann_brute_topk"      -> ((s, d) => VectorOps.annBruteTopK(Tables.embeddings(s, d))),
     // kNN majority-vote auto-labeling over the bounded query set
     "knn_label"           -> ((s, d) => VectorOps.knnLabel(Tables.embeddings(s, d))),
+    "hard_negatives"      -> ((s, d) => VectorOps.hardNegatives(Tables.embeddings(s, d))),
     "ann_lsh_topk"        -> ((s, d) => VectorOps.annLshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk"        -> ((s, d) => VectorOps.annIvfTopK(Tables.embeddings(s, d))),
     // ANN QA: measured recall of the LSH path vs the brute ground truth
@@ -518,6 +519,7 @@ object SparkEntry {
     "semantic_dedup"      -> VectorOps.semanticDedupSql("embeddings"),
     "ann_brute_topk"      -> VectorOps.annBruteTopKSql("embeddings"),
     "knn_label"           -> VectorOps.knnLabelSql("embeddings"),
+    "hard_negatives"      -> VectorOps.hardNegativesSql("embeddings"),
     "ann_lsh_topk"        -> VectorOps.annLshTopKSql("embeddings"),
     "ann_ivf_topk"        -> VectorOps.annIvfTopKSql("embeddings"),
     "ann_recall"          -> VectorOps.annRecallSql("embeddings"),

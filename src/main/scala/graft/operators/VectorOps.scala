@@ -644,6 +644,76 @@ object VectorOps {
        |      FROM votes)
        |WHERE vr = 1""".stripMargin
 
+  // ---- 2c. hard-negative mining ---------------------------------------------
+
+  /** Hard negatives returned per query in [[hardNegatives]]. */
+  val HardNegK = 5
+
+  /** Hard-negative mining — the training-pair construction step of a
+   * contrastive retrieval/embedding pipeline (DPR, Contriever family):
+   * for each query vector the [[HardNegK]] MOST-similar vectors with a
+   * DIFFERENT label (the negatives that actually move the loss), each
+   * with the query's best same-label similarity (`pos_sim`) and the
+   * margin `pos_sim − sim` alongside — a NEGATIVE margin means some
+   * other-label vector sits closer than every positive, the
+   * mislabel/hard-case signal a curation pass reviews first. A query
+   * whose label is unique in the corpus has no positive: pos_sim and
+   * margin are NULL on both engines. Output (query_id, neighbor_id,
+   * rank, sim, pos_sim, margin).
+   *
+   * Scale: the [[knnLabel]] shape exactly — labels ride the one corpus
+   * scan, the O(1)-bounded query set broadcasts, scoring is map-side,
+   * WindowGroupLimit partials the rank before the exchange; the
+   * positive side is one query-keyed partial-agg max over the same
+   * scored relation (persisted, so the corpus is scanned once), and
+   * the final join brokers queries × k rows. */
+  def hardNegatives(embeddings: DataFrame, k: Int = HardNegK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val corpus = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+      .select(col("vec_id"), col("q"), norm2(col("q")).as("n2"), col("label"))
+    val queries = corpus.filter(queryBound)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("nq"), col("label").as("qlabel"))
+    val scored = broadcast(queries).join(corpus, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("label") === col("qlabel")).as("same"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
+      .persist()
+    val pos = scored.filter(col("same"))
+      .groupBy(col("query_id")).agg(max(col("sim")).as("pos_sim"))
+    scored.filter(!col("same"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"),
+        col("pos_sim"), (col("pos_sim") - col("sim")).as("margin"))
+  }
+
+  def hardNegativesSql(table: String, k: Int = HardNegK): String =
+    s"""WITH ${quantizedSql(table)},
+       |corpus AS (SELECT qn.vec_id, qn.q, qn.n2, e.label
+       |           FROM qn JOIN $table e USING (vec_id)),
+       |queries AS (SELECT vec_id AS query_id, q AS qq, n2 AS nq, label AS qlabel
+       |            FROM corpus WHERE $queryBoundSql),
+       |scored AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, (c.label = qlabel) AS same,
+       |         ${cosineSql(dotSql("qq", "c.q"), "nq", "c.n2")} AS sim
+       |  FROM queries JOIN corpus c ON query_id <> c.vec_id),
+       |pos AS (SELECT query_id, max(sim) AS pos_sim FROM scored WHERE same GROUP BY 1),
+       |negs AS (
+       |  SELECT query_id, neighbor_id, sim, rank FROM (
+       |    SELECT query_id, neighbor_id, sim,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |    FROM scored WHERE NOT same)
+       |  WHERE rank <= $k)
+       |SELECT n.query_id AS query_id, n.neighbor_id AS neighbor_id, n.rank AS rank,
+       |       n.sim AS sim, p.pos_sim AS pos_sim, p.pos_sim - n.sim AS margin
+       |FROM negs n LEFT JOIN pos p ON p.query_id = n.query_id""".stripMargin
+
   // ---- 3. LSH-bucketed ANN (the scale path) --------------------------------
 
   /** Deterministic ±1 hyperplanes: component (j, i) is +1 when the first

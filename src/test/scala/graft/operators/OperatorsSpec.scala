@@ -931,6 +931,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("hard negatives: top-k other-label neighbors with the exact positive " +
+       "margin, re-derived from a driver-side cosine pass") {
+    val emb = Tables.embeddings(spark, dir)
+    val out = VectorOps.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    assert(out.nonEmpty)
+    val vecs = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      (r.getLong(0), v, r.getInt(2))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def sims(q: Long) = {
+      val (_, qv, _) = byId(q)
+      val nq = qv.map(x => x * x).sum
+      vecs.filter(_._1 != q).map { case (id, v, lab) =>
+        val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+        (id, lab, dot.toDouble / math.sqrt(nq.toDouble * v.map(x => x * x).sum.toDouble))
+      }
+    }
+    out.keys.map(_._1).toSeq.distinct.foreach { q =>
+      val qlab = byId(q)._3
+      val all = sims(q)
+      val negs = all.filter(_._2 != qlab)
+        .sortBy { case (id, _, s) => (-s, id) }.take(VectorOps.HardNegK)
+      val posSims = all.filter(_._2 == qlab).map(_._3)
+      val expPos = if (posSims.isEmpty) None else Some(posSims.max)
+      negs.zipWithIndex.foreach { case ((id, _, s), i) =>
+        val (gotId, gotSim, gotPos, gotMargin) = out((q, i + 1L))
+        assert(gotId === id && gotSim === s, s"query $q rank ${i + 1}")
+        assert(gotPos === expPos, s"query $q pos_sim")
+        assert(gotMargin === expPos.map(_ - s), s"query $q margin")
+      }
+      assert(out.count(_._1._1 == q) === negs.length)
+    }
+    // the mined negatives really are negatives
+    out.foreach { case ((q, _), (nid, _, _, _)) =>
+      assert(byId(nid)._3 !== byId(q)._3, s"neighbor $nid shares label with $q")
+    }
+  }
+
   test("LSH ANN returns a subset of brute-force candidates per query") {
     val emb = Tables.embeddings(spark, dir)
     val brute = VectorOps.annBruteTopK(emb)
