@@ -377,6 +377,7 @@ object SparkEntry {
     "bigram_surprisal"    -> ((s, d) => Corpus.bigramSurprisal(Tables.documents(s, d))),
     "filter_funnel"       -> ((s, d) => Corpus.filterFunnel(Tables.documents(s, d))),
     "pack_audit"          -> ((s, d) => Corpus.packAudit(Tables.documents(s, d))),
+    "vocab_coverage"      -> ((s, d) => Corpus.vocabCoverage(Tables.documents(s, d))),
     // certified vocabulary heavy hitters: MG sketch nominates ≤k candidates,
     // one broadcast re-count join restores exact counts — deterministic,
     // hash-checked (the KMV find-then-verify move applied to Misra-Gries)
@@ -575,6 +576,7 @@ object SparkEntry {
     "bigram_surprisal"    -> Corpus.bigramSurprisalSql("documents"),
     "filter_funnel"       -> Corpus.filterFunnelSql("documents"),
     "pack_audit"          -> Corpus.packAuditSql("documents"),
+    "vocab_coverage"      -> Corpus.vocabCoverageSql("documents"),
     "mg_heavy_hitters"    -> Corpus.mgHeavyHittersSql("documents"),
     "mg_hitters_by_lang"  -> Corpus.mgHittersByLangSql("documents"),
     "boilerplate_prefixes" -> Corpus.boilerplatePrefixesSql("documents"),

@@ -897,6 +897,93 @@ object Corpus {
        |FROM tok t LEFT JOIN vocab v ON t.token = v.token
        |GROUP BY t.lang""".stripMargin
 
+  /** Candidate vocabulary sizes for [[vocabCoverage]] — the standard
+   * power-of-four sweep a tokenizer-size decision reads. */
+  val CoverageSizes: Seq[Long] = Seq(256L, 1024L, 4096L, 16384L)
+
+  /** Vocabulary-coverage curve — the tokenizer-size dial: for each
+   * candidate vocabulary size V, the exact share of corpus token MASS a
+   * top-V vocabulary covers (rank by count desc, ties by token asc).
+   * Read together with [[oovRate]]: this chooses V; that audits the
+   * chosen head per language. Output (vocab_size, n_vocab_terms,
+   * covered_tokens, total_tokens, coverage) — one row per V,
+   * n_vocab_terms = min(V, distinct terms).
+   *
+   * Scale shape — NO ranked sort over the vocabulary: group the vocab
+   * relation by COUNT VALUE (the [[budgetSample]] two-level-prefix-sum
+   * move applied to the Zipf axis — O(distinct count values) rows,
+   * ~√mass by Zipf), running totals over that tiny relation, and a V
+   * cut inside its boundary count-group needs no per-term resolution
+   * at all: every term there carries the SAME count, so the covered
+   * mass is (V − terms_before) · count regardless of which terms the
+   * tie-break picks. All 4+1 cells come from ONE conditional aggregate
+   * over the count-value relation, reshaped by exploding a literal
+   * struct array over the single agg row (the [[filterFunnel]]
+   * pattern — no driver-side relation in the plan). */
+  def vocabCoverage(docs: DataFrame,
+                    sizes: Seq[Long] = CoverageSizes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCount = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
+      .withColumn("mass", col("cnt") * col("n_terms"))
+      .withColumn("terms_end", sum(col("n_terms")).over(
+        Window.orderBy(col("cnt").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("terms_start", col("terms_end") - col("n_terms"))
+    def covered(v: Long): Column = sum(
+      when(col("terms_end") <= v, col("mass"))
+        .when(col("terms_start") < v, (lit(v) - col("terms_start")) * col("cnt"))
+        .otherwise(lit(0L))).cast("bigint")
+    val cells =
+      sizes.zipWithIndex.flatMap { case (v, i) =>
+        Seq(covered(v).as(s"cov$i"),
+          least(sum(col("n_terms")), lit(v)).cast("bigint").as(s"nt$i"))
+      } :+ sum(col("mass")).cast("bigint").as("tot")
+    val one = byCount.agg(cells.head, cells.tail: _*)
+    val rows = sizes.zipWithIndex.map { case (v, i) =>
+      struct(lit(v).as("vocab_size"), col(s"nt$i").as("n_vocab_terms"),
+        col(s"cov$i").as("covered_tokens"), col("tot").as("total_tokens"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.vocab_size"), col("r.n_vocab_terms"),
+        col("r.covered_tokens"), col("r.total_tokens"),
+        (col("r.covered_tokens").cast("double") / col("r.total_tokens").cast("double"))
+          .as("coverage"))
+  }
+
+  def vocabCoverageSql(table: String,
+                       sizes: Seq[Long] = CoverageSizes): String = {
+    val cells = sizes.zipWithIndex.flatMap { case (v, i) =>
+      Seq(
+        s"""CAST(sum(CASE WHEN terms_end <= $v THEN mass
+           |              WHEN terms_start < $v THEN ($v - terms_start) * cnt
+           |              ELSE 0 END) AS BIGINT) AS cov$i""".stripMargin,
+        s"CAST(least(sum(n_terms), $v) AS BIGINT) AS nt$i")
+    }.mkString(",\n       ")
+    val arms = sizes.zipWithIndex.map { case (v, i) =>
+      s"SELECT CAST($v AS BIGINT) AS vocab_size, nt$i AS n_vocab_terms, " +
+        s"cov$i AS covered_tokens, tot AS total_tokens, " +
+        s"CAST(cov$i AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage FROM a"
+    }.mkString("\n       |", "\n       |UNION ALL ", "")
+    s"""WITH vc AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table)
+       |  GROUP BY token),
+       |bc AS (
+       |  SELECT cnt, CAST(count(*) AS BIGINT) AS n_terms,
+       |         CAST(cnt * count(*) AS BIGINT) AS mass
+       |  FROM vc GROUP BY cnt),
+       |cum AS (
+       |  SELECT cnt, n_terms, mass,
+       |         CAST(sum(n_terms) OVER (ORDER BY cnt DESC
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS terms_end,
+       |         CAST(sum(n_terms) OVER (ORDER BY cnt DESC
+       |           ROWS UNBOUNDED PRECEDING) - n_terms AS BIGINT) AS terms_start
+       |  FROM bc),
+       |a AS (SELECT $cells, CAST(sum(mass) AS BIGINT) AS tot FROM cum)$arms""".stripMargin
+  }
+
   /** Result size for [[bigramTopK]]. */
   val BigramK = 20
 

@@ -969,4 +969,30 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     // the packer is continuous, so SOME doc somewhere straddles a boundary
     assert(audit.values.map(_._2).sum > 0, "split docs exist on this corpus")
   }
+
+  test("vocab coverage: each cell equals the brute ranked-prefix mass and " +
+       "the curve is monotone toward full coverage") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.vocabCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Corpus.CoverageSizes.toSet)
+    // brute reference: full ranked vocabulary on the driver (sf0.001)
+    val vocab = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }
+    val total = vocab.map(_._2).sum
+    Corpus.CoverageSizes.foreach { v =>
+      val (nTerms, covered, tot, cov) = out(v)
+      assert(tot === total)
+      assert(nTerms === math.min(v, vocab.length.toLong))
+      assert(covered === vocab.take(v.toInt).map(_._2).sum, s"V=$v")
+      assert(cov === covered.toDouble / total)
+    }
+    // monotone, and the largest V on this corpus covers everything
+    val curve = Corpus.CoverageSizes.map(out(_)._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    assert(out(Corpus.CoverageSizes.last)._4 <= 1.0)
+  }
 }
