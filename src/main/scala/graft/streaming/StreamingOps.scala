@@ -196,6 +196,35 @@ object StreamingOps {
         col("sk.est").as("n_distinct_kmv"))
   }
 
+  /** Windowed Misra-Gries heavy-hitter candidates over a document
+   * stream — the third native sketch through the streaming state store
+   * (after KMV here and the GK/HLL batch forms): per event-time window,
+   * the merged MG sketch's ≤ k retained (token, est) counters plus the
+   * window's exact stream length. Unlike KMV, MG is merge-ORDER-
+   * dependent, so streaming output need not equal the batch sketch
+   * bit-for-bit; what survives ANY merge schedule — micro-batch
+   * partials merged incrementally into state included — is the Agarwal
+   * et al. 2012 bound: est ≤ true ≤ est + n/(k+1), hence every token
+   * with true in-window frequency > n/(k+1) is RETAINED. The spec
+   * asserts exactly that guarantee against per-window truth, the same
+   * contract the batch `mg_heavy_hitters` closure certifies with an
+   * exact re-count. State per window is O(k) counters — bounded at any
+   * stream rate. */
+  def windowedMgHitters(in: DataFrame, windowDur: String,
+                        watermarkDelay: String, k: Int,
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val sk = toCol(graft.plans.MisraGriesAgg(
+      toExpr(graft.functions.TextFunctions.tokens(col(textCol))), k)
+      .toAggregateExpression())
+    val wm = if (in.isStreaming) in.withWatermark("ts", watermarkDelay) else in
+    wm.groupBy(window(col("ts"), windowDur))
+      .agg(sk.as("sk"))
+      .select(col("window.start").as("window_start"), explode(col("sk")).as("e"))
+      .select(col("window_start"), col("e.token").as("token"),
+        col("e.est").as("est"), col("e.n").as("n_stream"))
+  }
+
   /** Stream-static enrichment: join a streaming fact stream to a STATIC
    * dimension on `key` — the lookup-join every event pipeline runs
    * (user profile, device registry, doc metadata onto its stream).

@@ -24,6 +24,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
   private def rec(k: Long, v: Double, ts: Long) = VRec(k, v, new Timestamp(ts))
   // sentinel far in the future closes all windows of interest
   private def sentinel = rec(99L, 0.0, base + 3600 * 1000L)
+  private def sentinelDoc = Doc(new Timestamp(base + 3600 * 1000L), "sentinel")
 
   test("tumbling window aggregation with watermark") {
     val in = MemoryStream[VRec]
@@ -279,6 +280,52 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
       assert(byWin(base + 0L)._1 === k.toLong)
       assert(byWin(base + 0L)._2.isDefined)
       assert(byWin(base + 10000L) === ((3L, None, 3.0)))
+    } finally q.stop()
+  }
+
+  test("windowed MG hitters: the state-store-merged sketch retains every " +
+       "token above the n/(k+1) bound, with sound lower-bound estimates") {
+    val k = 4
+    // window 1 (3 micro-batches): 'hot' 18x, 'warm' 9x, 24 singletons ->
+    // n = 51, n/(k+1) = 10.2: 'hot' MUST survive any merge schedule,
+    // singletons must not crowd it out; window 2: tiny exact stream
+    val w1docs =
+      (1 to 6).map(i => Doc(new Timestamp(base + 1000 + i), "hot hot hot warm " +
+        s"u${4 * i} u${4 * i + 1} u${4 * i + 2} u${4 * i + 3}")) ++
+      Seq(Doc(new Timestamp(base + 8000), "warm warm warm"))
+    val w2docs = Seq(Doc(new Timestamp(base + 12000), "calm calm sea"))
+    val in = MemoryStream[Doc]
+    val out = StreamingOps.windowedMgHitters(in.toDF(), "10 seconds", "5 seconds", k)
+    val q = out.writeStream.format("memory").queryName("mg_win_out")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = w1docs.splitAt(3)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(rest); q.processAllAvailable()
+      in.addData(w2docs); q.processAllAvailable()
+      in.addData(sentinelDoc); q.processAllAvailable()
+      val got = spark.table("mg_win_out").collect()
+        .filter(_.getTimestamp(0).getTime < base + 3000 * 1000L)
+        .map(r => (r.getTimestamp(0).getTime,
+          (r.getString(1), r.getLong(2), r.getLong(3))))
+      val byWin = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val w1 = byWin(base + 0L)
+      assert(w1.length <= k, "at most k retained counters per window")
+      assert(w1.forall(_._3 === 51L), "exact stream length rides the sketch")
+      val hot = w1.find(_._1 == "hot")
+      assert(hot.isDefined, "true count 18 > 51/5: survives ANY merge order")
+      // sound lower bound: est <= true <= est + n/(k+1)
+      assert(hot.get._2 <= 18L && hot.get._2 >= 18L - (51L / (k + 1)))
+      // window 2 never saturated the sketch: exact counts, all retained
+      val w2 = byWin(base + 10000L).map(e => (e._1, e._2)).toSet
+      assert(w2 === Set(("calm", 2L), ("sea", 1L)))
+      // streaming guarantee == the batch sketch's guarantee on the same
+      // rows (merge schedules differ; the CONTRACT must not)
+      val batch = StreamingOps.windowedMgHitters(
+          (w1docs ++ w2docs).toDF(), "10 seconds", "0 seconds", k).collect()
+        .filter(_.getTimestamp(0).getTime == base)
+        .map(r => r.getString(1)).toSet
+      assert(batch.contains("hot"))
     } finally q.stop()
   }
 
