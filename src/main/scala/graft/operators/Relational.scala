@@ -42,13 +42,18 @@ object Relational {
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        // all-decimal product: rounding a computed DOUBLE to decimal is
-        // engine-divergent (Spark rounds the double's shortest decimal
-        // rendering, DuckDB the full binary value) — cast the INPUTS and
-        // multiply exactly instead
-        sum(dec("l_extendedprice") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("sum_disc_price"),
+        // all-integer product: rounding a computed DOUBLE to decimal is
+        // engine-divergent, and even an exact DECIMAL(38,6) sum diverges
+        // in the final decimal->double CAST once the scaled integer
+        // passes 2^53 (DuckDB converts int128->double BEFORE dividing by
+        // 10^scale; Java BigDecimal rounds the exact rational once —
+        // caught by the sf10 gate). So the accumulation is a scaled
+        // BIGINT (cents x discount-basis-points, exact to sum ~9e18 ≈
+        // sf300) and the only float op is int64->double + ONE divide by
+        // an exact power of ten — bit-identical cross-engine at any SF
+        (sum((dec("l_extendedprice") * lit(100)).cast("bigint") *
+            (lit(10000L) - (col("l_discount").cast("decimal(18,4)") * lit(10000)).cast("bigint")))
+          .cast("double") / lit(1000000.0)).as("sum_disc_price"),
         (sum(dec("l_discount")).cast("double") / count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -56,7 +61,9 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
+      |   / 1000000.0 AS sum_disc_price,
       | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
