@@ -148,6 +148,10 @@ object SparkEntry {
     "hll_error_audit"     -> ((s, d) => Relational.hllErrorAudit(s, d)),
     "gk_error_audit"      -> ((s, d) => Corpus.gkErrorAudit(Tables.documents(s, d))),
     "mg_error_audit"      -> ((s, d) => Corpus.mgErrorAudit(Tables.documents(s, d))),
+    // Count-Min point-frequency sketch: LINEAR, so the oracle rebuilds
+    // the exact grid relationally and hash-checks the sketch's INTERIOR
+    // estimates — value-level coverage the HLL/GK/MG audits can't have
+    "cm_error_audit"      -> ((s, d) => Corpus.cmErrorAudit(Tables.documents(s, d))),
     // trailing-7-day rolling distinct users: per-day KMV sketches merged
     // RELATIONALLY per window (bottom-k of a union = bottom-k of the
     // per-day bottom-k's) — exact rolling distinct is unaffordable at
@@ -251,6 +255,10 @@ object SparkEntry {
     "neardup_source_mix"  -> ((s, d) => TextDedup.neardupSourceMix(Tables.documents(s, d))),
     "lang_confusion"      -> ((s, d) => Corpus.langConfusion(Tables.documents(s, d))),
     "vocab_topk"          -> ((s, d) => Corpus.vocabTopK(Tables.documents(s, d))),
+    // first-iteration BPE merge statistics: adjacent char pairs weighted
+    // by token frequency, counted over the O(vocab) word-frequency
+    // relation (the Sennrich trick) — never the raw character stream
+    "bpe_merge_topk"      -> ((s, d) => Corpus.bpeMergeCandidates(Tables.documents(s, d))),
     // tokenizer coverage: per-language OOV rate vs the broadcast top-V vocab
     "oov_rate"            -> ((s, d) => Corpus.oovRate(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
@@ -502,6 +510,7 @@ object SparkEntry {
     "neardup_source_mix"  -> TextDedup.neardupSourceMixSql("documents"),
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
+    "bpe_merge_topk"      -> Corpus.bpeMergeCandidatesSql("documents"),
     "oov_rate"            -> Corpus.oovRateSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),
@@ -594,6 +603,7 @@ object SparkEntry {
     "hll_error_audit"     -> Relational.hllErrorAuditSql,
     "gk_error_audit"      -> Corpus.gkErrorAuditSql("documents"),
     "mg_error_audit"      -> Corpus.mgErrorAuditSql("documents"),
+    "cm_error_audit"      -> Corpus.cmErrorAuditSql("documents"),
     "kmv_rolling_users"   -> Relational.kmvRollingUsersSql,
     "kmv_overlap_audit"   -> Relational.kmvOverlapAuditSql,
     "skew_profile"        -> Relational.eventKeySkewSql,

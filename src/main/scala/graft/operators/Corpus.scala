@@ -836,6 +836,47 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Result size for [[bpeMergeCandidates]]. */
+  val BpePairK = 20
+
+  /** First-iteration BPE merge candidates: the top-[[BpePairK]] adjacent
+   * CHARACTER pairs inside tokens, weighted by token frequency — the
+   * statistic byte-pair-encoding tokenizer training greedily merges
+   * (Sennrich et al. 2016). The char-level twin of [[bigramTopK]]'s
+   * token-level successor pairs.
+   *
+   * Shape — the Sennrich implementation detail that makes BPE training
+   * feasible at corpus scale, here made relational: pairs are counted
+   * over the WORD-FREQUENCY relation, not the raw character stream. One
+   * tokenize scan partial-aggregates to the O(vocab) (token, cnt)
+   * relation; each distinct token then explodes into its ≤ len−1 pairs
+   * ON THAT RELATION (map-local, no second corpus scan) weighted by
+   * cnt; the pair alphabet is bounded (≤ |charset|² groups), so the
+   * final aggregate is a map-side-combining groupBy to O(pairs) rows
+   * plus a TakeOrdered — no stage sees more than vocabulary-sized data
+   * after the first exchange. Ties at the cut broken by pair, so the
+   * k-set is total-ordered at any parallelism. */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = BpePairK): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("token")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  def bpeMergeCandidatesSql(table: String, k: Int = BpePairK): String =
+    s"""WITH tok AS (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+       |pairs AS (
+       |  SELECT cnt, unnest(list_transform(range(1, length(token)),
+       |                i -> substring(token, CAST(i AS INT), 2))) AS pair
+       |  FROM tf WHERE length(token) >= 2)
+       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+       |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT $k""".stripMargin
+
   /** Vocabulary size for [[oovRate]] — small enough to broadcast at any
    * corpus size, large enough that the Zipf head carries most token
    * mass on this corpus. */
@@ -2124,6 +2165,100 @@ object Corpus {
        |       least(CAST(ceil((q + $GkEps) * n_docs) AS BIGINT), n_docs) AS rank_hi,
        |       true AS within_bound
        |FROM pl CROSS JOIN qs""".stripMargin
+
+  // ---- Count-Min sketch + value-level audit ---------------------------------
+
+  /** Count-Min grid shape: 4 rows × 512 buckets — 16 KB of state per
+   * (task, group), point-estimate overcount ≤ e/512 · n ≈ 0.53% of the
+   * stream per failed row, failure e⁻⁴ ≈ 1.8% per row per query. */
+  val CmDepth = 4
+  val CmWidth = 512
+  /** Audited candidate set size (the frequency head, ties by token). */
+  val CmAuditK = 30
+
+  /** Row i's Count-Min bucket of the md5 hex string held in column/expr
+   * `h` — ONE string, valid verbatim in BOTH Spark SQL and DuckDB (the
+   * `Relational.hexVal13` contract pattern): hex chars 8i+1..8i+8 read
+   * as a 32-bit integer via instr-arithmetic, mod [[CmWidth]]. Each
+   * positional weight CAST to BIGINT (Spark ANSI: digit × 2²⁸ overflows
+   * INT; DuckDB silently promotes — the divergence class hexVal13
+   * documents). The native [[graft.plans.CMSketch.bucket]] computes the
+   * same value from the raw digest bytes. */
+  private[operators] def cmBucketSql(i: Int, h: String): String = {
+    val sum = (1 to 8).map { j =>
+      s"(instr('0123456789abcdef', substring($h, ${8 * i + j}, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (8 - j))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+    s"($sum % $CmWidth)"
+  }
+
+  /** Count-Min sketch audit with VALUE-level oracle coverage — the only
+   * sketch in the family besides KMV whose interior state the DuckDB
+   * oracle reproduces exactly, because the sketch is LINEAR: each grid
+   * cell is the plain sum of the exact frequencies of the tokens
+   * hashing into it, so the oracle rebuilds the whole grid relationally
+   * (group the token-frequency relation by bucket) and derives the
+   * SAME point estimates the native one-pass aggregate produced —
+   * est, overcount, and the never-undercount guarantee all hash-check,
+   * where the HLL/GK/MG audits could only pin guarantee bounds.
+   *
+   * Output (token, cnt, est, overcount, never_under) for the top-
+   * [[CmAuditK]] tokens by exact count: est = min over the four grid
+   * rows of the token's bucket counter, overcount = est − cnt ≥ 0.
+   *
+   * Scale shape: the sketch side is ONE ObjectHashAggregate pass with
+   * O(depth·width) state per task (the exchange ships one 16 KB grid
+   * per task at ANY corpus size); the exact side is [[vocabTopK]]'s
+   * vocabulary-keyed exchange. The exploded token stream is PERSISTED
+   * between its two consumers, so the corpus scans once; the finished
+   * single-row grid broadcasts onto the [[CmAuditK]]-row candidate
+   * relation where the probe is pure expression arithmetic. */
+  def cmErrorAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val tok = docs.select(explode(tokens(col("text"))).as("token")).persist()
+    val grid = tok.agg(toCol(graft.plans.CountMinAgg(
+      toExpr(col("token")), CmDepth, CmWidth).toAggregateExpression()).as("cm"))
+    val cand = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(CmAuditK)
+      .withColumn("h", md5(col("token")))
+    val est = least((0 until CmDepth).map { i =>
+      element_at(col("cm.counters"),
+        (expr(cmBucketSql(i, "h")) + lit(i * CmWidth + 1)).cast("int"))
+    }: _*)
+    cand.crossJoin(broadcast(grid))
+      .select(col("token"), col("cnt"), est.as("est"))
+      .withColumn("overcount", col("est") - col("cnt"))
+      .withColumn("never_under", col("overcount") >= 0L)
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  def cmErrorAuditSql(table: String): String = {
+    val rows = s"(SELECT unnest([${(0 until CmDepth).mkString(", ")}]) AS i) r"
+    // bucket of row r.i: the same instr-arithmetic as cmBucketSql, with
+    // the slice start folded per-i on the Spark side but variable here
+    val bucketVar = (1 to 8).map { j =>
+      s"(instr('0123456789abcdef', substring(h, 8 * r.i + $j, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (8 - j))} AS BIGINT)"
+    }.mkString("(", " + ", ")") + s" % $CmWidth"
+    s"""WITH toks AS (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table),
+       |tf AS (SELECT token, md5(token) AS h, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM toks GROUP BY 1),
+       |cells AS (
+       |  SELECT r.i AS i, $bucketVar AS b, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM tf CROSS JOIN $rows GROUP BY 1, 2),
+       |cand AS (SELECT token, h, cnt FROM tf
+       |         ORDER BY cnt DESC, token LIMIT $CmAuditK),
+       |probe AS (
+       |  SELECT cand.token, cand.cnt, r.i AS i, $bucketVar AS b
+       |  FROM cand CROSS JOIN $rows)
+       |SELECT p.token, p.cnt, CAST(min(c.c) AS BIGINT) AS est,
+       |       CAST(min(c.c) AS BIGINT) - p.cnt AS overcount,
+       |       (CAST(min(c.c) AS BIGINT) >= p.cnt) AS never_under
+       |FROM probe p JOIN cells c ON c.i = p.i AND c.b = p.b
+       |GROUP BY p.token, p.cnt
+       |ORDER BY p.cnt DESC, p.token""".stripMargin
+  }
 
   // ---- column null/blank/distinct profile (schema-health audit) ------------
 

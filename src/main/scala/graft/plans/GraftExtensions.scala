@@ -140,6 +140,25 @@ object GraftFunctions {
         KmvMinsAgg(e(0), literalIntParam("kmv_mins", "k", e(1), lo = 2))
           .toAggregateExpression()
       }),
+    ("count_min",
+      info("count_min",
+        "count_min(token, depth, width) - linear Count-Min frequency sketch over STRING " +
+          "rows; returns STRUCT<n BIGINT, counters ARRAY<BIGINT>> (row-major grid)"),
+      (es: Seq[Expression]) => arity("count_min", 3, es) { e =>
+        val depth = literalIntParam("count_min", "depth", e(1), lo = 1)
+        // md5 yields exactly four independent 32-bit slices — depth > 4
+        // is the same typed analysis error as depth < 1, not a require()
+        // IllegalArgumentException from the constructor mid-analysis
+        if (depth > 4) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+            messageParameters = Map("functionName" -> "`count_min`",
+              "parameter" -> "`depth`", "invalidValue" -> depth.toString))
+        }
+        CountMinAgg(e(0), depth,
+          literalIntParam("count_min", "width", e(2), lo = 2))
+          .toAggregateExpression()
+      }),
   )
 
   /** Register into a LIVE session (extensions can only be injected at

@@ -370,3 +370,143 @@ case class KmvMinsAgg(
   override protected def withNewChildInternal(newChild: Expression): KmvMinsAgg =
     copy(child = newChild)
 }
+
+/**
+ * Count-Min frequency-sketch state (Cormode & Muthukrishnan 2005): a
+ * depth × width grid of counters plus the stream length n. Every item
+ * increments ONE counter per row (the row's hash bucket); a point
+ * estimate is the MIN over the item's depth counters. The defining
+ * property next to [[MGSketch]]: the update is LINEAR — counters are
+ * plain sums over the input multiset — so merge is pointwise addition
+ * and the finished grid is a pure function of the input multiset,
+ * bit-identical under ANY merge order or parallelism (like KMV, unlike
+ * MG/GK/HLL). Estimates never undercount; they overcount by the mass
+ * that collides into the same bucket on every row.
+ *
+ * Bucket function (the cross-engine contract shared with the SQL
+ * oracle, see `Corpus.cmBucketSql`): row i's bucket of token t is the
+ * i-th 8-hex-char slice of md5(t), read as a 32-bit integer, mod width
+ * — one md5 per update, depth slices, and a DuckDB oracle can rebuild
+ * the exact grid relationally from the token-frequency relation.
+ */
+final class CMSketch(val depth: Int, val width: Int) {
+  val counters: Array[Long] = new Array[Long](depth * width)
+  var n: Long = 0L
+
+  private val md = java.security.MessageDigest.getInstance("MD5")
+
+  def add(tok: String): Unit = {
+    n += 1
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < depth) {
+      counters(i * width + CMSketch.bucket(d, i, width)) += 1
+      i += 1
+    }
+  }
+
+  /** Linearity: merge = pointwise counter addition. */
+  def merge(other: CMSketch): CMSketch = {
+    n += other.n
+    var j = 0
+    while (j < counters.length) { counters(j) += other.counters(j); j += 1 }
+    this
+  }
+}
+
+object CMSketch {
+  /** Hex chars 8i..8i+7 of the digest = digest bytes 4i..4i+3 read
+   * big-endian unsigned — exactly `hexVal8(substring(md5hex, 1+8i, 8))`
+   * in the SQL mirror, without materializing the hex string. */
+  def bucket(digest: Array[Byte], i: Int, width: Int): Int = {
+    val v = ((digest(4 * i) & 0xffL) << 24) |
+      ((digest(4 * i + 1) & 0xffL) << 16) |
+      ((digest(4 * i + 2) & 0xffL) << 8) |
+      (digest(4 * i + 3) & 0xffL)
+    (v % width).toInt
+  }
+}
+
+/**
+ * `count_min(token, depth, width)` — native Count-Min frequency sketch
+ * over STRING rows; the fourth member of the mergeable-sketch family
+ * (KMV distinct, Misra-Gries heavy hitters, GK quantiles) and the
+ * point-frequency workhorse: O(depth·width) state per (task, group)
+ * regardless of vocabulary size, full map-side partial aggregation,
+ * the exchange ships one grid per task.
+ *
+ * Accuracy: est(t) ≥ f(t) always (deterministic, every row only ever
+ * adds mass), and est(t) ≤ f(t) + e/width · n with probability
+ * 1 − e^−depth per query (Cormode & Muthukrishnan 2005 Thm 1).
+ *
+ * Because the sketch is linear, its output is MERGE-ORDER-FREE — and
+ * the grid is relationally reconstructible (group the exact token
+ * frequencies by bucket and sum), so unlike HLL/GK/MG the DuckDB
+ * oracle can hash-check the sketch's INTERIOR VALUES, not just its
+ * guarantee bounds: see `Corpus.cmErrorAudit`.
+ *
+ * Output `STRUCT<n BIGINT, counters ARRAY<BIGINT>>`, counters laid out
+ * row-major (row i, bucket b at index i·width + b, 0-based).
+ */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CMSketch] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(depth >= 1 && depth <= 4,
+    "count_min needs 1 <= depth <= 4 (md5 yields four independent 32-bit slices)")
+  require(width >= 2, "count_min needs width >= 2")
+
+  override def prettyName: String = "count_min"
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("counters", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def createAggregationBuffer(): CMSketch = new CMSketch(depth, width)
+
+  override def update(buf: CMSketch, input: InternalRow): CMSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: CMSketch, b: CMSketch): CMSketch = a.merge(b)
+
+  override def eval(buf: CMSketch): Any =
+    InternalRow(buf.n,
+      new GenericArrayData(buf.counters.map(java.lang.Long.valueOf).toArray[Any]))
+
+  override def serialize(buf: CMSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.depth)
+    out.writeInt(buf.width)
+    out.writeLong(buf.n)
+    buf.counters.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CMSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val sk = new CMSketch(in.readInt(), in.readInt())
+    sk.n = in.readLong()
+    var j = 0
+    while (j < sk.counters.length) { sk.counters(j) = in.readLong(); j += 1 }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}

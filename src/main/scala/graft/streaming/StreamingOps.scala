@@ -225,6 +225,31 @@ object StreamingOps {
         col("e.est").as("est"), col("e.n").as("n_stream"))
   }
 
+  /** Windowed Count-Min frequency grid over a document stream — the
+   * fourth native sketch through the streaming state store. Per
+   * event-time window: the merged CM grid (point-frequency estimates
+   * for ANY token, not just retained heavy hitters) plus the exact
+   * in-window token count. Count-Min is LINEAR — counters are sums —
+   * so unlike MG the streaming answer is BIT-IDENTICAL to the batch
+   * aggregate over the same rows under any micro-batch schedule
+   * (pinned in `StreamingOpsSpec`), and per-window state is a fixed
+   * depth × width grid regardless of vocabulary or stream rate.
+   * Output: (window_start, window_end, n_tokens, counters). */
+  def windowedCmGrid(in: DataFrame, windowDur: String, watermarkDelay: String,
+                     depth: Int, width: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val toks = in.select(col("ts"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+    val wm = if (toks.isStreaming) toks.withWatermark("ts", watermarkDelay) else toks
+    val sk = toCol(graft.plans.CountMinAgg(toExpr(col("token")), depth, width)
+      .toAggregateExpression())
+    wm.groupBy(window(col("ts"), windowDur))
+      .agg(sk.as("cm"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("cm.n").as("n_tokens"), col("cm.counters").as("counters"))
+  }
+
   /** Stream-static enrichment: join a streaming fact stream to a STATIC
    * dimension on `key` — the lookup-join every event pipeline runs
    * (user profile, device registry, doc metadata onto its stream).

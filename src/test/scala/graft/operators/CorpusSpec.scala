@@ -392,6 +392,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(out.toSeq === expected)
   }
 
+  test("bpe merge candidates match a driver-side char-pair count weighted by token frequency") {
+    val docs = Tables.documents(spark, dir)
+    val out = Corpus.bpeMergeCandidates(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === Corpus.BpePairK)
+    val toks = docs.select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().flatMap(_.getSeq[String](0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach { t =>
+      // every ADJACENT pair, weighted by raw occurrences (a token seen f
+      // times contributes f to each of its len-1 pairs — the BPE statistic)
+      (0 until t.length - 1).foreach { i =>
+        val p = t.substring(i, i + 2); counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(Corpus.BpePairK)
+    assert(out.toSeq === expected)
+    // single-char tokens contribute nothing and must not crash the
+    // sequence(1, len-1) expansion
+    import spark.implicits._
+    val tiny = Seq((1L, "a ab a b ab")).toDF("doc_id", "text")
+    val pairs = Corpus.bpeMergeCandidates(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pairs === Map("ab" -> 2L))
+  }
+
   test("oov rate matches a driver-side vocabulary probe over the same tokens") {
     val docs = Tables.documents(spark, dir)
     val out = Corpus.oovRate(docs).collect()

@@ -62,7 +62,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "epoch_plan" -> 1, // mixWeights' 1-row max-tokens broadcast (same shape)
     "semantic_decontaminate" -> 1, // bounded eval-sample broadcast (brute shape)
     "dsir_weights" -> 2, // two 1-row broadcasts: smoothed totals + raw-mean cut (kmv_overlap_audit shape)
-    "hard_negatives" -> 1) // bounded broadcast query set x corpus (knn_label shape)
+    "hard_negatives" -> 1, // bounded broadcast query set x corpus (knn_label shape)
+    "cm_error_audit" -> 1) // 1-row CM grid broadcast onto the 30-row candidate head (mix_weights shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer

@@ -89,4 +89,70 @@ class SketchAuditSpec extends AnyFunSuite with SparkTestHarness {
       }
     }
   }
+
+  test("cm_error_audit: estimates equal the independently rebuilt grid's minima — " +
+       "value-level, not bound-level") {
+    dirs.foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+      val exact = docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // the relational grid reconstruction the DuckDB oracle performs,
+      // done a third way here (Scala fold over exact frequencies)
+      val grid = new Array[Long](Corpus.CmDepth * Corpus.CmWidth)
+      exact.foreach { case (tok, cnt) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        for (i <- 0 until Corpus.CmDepth)
+          grid(i * Corpus.CmWidth + CMSketch.bucket(digest, i, Corpus.CmWidth)) += cnt
+      }
+      def estOf(tok: String): Long = {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (0 until Corpus.CmDepth)
+          .map(i => grid(i * Corpus.CmWidth + CMSketch.bucket(digest, i, Corpus.CmWidth)))
+          .min
+      }
+      val topK = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(Corpus.CmAuditK)
+
+      val rows = Corpus.cmErrorAudit(docs).collect()
+      assert(rows.map(_.getString(0)).toSeq === topK.map(_._1),
+        s"$dir: audited candidates are the exact frequency head, count-then-token order")
+      rows.foreach { r =>
+        val tok = r.getString(0)
+        assert(r.getLong(1) === exact(tok), s"$dir $tok: cnt is truth")
+        assert(r.getLong(2) === estOf(tok),
+          s"$dir $tok: est must equal the rebuilt grid's minimum (linearity)")
+        assert(r.getLong(3) === estOf(tok) - exact(tok), s"$dir $tok: overcount")
+        assert(r.getBoolean(4), s"$dir $tok: Count-Min undercounted")
+      }
+    }
+    // non-vacuity: est is derived from the native sketch aggregate
+    val plan = Corpus.cmErrorAudit(Tables.documents(spark, dirs.head))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("count_min"), "the audit must actually run the CM sketch")
+  }
+
+  test("count_min SQL surface: arity and parameter misuse are typed analysis errors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "b", "a").toDF("t").createOrReplaceTempView("cm_toks")
+    val ok = spark.sql(s"SELECT count_min(t, 2, 64) AS cm FROM cm_toks")
+      .selectExpr("cm.n", "cm.counters").collect()
+    assert(ok.head.getLong(0) === 3L, "n counts every added element")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count_min(t) FROM cm_toks").collect()
+    }
+    assert(e1.getMessage.contains("count_min"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      // depth 5 exceeds md5's four 32-bit slices
+      spark.sql("SELECT count_min(t, 5, 64) FROM cm_toks").collect()
+    }
+    assert(e2.getMessage.contains("depth"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count_min(t, 2, 1) FROM cm_toks").collect()
+    }
+    assert(e3.getMessage.contains("width"))
+  }
 }

@@ -329,6 +329,54 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestHarness {
     } finally q.stop()
   }
 
+  test("windowed Count-Min grid: streaming state equals the batch grid bit-for-bit " +
+       "(linearity), estimates never undercount") {
+    val (depth, width) = (4, 32)
+    val w1docs =
+      (1 to 6).map(i => Doc(new Timestamp(base + 1000 + i), "hot hot warm " +
+        s"u${3 * i} u${3 * i + 1} u${3 * i + 2}")) ++
+      Seq(Doc(new Timestamp(base + 8000), "warm warm"))
+    val w2docs = Seq(Doc(new Timestamp(base + 12000), "calm calm sea"))
+    val in = MemoryStream[Doc]
+    val out = StreamingOps.windowedCmGrid(in.toDF(), "10 seconds", "5 seconds", depth, width)
+    val q = out.writeStream.format("memory").queryName("cm_win_out")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = w1docs.splitAt(3)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(rest); q.processAllAvailable()
+      in.addData(w2docs); q.processAllAvailable()
+      in.addData(sentinelDoc); q.processAllAvailable()
+      val got = spark.table("cm_win_out").collect()
+        .filter(_.getTimestamp(0).getTime < base + 3000 * 1000L)
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getSeq[Long](3)))
+        .sortBy(_._1)
+      // bit-identity with the one-shot batch aggregate over the same rows:
+      // the micro-batch schedule merged grids incrementally through the
+      // state store, but Count-Min is linear, so the grids must be EQUAL
+      val batch = StreamingOps.windowedCmGrid(
+          (w1docs ++ w2docs).toDF(), "10 seconds", "0 seconds", depth, width)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getSeq[Long](3)))
+        .sortBy(_._1)
+      assert(got === batch, "streaming CM grid must be bit-identical to batch")
+      // point-estimate soundness inside window 1: hot 12x, warm 8x
+      val w1 = got.find(_._1 == base).get
+      assert(w1._2 === 38L, "exact in-window token count (12 hot + 8 warm + 18 singletons)")
+      def est(grid: Seq[Long], tok: String): Long = {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (0 until depth)
+          .map(i => grid(i * width + graft.plans.CMSketch.bucket(digest, i, width))).min
+      }
+      assert(est(w1._3, "hot") >= 12L)
+      assert(est(w1._3, "warm") >= 8L)
+      val w2 = got.find(_._1 == base + 10000L).get
+      assert(w2._2 === 3L)
+      assert(est(w2._3, "calm") >= 2L && est(w2._3, "sea") >= 1L)
+    } finally q.stop()
+  }
+
   test("kafka decode/encode projections round-trip the canonical schema") {
     val wire = Seq((Array[Byte]('4', '2'), "hello".getBytes, new Timestamp(base)))
       .toDF("key", "value", "timestamp")
