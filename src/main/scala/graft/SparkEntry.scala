@@ -259,6 +259,12 @@ object SparkEntry {
     // by token frequency, counted over the O(vocab) word-frequency
     // relation (the Sennrich trick) — never the raw character stream
     "bpe_merge_topk"      -> ((s, d) => Corpus.bpeMergeCandidates(Tables.documents(s, d))),
+    // per-language Zipf exponent over the bounded frequency head —
+    // integer floor-log2 regression sums, one final IEEE divide
+    "zipf_slope"          -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
+    // sequence-length curriculum: exact quartile stages in (n_tokens,
+    // doc_id) order with NO global sort (two-level bucket positions)
+    "curriculum_stages"   -> ((s, d) => Corpus.curriculumStages(Tables.documents(s, d))),
     // tokenizer coverage: per-language OOV rate vs the broadcast top-V vocab
     "oov_rate"            -> ((s, d) => Corpus.oovRate(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
@@ -511,6 +517,8 @@ object SparkEntry {
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "bpe_merge_topk"      -> Corpus.bpeMergeCandidatesSql("documents"),
+    "zipf_slope"          -> Corpus.zipfSlopeSql("documents"),
+    "curriculum_stages"   -> Corpus.curriculumStagesSql("documents"),
     "oov_rate"            -> Corpus.oovRateSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),

@@ -836,6 +836,129 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Length-bucket width and cap for [[curriculumStages]] — ≤ 4096
+   * buckets at any corpus size. */
+  val CurrTokPerBucket = 16
+  val CurrMaxBucket = 4095
+  /** Number of curriculum stages (quartiles). */
+  val CurrStages = 4
+
+  /** Length-based curriculum schedule: every document gets a global
+   * position in (n_tokens, doc_id) order and a stage = exact position
+   * quartile — the easy→hard ordering a sequence-length curriculum
+   * trains through (short docs first), deterministic and append-stable
+   * in the id-addressed sense the suite's splits share. Output
+   * (doc_id, n_tokens, global_pos, stage).
+   *
+   * Scale shape — NO GLOBAL SORT (the [[budgetSample]] two-level move
+   * applied to the difficulty axis): docs bucket by n_tokens DIV
+   * [[CurrTokPerBucket]] (≤ 4096 buckets); per-bucket counts roll up
+   * map-side to O(buckets) rows whose running totals place every
+   * bucket's position range; each doc's in-bucket rank is a window
+   * over ONE bucket (~n/4096 rows per group — the globalShuffle
+   * per-shard window cost), and global_pos = bucket range start +
+   * in-bucket rank, which equals the (n_tokens, doc_id) row_number
+   * because the bucket id is monotone in n_tokens. stage =
+   * (CurrStages·(global_pos−1)) DIV n — pure integer arithmetic off
+   * one plan-time exact count, so the quartile boundaries are
+   * cross-engine exact at any n. */
+  def curriculumStages(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = CountCache.exactCount(docs)
+    val base = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      // integer DIV, not `/`: Spark's `/` on integers is a DOUBLE divide,
+      // which drifts from exact bucketing once products pass 2^53
+      .withColumn("db", least(expr(s"n_tokens DIV $CurrTokPerBucket"),
+        lit(CurrMaxBucket.toLong)).cast("bigint"))
+    val bcum = base.groupBy(col("db")).agg(count(lit(1)).as("bc"))
+      .withColumn("cum_start",
+        sum(col("bc")).over(Window.orderBy("db")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bc"))
+      .select(col("db"), col("cum_start"))
+    base.join(broadcast(bcum), "db")
+      .withColumn("global_pos", col("cum_start") + row_number().over(
+        Window.partitionBy("db").orderBy(col("n_tokens"), col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("n_tokens"), col("global_pos"),
+        expr(s"CAST((global_pos - 1) * $CurrStages DIV ${n}L AS INT)").as("stage"))
+  }
+
+  def curriculumStagesSql(table: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${TextSql.tokenCount("text")} AS n_tokens FROM $table),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS global_pos
+       |  FROM base)
+       |SELECT doc_id, n_tokens, global_pos,
+       |       CAST((global_pos - 1) * $CurrStages // n AS INT) AS stage
+       |FROM ranked CROSS JOIN n""".stripMargin
+
+  /** Frequency-head size for [[zipfSlope]] — bounded, so the rank pass
+   * is a partial top-R, never a full vocabulary sort. */
+  val ZipfR = 1024
+
+  /** Per-language Zipf exponent estimate — the corpus-naturalness dial
+   * (natural language's rank-frequency law: log f ≈ −s·log r + c with
+   * s ≈ 1; template-flooded or synthetic slices bend the curve).
+   * OLS slope over (⌊log₂ rank⌋, ⌊log₂ count⌋) of the top-[[ZipfR]]
+   * frequency head, using [[docSurprisal]]'s integer floor-log2
+   * discretization so every regression sum is an exact BIGINT and the
+   * slope is ONE final IEEE divide — bit-identical cross-engine, where
+   * a transcendental log would drift in the last ulp. Output (lang,
+   * r_used, sx, sy, sxy, sxx, zipf_slope); slope NULL when the head is
+   * too small to span two rank octaves (zero x-variance).
+   *
+   * Shape: one tokenize scan to the vocabulary-keyed (lang, token, cnt)
+   * relation; the rank-≤-R filter over row_number rides Spark's
+   * WindowGroupLimit rewrite, so each task forwards at most R rows per
+   * language to the rank exchange — the head is O(langs·R) everywhere
+   * past the first aggregate, and the regression is a partial-agg
+   * rollup to O(langs) rows. */
+  def zipfSlope(docs: DataFrame, r: Int = ZipfR): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def flog2(c: Column): Column = (length(bin(c.cast("bigint"))) - 1).cast("bigint")
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token"))
+    val pts = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= r)
+      .select(col("lang"), flog2(col("rank")).as("x"), flog2(col("cnt")).as("y"))
+    val s = pts.groupBy(col("lang")).agg(
+      count(lit(1)).as("r_used"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = s("r_used") * s("sxx") - s("sx") * s("sx")
+    val num = s("r_used") * s("sxy") - s("sx") * s("sy")
+    s.select(col("lang"), col("r_used"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+      when(den =!= 0L, num.cast("double") / den.cast("double")).as("zipf_slope"))
+  }
+
+  def zipfSlopeSql(table: String, r: Int = ZipfR): String =
+    s"""WITH tf AS (
+       |  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT lang, unnest(${TextSql.tokens("text")}) AS token FROM $table)
+       |  GROUP BY 1, 2),
+       |head AS (
+       |  SELECT lang, cnt,
+       |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+       |  FROM tf QUALIFY rank <= $r),
+       |pts AS (
+       |  SELECT lang, CAST(length(bin(rank)) - 1 AS BIGINT) AS x,
+       |         CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+       |  FROM head),
+       |s AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS r_used,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1)
+       |SELECT lang, r_used, sx, sy, sxy, sxx,
+       |       CASE WHEN r_used * sxx - sx * sx = 0 THEN NULL
+       |            ELSE CAST(r_used * sxy - sx * sy AS DOUBLE) /
+       |                 CAST(r_used * sxx - sx * sx AS DOUBLE) END AS zipf_slope
+       |FROM s""".stripMargin
+
   /** Result size for [[bpeMergeCandidates]]. */
   val BpePairK = 20
 

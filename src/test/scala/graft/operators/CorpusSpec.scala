@@ -418,6 +418,61 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(pairs === Map("ab" -> 2L))
   }
 
+  test("zipf slope matches a driver-side integer OLS over the ranked frequency head") {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().flatMap(r => r.getSeq[String](1).map(t => (r.getString(0), t)))
+    val byLang = toks.groupBy(_._1)
+    val out = Corpus.zipfSlope(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === byLang.keySet)
+    byLang.foreach { case (lang, ts) =>
+      val head = ts.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(Corpus.ZipfR)
+      def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+      val pts = head.zipWithIndex.map { case ((_, c), i) => (flog2(i + 1L), flog2(c)) }
+      val n = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+      val r = out(lang)
+      assert(r.getLong(1) === n, s"$lang: r_used")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) === ((sx, sy, sxy, sxx)),
+        s"$lang: exact regression sums")
+      val den = n * sxx - sx * sx
+      if (den == 0L) assert(r.isNullAt(6), s"$lang: zero x-variance -> NULL slope")
+      else {
+        assert(r.getDouble(6) === (n * sxy - sx * sy).toDouble / den.toDouble, s"$lang: slope")
+        // a frequency head is non-increasing in rank, so the fitted slope
+        // can never be positive
+        assert(r.getDouble(6) <= 0.0, s"$lang: slope sign")
+      }
+    }
+  }
+
+  test("curriculum stages equal the (n_tokens, doc_id) global order with exact quartiles") {
+    val docs = Tables.documents(spark, dir)
+    val truth = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, nt) => (nt, id) }
+    val n = truth.length.toLong
+    val out = Corpus.curriculumStages(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.size.toLong === n)
+    truth.zipWithIndex.foreach { case ((id, nt), i) =>
+      val (gotNt, pos, stage) = out(id)
+      assert(gotNt === nt, s"doc $id: token count")
+      assert(pos === i + 1L,
+        s"doc $id: two-level position must equal the global-sort row_number")
+      assert(stage === ((i.toLong * Corpus.CurrStages) / n).toInt, s"doc $id: quartile")
+    }
+    // stage sizes are balanced to within one bucket-arithmetic row
+    val sizes = out.values.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(sizes.keySet === (0 until Corpus.CurrStages).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1L)
+  }
+
   test("oov rate matches a driver-side vocabulary probe over the same tokens") {
     val docs = Tables.documents(spark, dir)
     val out = Corpus.oovRate(docs).collect()
