@@ -265,6 +265,12 @@ object SparkEntry {
     // sequence-length curriculum: exact quartile stages in (n_tokens,
     // doc_id) order with NO global sort (two-level bucket positions)
     "curriculum_stages"   -> ((s, d) => Corpus.curriculumStages(Tables.documents(s, d))),
+    // per-doc char-distribution entropy (gibberish/base64 detector) —
+    // bounded-alphabet length-replace counts, zero explode, zero shuffle
+    "char_entropy"        -> ((s, d) => Corpus.charEntropy(Tables.documents(s, d))),
+    // per-shard source balance of the deterministic training shuffle —
+    // the data-loader order-bias audit; O(shards) output
+    "shard_mix_audit"     -> ((s, d) => Corpus.shardMixAudit(Tables.documents(s, d))),
     // tokenizer coverage: per-language OOV rate vs the broadcast top-V vocab
     "oov_rate"            -> ((s, d) => Corpus.oovRate(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
@@ -519,6 +525,8 @@ object SparkEntry {
     "bpe_merge_topk"      -> Corpus.bpeMergeCandidatesSql("documents"),
     "zipf_slope"          -> Corpus.zipfSlopeSql("documents"),
     "curriculum_stages"   -> Corpus.curriculumStagesSql("documents"),
+    "char_entropy"        -> Corpus.charEntropySql("documents"),
+    "shard_mix_audit"     -> Corpus.shardMixAuditSql("documents"),
     "oov_rate"            -> Corpus.oovRateSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),

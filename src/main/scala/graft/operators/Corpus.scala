@@ -301,6 +301,56 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Per-shard source-mix audit over [[globalShuffle]]'s deterministic
+   * shard assignment — the data-loader bias check: a training run reads
+   * shards sequentially, so a shard dominated by one source feeds the
+   * model a correlated stretch of data (the failure mode a shuffle
+   * exists to prevent). Output per shard: n_docs, n_sources, max_cnt
+   * and max_share (largest single-source fraction, one IEEE divide of
+   * exact BIGINTs). The dominant source NAME is deliberately not
+   * emitted — only counts — so the output is engine-orderable without
+   * a struct-max whose tie rules differ across engines.
+   *
+   * Scale shape: shard is a pure projection of doc_id (no window — the
+   * positions aren't needed for the mix), so this is one scan, a
+   * map-side-combining (shard, source) aggregate — ≤ shards·sources
+   * rows — and a shard-level rollup to O(shards) ≤ 65536 rows. */
+  def shardMixAudit(docs: DataFrame): DataFrame = {
+    val shards = shuffleShardsFor(CountCache.exactCount(docs))
+    val width = 65536 / shards
+    val bySrc = docs
+      .select(col("source"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("int") / lit(width)).cast("int"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("c"))
+    bySrc.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("c")).as("max_cnt"))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_docs").cast("double")).as("max_share"))
+  }
+
+  def shardMixAuditSql(table: String): String = {
+    val m = s"((n + ${ShuffleTargetShard - 1}) // $ShuffleTargetShard)"
+    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(CEIL(LOG2($m)) AS INT) END)"
+    val shards = s"GREATEST($ShuffleShardsMin, LEAST($ShuffleShardsMax, (1 << LEAST($w, 16))))"
+    s"""WITH params AS (SELECT 65536 // $shards AS width
+       |               FROM (SELECT count(*) AS n FROM $table)),
+       |hashed AS (SELECT source, md5(${sqlLit(ShuffleSalt)} || doc_id::VARCHAR) AS h
+       |           FROM $table),
+       |bysrc AS (
+       |  SELECT CAST(${hexPrefix16SqlDuck("h")} // (SELECT width FROM params) AS INT) AS shard,
+       |         source, CAST(count(*) AS BIGINT) AS c
+       |  FROM hashed GROUP BY 1, 2)
+       |SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_sources,
+       |       CAST(max(c) AS BIGINT) AS max_cnt,
+       |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_share
+       |FROM bysrc GROUP BY shard""".stripMargin
+  }
+
   /** 16-bit hash-prefix value — four chained hex-digit extractions, the
    * [[hashBucketSqlDuck]] arithmetic widened to 4 chars. */
   private def hexPrefix16SqlDuck(h: String): String =
@@ -835,6 +885,59 @@ object Corpus {
     s"""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
+
+  /** The bounded normalized-text alphabet for [[charEntropy]]:
+   * [[TextFunctions.normText]] emits only [a-z0-9] and spaces. */
+  private val EntropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** Per-document character-distribution entropy — the gibberish /
+   * encoding-junk / base64-blob detector (natural English ≈ 4 bits per
+   * char; uniform noise over this alphabet ≈ 5.2; single-char runs ≈ 0).
+   * Entropy in [[docSurprisal]]'s integer floor-log2 discretization:
+   * bits = Σ_c cnt_c · (⌊log₂ n⌋ − ⌊log₂ cnt_c⌋) over the normalized
+   * text's chars, so the per-doc totals are exact BIGINTs and the mean
+   * is ONE IEEE divide — hash-identical cross-engine where a
+   * transcendental log2 would drift. Output (doc_id, n_norm_chars,
+   * char_bits, mean_char_bits).
+   *
+   * Scale shape — the suite's only per-char profile, and it needs NO
+   * char explode: the alphabet is bounded (37 symbols), so each count
+   * is `length(nt) − length(replace(nt, c, ''))` — 37 codegen'd string
+   * ops inside ONE scan projection, zero exchanges, zero state. A
+   * 100 TB corpus runs this at scan speed; the per-char relation a
+   * naive explode would shuffle never exists. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c.cast("bigint"))) - 1).cast("bigint")
+    val nt = TextFunctions.normText(col("text"))
+    val n = length(nt).cast("bigint")
+    val bits = EntropyAlphabet.map { ch =>
+      val cnt = (length(nt) - length(replace(nt, lit(ch), lit("")))).cast("bigint")
+      when(cnt > 0L, cnt * (flog2(n) - flog2(cnt))).otherwise(0L)
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), n.as("n_norm_chars"), bits.as("char_bits"))
+      .withColumn("mean_char_bits",
+        when(col("n_norm_chars") > 0L,
+          col("char_bits").cast("double") / col("n_norm_chars").cast("double")))
+  }
+
+  def charEntropySql(table: String): String = {
+    val nt = TextSql.normText("text")
+    val terms = EntropyAlphabet.map { ch =>
+      val lit = if (ch == " ") "' '" else s"'$ch'"
+      val cnt = s"(length(nt) - length(replace(nt, $lit, '')))"
+      s"CASE WHEN $cnt > 0 THEN CAST($cnt AS BIGINT) * " +
+        s"CAST((length(bin(n)) - 1) - (length(bin(CAST($cnt AS BIGINT))) - 1) AS BIGINT) " +
+        "ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, $nt AS nt, CAST(length($nt) AS BIGINT) AS n FROM $table)
+       |SELECT doc_id, n AS n_norm_chars,
+       |       CAST($terms AS BIGINT) AS char_bits,
+       |       CASE WHEN n > 0
+       |            THEN CAST($terms AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_char_bits
+       |FROM base""".stripMargin
+  }
 
   /** Length-bucket width and cap for [[curriculumStages]] — ≤ 4096
    * buckets at any corpus size. */

@@ -473,6 +473,66 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(sizes.values.max - sizes.values.min <= 1L)
   }
 
+  test("char entropy matches a driver-side flog2 fold, zero for single-char runs") {
+    val docs = Tables.documents(spark, dir)
+    def flog2(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val truth = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("nt"))
+      .collect().map { r =>
+        val nt = r.getString(1)
+        val n = nt.length.toLong
+        val bits = nt.groupBy(identity).values.map(_.size.toLong)
+          .map(c => c * (flog2(n) - flog2(c))).sum
+        r.getLong(0) -> ((n, bits))
+      }.toMap
+    val out = Corpus.charEntropy(docs).collect()
+    assert(out.length === truth.size)
+    out.foreach { r =>
+      val (n, bits) = truth(r.getLong(0))
+      assert(r.getLong(1) === n, s"doc ${r.getLong(0)}: normalized length")
+      assert(r.getLong(2) === bits, s"doc ${r.getLong(0)}: exact bit total")
+      if (n > 0) assert(r.getDouble(3) === bits.toDouble / n.toDouble)
+      else assert(r.isNullAt(3))
+    }
+    // intuition pins: a single-symbol run carries zero bits; a balanced
+    // two-symbol doc carries exactly 1 discretized bit per char
+    import spark.implicits._
+    val tiny = Corpus.charEntropy(
+        Seq((1L, "aaaa aaaa"), (2L, "abababab")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // "aaaa aaaa": 8 a's + 1 space over n=9: a-term 8*(3-3)=0, space 1*(3-0)=3
+    assert(tiny(1L) === ((3L, 3.0 / 9.0)))
+    // "abababab": n=8, each symbol 4x: 2 * 4*(3-2) = 8 bits -> 1 bit/char
+    assert(tiny(2L) === ((8L, 1.0)))
+  }
+
+  test("shard mix audit agrees with globalShuffle's shard assignment and exact counts") {
+    val docs = Tables.documents(spark, dir)
+    // truth from the ALREADY-AUDITED globalShuffle assignment joined to source
+    val shardOf = Corpus.globalShuffle(docs).select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = shardOf.toSeq.groupBy { case (id, sh) => (sh, srcOf(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    val byShard = bySrc.groupBy(_._1._1).view.mapValues { m =>
+      val cs = m.values
+      (cs.sum, m.size.toLong, cs.max)
+    }.toMap
+    val out = Corpus.shardMixAudit(docs).collect()
+    assert(out.map(_.getInt(0)).toSet === byShard.keySet)
+    out.foreach { r =>
+      val (n, srcs, mx) = byShard(r.getInt(0))
+      assert(r.getLong(1) === n, s"shard ${r.getInt(0)}: n_docs")
+      assert(r.getLong(2) === srcs, s"shard ${r.getInt(0)}: n_sources")
+      assert(r.getLong(3) === mx, s"shard ${r.getInt(0)}: max_cnt")
+      assert(r.getDouble(4) === mx.toDouble / n.toDouble)
+      // the audit's purpose: the content-addressed shuffle must not
+      // produce source-homogeneous shards on a multi-source corpus
+      assert(r.getLong(2) >= 2L, s"shard ${r.getInt(0)} is single-source")
+    }
+  }
+
   test("oov rate matches a driver-side vocabulary probe over the same tokens") {
     val docs = Tables.documents(spark, dir)
     val out = Corpus.oovRate(docs).collect()
