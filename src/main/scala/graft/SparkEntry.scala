@@ -271,6 +271,11 @@ object SparkEntry {
     // per-shard source balance of the deterministic training shuffle —
     // the data-loader order-bias audit; O(shards) output
     "shard_mix_audit"     -> ((s, d) => Corpus.shardMixAudit(Tables.documents(s, d))),
+    // per-language token-length histogram (subword fragmentation curve)
+    "token_len_hist"      -> ((s, d) => Corpus.tokenLenHist(Tables.documents(s, d))),
+    // dup-cluster size distribution over the memoized CC labeling;
+    // includes singletons so the histogram conserves the corpus size
+    "cluster_size_hist"   -> ((s, d) => DedupClusters.clusterSizeHist(Tables.documents(s, d))),
     // tokenizer coverage: per-language OOV rate vs the broadcast top-V vocab
     "oov_rate"            -> ((s, d) => Corpus.oovRate(Tables.documents(s, d))),
     // per-language token-budget rebalance + per-doc TF-IDF distinctive terms
@@ -527,6 +532,8 @@ object SparkEntry {
     "curriculum_stages"   -> Corpus.curriculumStagesSql("documents"),
     "char_entropy"        -> Corpus.charEntropySql("documents"),
     "shard_mix_audit"     -> Corpus.shardMixAuditSql("documents"),
+    "token_len_hist"      -> Corpus.tokenLenHistSql("documents"),
+    "cluster_size_hist"   -> DedupClusters.clusterSizeHistSql("documents", TextDedup.minhashLshSql("documents")),
     "oov_rate"            -> Corpus.oovRateSql("documents"),
     "budget_sample"       -> Corpus.budgetSampleSql("documents"),
     "tfidf_topk"          -> Corpus.tfidfTopKSql("documents"),

@@ -886,6 +886,38 @@ object Corpus {
        |FROM (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token FROM $table)
        |GROUP BY token ORDER BY n DESC, token LIMIT $k""".stripMargin
 
+  /** Per-language token-LENGTH histogram — the fine-grained companion
+   * of [[tokenFertility]]'s chars/token average: how token mass spreads
+   * over lengths per language (a language whose mass sits in long
+   * tokens fragments hardest under a subword tokenizer; the curve is
+   * the input to vocabulary-size and fertility planning). Output
+   * (lang, len, n, share) with share = n / language token total.
+   *
+   * Shape: one tokenize scan partial-aggregates to O(langs × distinct
+   * lengths) rows — token length is bounded by word length in practice
+   * (≤ a few dozen), so the grouped relation is tiny at any corpus
+   * size; the share is a window divide over that tiny relation and two
+   * exact BIGINTs per cell. */
+  def tokenLenHist(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), length(col("t")).cast("bigint").as("len"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"))
+  }
+
+  def tokenLenHistSql(table: String): String =
+    s"""WITH tok AS (SELECT lang, unnest(${TextSql.tokens("text")}) AS t FROM $table),
+       |g AS (SELECT lang, CAST(length(t) AS BIGINT) AS len,
+       |             CAST(count(*) AS BIGINT) AS n
+       |      FROM tok GROUP BY 1, 2)
+       |SELECT lang, len, n,
+       |       CAST(n AS DOUBLE) /
+       |       CAST(CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS DOUBLE) AS share
+       |FROM g""".stripMargin
+
   /** The bounded normalized-text alphabet for [[charEntropy]]:
    * [[TextFunctions.normText]] emits only [a-z0-9] and spaces. */
   private val EntropyAlphabet: Seq[String] =

@@ -310,4 +310,30 @@ object DedupClusters {
        |       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
        |         / CAST(sum(n_toks) AS DOUBLE) AS savings_rate
        |FROM ranked GROUP BY source""".stripMargin
+
+  /** Dup-cluster SIZE distribution — the dedup-health curve every
+   * near-dup report leads with (how much of the corpus sits in
+   * singletons vs pairs vs mega-clusters; a fat tail means template
+   * floods or a too-loose threshold). Output (sz, n_clusters, n_docs)
+   * including the size-1 singletons, so Σ n_docs = corpus size — a
+   * conservation the oracle hash-checks for free.
+   *
+   * Scale shape: rides the memoized [[minhashLabels]] labeling (the
+   * suite's labeling-once path), then two partial-aggregating rollups —
+   * clusters → sizes (O(clusters) rows) → size histogram (O(distinct
+   * sizes) rows). Nothing corpus-sized past the audited labeling. */
+  def clusterSizeHist(docs: DataFrame): DataFrame =
+    minhashLabels(docs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+
+  def clusterSizeHistSql(docsTable: String, pairsSql: String): String =
+    s"""WITH lbl AS (${assignSql(docsTable, pairsSql)}),
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+       |       FROM lbl GROUP BY 1)
+       |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sz * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY sz""".stripMargin
 }

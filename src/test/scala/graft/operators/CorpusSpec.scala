@@ -533,6 +533,40 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("token length histogram matches driver-side counts and conserves language mass") {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().flatMap(r => r.getSeq[String](1).map(t => (r.getString(0), t.length.toLong)))
+    val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = Corpus.tokenLenHist(docs).collect()
+    assert(out.length === truth.size)
+    val perLangTotals = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) === truth(key), s"$key: count")
+      assert(r.getDouble(3) === truth(key).toDouble / perLangTotals(key._1).toDouble)
+    }
+    // shares sum to 1 per language (exact integer numerators)
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(2)).sum === perLangTotals(lang), s"$lang mass conserved")
+    }
+  }
+
+  test("cluster size histogram conserves the corpus and agrees with the labeling") {
+    val docs = Tables.documents(spark, dir)
+    val sizes = graft.operators.DedupClusters.minhashLabels(docs)
+      .groupBy(col("cluster_id")).count()
+      .collect().map(_.getLong(1))
+    val truth = sizes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = graft.operators.DedupClusters.clusterSizeHist(docs).collect()
+    assert(out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap ===
+      truth.map { case (sz, nc) => sz -> ((nc, sz * nc)) })
+    assert(out.map(_.getLong(2)).sum === docs.count(),
+      "histogram must conserve the corpus size (singletons included)")
+    assert(out.exists(r => r.getLong(0) >= 2L), "corpus has real dup clusters")
+  }
+
   test("oov rate matches a driver-side vocabulary probe over the same tokens") {
     val docs = Tables.documents(spark, dir)
     val out = Corpus.oovRate(docs).collect()
