@@ -267,6 +267,17 @@ object Bench {
     // standalone-parseable record of total/completed/failures; the full
     // per-query map remains in the compact line above and in the
     // bench_out.json artifact.
+    // The 2 kB tail keeps only the LAST lines: the compact map's head —
+    // where the expensive queries alphabetically early would land — is
+    // what truncation discards, so regressions in the costliest plans
+    // were invisible in the driver artifact (round-13 verdict item #7).
+    // Emit the top-20 medians by cost as their own short line so the
+    // queries where a regression matters always survive the cut.
+    val top20 = results.collect { case (k, Some(v)) => (k, v) }
+      .sortBy { case (k, v) => (-v, k) }.take(20)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"top20_by_cost","unit":"sec","queries":$top20}""")
     println(s"""{"metric":"total_summary","value":${total.map(fmt).getOrElse("null")},""" +
       s""""unit":"sec","completed":$completed,"n":${queries.size},""" +
       s""""failures":$failJson,"sf":"$rawSfDir"}""")

@@ -259,6 +259,9 @@ object SparkEntry {
     // by token frequency, counted over the O(vocab) word-frequency
     // relation (the Sennrich trick) — never the raw character stream
     "bpe_merge_topk"      -> ((s, d) => Corpus.bpeMergeCandidates(Tables.documents(s, d))),
+    // the iterated merge LOOP: top pair applied relationally to the
+    // O(vocab) symbol relation, recounted, k times — no corpus re-scan
+    "bpe_merges_iter"     -> ((s, d) => Corpus.bpeMerges(Tables.documents(s, d))),
     // per-language Zipf exponent over the bounded frequency head —
     // integer floor-log2 regression sums, one final IEEE divide
     "zipf_slope"          -> ((s, d) => Corpus.zipfSlope(Tables.documents(s, d))),
@@ -331,10 +334,16 @@ object SparkEntry {
     "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
     // embedding-space benchmark decontamination (semantic twin of the gram screen)
     "semantic_decontaminate" -> ((s, d) => VectorOps.semanticDecontaminate(Tables.embeddings(s, d))),
+    // RAG capstone: chunk -> deterministic embed -> IVF build -> bounded
+    // cross-document top-k, one lazy plan (the epoch_plan of retrieval)
+    "retrieval_plan"      -> ((s, d) => VectorOps.retrievalPlan(Tables.documents(s, d))),
     // multimodal plumbing
     "mm_features"         -> ((s, d) => Multimodal.features(Tables.documents(s, d))),
     // checksum-first exact dedup of binary media payloads
     "mm_payload_dedup"    -> ((s, d) => Multimodal.payloadDedup(Tables.documents(s, d))),
+    // perceptual (histogram-SimHash) near-dup over the binary payload —
+    // the near-dup completion of the checksum pass
+    "mm_phash_neardup"    -> ((s, d) => Multimodal.phashNearDup(Tables.documents(s, d))),
     // relational built-in coverage (SURVEY.md §2.2)
     "q1_pricing"          -> ((s, d) => Relational.pricingSummary(s, d)),
     "shipping_priority"   -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -528,6 +537,7 @@ object SparkEntry {
     "lang_confusion"      -> Corpus.langConfusionSql("documents"),
     "vocab_topk"          -> Corpus.vocabTopKSql("documents"),
     "bpe_merge_topk"      -> Corpus.bpeMergeCandidatesSql("documents"),
+    "bpe_merges_iter"     -> Corpus.bpeMergesSql("documents"),
     "zipf_slope"          -> Corpus.zipfSlopeSql("documents"),
     "curriculum_stages"   -> Corpus.curriculumStagesSql("documents"),
     "char_entropy"        -> Corpus.charEntropySql("documents"),
@@ -564,8 +574,10 @@ object SparkEntry {
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
     "semantic_decontaminate" -> VectorOps.semanticDecontaminateSql("embeddings"),
+    "retrieval_plan"      -> VectorOps.retrievalPlanSql("documents"),
     "mm_features"         -> Multimodal.featuresSql("documents"),
     "mm_payload_dedup"    -> Multimodal.payloadDedupSql("documents"),
+    "mm_phash_neardup"    -> Multimodal.phashNearDupSql("documents"),
     "q1_pricing"          -> Relational.pricingSummarySql,
     "shipping_priority"   -> Relational.shippingPrioritySql,
     "topk_orders"         -> Relational.topOrdersPerSegmentSql,

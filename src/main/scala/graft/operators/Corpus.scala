@@ -334,7 +334,10 @@ object Corpus {
 
   def shardMixAuditSql(table: String): String = {
     val m = s"((n + ${ShuffleTargetShard - 1}) // $ShuffleTargetShard)"
-    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(CEIL(LOG2($m)) AS INT) END)"
+    // integer-exact bit-length (length(bin(m-1))), never CEIL(LOG2(m)):
+    // an inexact libm log2 at a power-of-two m could read one bit high
+    // and double the shard count vs the Scala side's numberOfLeadingZeros
+    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(length(bin($m - 1)) AS INT) END)"
     val shards = s"GREATEST($ShuffleShardsMin, LEAST($ShuffleShardsMax, (1 << LEAST($w, 16))))"
     s"""WITH params AS (SELECT 65536 // $shards AS width
        |               FROM (SELECT count(*) AS n FROM $table)),
@@ -359,10 +362,11 @@ object Corpus {
     }.mkString("CAST(", " + ", " AS INT)")
 
   def globalShuffleSql(table: String): String = {
-    // the oracle derives the identical shard count from its own count(*):
-    // pow2(clamp(bit-length)) ≡ CEIL(LOG2(m)) for m < 2^50
+    // the oracle derives the identical shard count from its own count(*)
+    // with the SAME integer bit-length the Scala side computes
+    // (length(bin(m-1)) ≡ 64 − numberOfLeadingZeros(m−1)) — no libm log2
     val m = s"((n + ${ShuffleTargetShard - 1}) // $ShuffleTargetShard)"
-    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(CEIL(LOG2($m)) AS INT) END)"
+    val w = s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(length(bin($m - 1)) AS INT) END)"
     val shards = s"GREATEST($ShuffleShardsMin, LEAST($ShuffleShardsMax, (1 << LEAST($w, 16))))"
     s"""WITH params AS (SELECT 65536 // $shards AS width
        |               FROM (SELECT count(*) AS n FROM $table)),
@@ -1134,6 +1138,89 @@ object Corpus {
        |  FROM tf WHERE length(token) >= 2)
        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT $k""".stripMargin
+
+  /** Iterations of the BPE merge loop in [[bpeMerges]]. */
+  val BpeIters = 3
+
+  /** Iterated BPE merge schedule — the actual tokenizer-training loop
+   * ([[bpeMergeCandidates]] is its first iteration's statistics): for
+   * k = 1..[[BpeIters]], count adjacent SYMBOL pairs over the
+   * word-frequency relation, take the top pair (ties by pair — total
+   * order at any parallelism), APPLY the merge to every word's symbol
+   * sequence, recount. Output (iter, pair, n) — the merge table a BPE
+   * tokenizer persists, in creation order.
+   *
+   * Relational mechanics: a word's symbol sequence is a SPACE-JOINED
+   * STRING (symbols never contain spaces: they start as single
+   * [a-z0-9] chars and merges concatenate), so applying merge (p₁,p₂)
+   * is `replace(syms, 'p₁ p₂', 'p₁p₂')` — string replace is
+   * left-to-right non-overlapping in both engines, which IS the BPE
+   * greedy scan (after a merge the new symbol can't re-match: p₂ is
+   * non-empty, so 'p₁p₂' ≠ 'p₁'). The winning pair reaches the next
+   * iteration as a BROADCAST 1-row frame (the [[filterFunnel]]-style
+   * plan-side scalar — no driver collect), so the whole k-step loop is
+   * ONE lazy plan.
+   *
+   * Scale shape — the Sennrich trick squared: the corpus tokenizes
+   * ONCE into the persisted O(vocab) (cnt, syms) relation; every
+   * iteration's recount explodes ≤ len−1 pairs per DISTINCT word on
+   * that relation (map-local), aggregates over the bounded pair
+   * alphabet, and closes with a TakeOrdered(1). Iteration k's plan
+   * re-derives merges 1..k−1 over the persisted relation — O(k²·vocab)
+   * total work, never a second corpus scan. */
+  def bpeMerges(docs: DataFrame, iters: Int = BpeIters): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat_ws(" ",
+        transform(sequence(lit(1), length(col("token"))),
+          i => col("token").substr(i, lit(1)))).as("syms"))
+      .persist() // reused by every iteration's recount (caller-lazy; one-shot mains drop the session)
+    def bestPair(v: DataFrame): DataFrame = {
+      val a = split(col("syms"), " ")
+      v.filter(size(split(col("syms"), " ")) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(a) - 1),
+          j => concat(element_at(a, j), lit(" "), element_at(a, j + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+    }
+    def applyMerge(v: DataFrame, best: DataFrame): DataFrame =
+      v.crossJoin(broadcast(best.select(col("pair"))))
+        .select(col("cnt"),
+          replace(col("syms"), col("pair"), replace(col("pair"), lit(" "), lit(""))).as("syms"))
+    val (_, outs) = (1 to iters).foldLeft((tf, Vector.empty[DataFrame])) {
+      case ((v, acc), it) =>
+        val best = bestPair(v)
+        (applyMerge(v, best),
+          acc :+ best.select(lit(it.toLong).as("iter"), col("pair"), col("n")))
+    }
+    outs.reduce(_ unionByName _)
+  }
+
+  def bpeMergesSql(table: String, iters: Int = BpeIters): String = {
+    def pairCte(src: String): String =
+      s"""(SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1])) AS pair
+         |    FROM (SELECT cnt, string_split(syms, ' ') AS a FROM $src) WHERE len(a) >= 2)
+         |  GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+    val ctes = new StringBuilder(
+      s"""WITH tok AS (SELECT unnest(${TextSql.tokens("text")}) AS token FROM $table),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |v1 AS (SELECT cnt, array_to_string(
+         |         [substring(token, CAST(i AS INT), 1) for i in range(1, length(token) + 1)],
+         |         ' ') AS syms FROM tf),
+         |p1 AS ${pairCte("v1")}""".stripMargin)
+    for (k <- 2 to iters) {
+      ctes.append(s""",
+         |v$k AS (SELECT cnt, replace(syms, (SELECT pair FROM p${k - 1}),
+         |          replace((SELECT pair FROM p${k - 1}), ' ', '')) AS syms FROM v${k - 1}),
+         |p$k AS ${pairCte(s"v$k")}""".stripMargin)
+    }
+    val sel = (1 to iters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iter, pair, n FROM p$k")
+      .mkString("\nUNION ALL ")
+    ctes.append("\n" + sel).toString
+  }
 
   /** Vocabulary size for [[oovRate]] — small enough to broadcast at any
    * corpus size, large enough that the Zipf head carries most token
@@ -2470,7 +2557,13 @@ object Corpus {
    * vocabulary-keyed exchange. The exploded token stream is PERSISTED
    * between its two consumers, so the corpus scans once; the finished
    * single-row grid broadcasts onto the [[CmAuditK]]-row candidate
-   * relation where the probe is pure expression arithmetic. */
+   * relation where the probe is pure expression arithmetic.
+   *
+   * The persist lives until evicted: like [[dedupPipeline]]'s labeled
+   * frame, a long-lived session that runs repeated audits should
+   * `spark.catalog.clearCache()` (or rebuild the session) after
+   * materializing the result — the cached relation is corpus-scale.
+   * The one-shot Verify/Bench mains tear the session down instead. */
   def cmErrorAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val tok = docs.select(explode(tokens(col("text"))).as("token")).persist()

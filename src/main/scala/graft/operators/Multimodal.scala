@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media asset: opaque payload bytes + typed metadata. The binary
@@ -179,6 +179,161 @@ object Multimodal {
        | max(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
        |FROM $table
        |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  // ---- perceptual near-duplicate detection ---------------------------------
+
+  /** Signature width of the payload perceptual hash. */
+  val PhashBits = 64
+  /** Candidate-blocking chunks (4 × 16-bit — [[TextDedup.SimHashChunks]]'
+   * pigeonhole trade applied to the payload signature). */
+  val PhashChunks = 4
+  /** Hamming verify threshold. Measured on the shared corpus (sf0.01,
+   * all 124 750 pairs): ≤ 6 plus the size band passes 0.5% of far pairs
+   * (token-Jaccard < 0.4) at 81% precision against the ≥ 0.7 band —
+   * the histogram hash recalls the closest-composition pairs, the
+   * regime a perceptual first pass is for. */
+  val PhashHammingMax = 6
+  /** Relative size band (percent): candidate payloads must agree in
+   * length within 3% — the coarse-size co-screen every production
+   * perceptual dedup applies (images: resolution/aspect) that kills
+   * histogram-coincidence pairs of very different payloads. */
+  val PhashLenBandPct = 3
+
+  /** Probe values histogrammed by the signature: a real decoder
+   * histograms all 256 byte values of the decoded payload; over the
+   * deterministic text stand-in the probe set is the normalized-text
+   * alphabet (the [[graft.operators.Corpus]] charEntropy alphabet),
+   * which carries ~100% of this corpus's byte mass. */
+  private[operators] val PhashAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** signs(i)(j) = ±1 from bit j of md5(alphabet(i)) — plan-time
+   * constants (md5 of fixed one-char strings); the DuckDB oracle
+   * re-derives the identical weights from `md5(ch)` at query time, so
+   * the hash check also certifies the constant fold. Bit j of the hex
+   * digest = bit (7 − j%8) of digest byte j/8, the [[TextDedup]] SimHash
+   * bit-order contract. */
+  private lazy val phashSigns: IndexedSeq[Array[Int]] = PhashAlphabet.map { ch =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(ch.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Array.tabulate(PhashBits)(j => (((d(j >> 3) >> (7 - (j & 7))) & 1) * 2 - 1))
+  }.toIndexedSeq
+
+  /** 64-char '0'/'1' histogram-SimHash of the payload: bit_j is the sign
+   * of Σ_c count(c) · signs(c)(j) over the probe alphabet — a signed
+   * random projection of the payload's byte-value histogram, so a small
+   * payload edit moves few counts by little and flips few bits (the
+   * perceptual property), where a cryptographic checksum flips half.
+   *
+   * Shape: the 37 counts are bounded-alphabet `length − length(replace)`
+   * ops (the charEntropy zero-explode trick — scan-speed at any size),
+   * computed ONCE per row by binding the counts array through a
+   * single-element `transform` lambda: a plain projection would be
+   * CollapseProject-inlined into all 64 bit expressions, re-running
+   * every replace 64×. The ±sums are pure integer adds of plan-time
+   * constants. */
+  def phashSig(payloadText: Column): Column = {
+    val cnts = array(PhashAlphabet.map(ch =>
+      (length(payloadText) - length(replace(payloadText, lit(ch), lit(""))))
+        .cast("bigint")): _*)
+    element_at(transform(array(cnts), cs =>
+      concat_ws("", (0 until PhashBits).map { j =>
+        val s = PhashAlphabet.indices.map { i =>
+          val t = element_at(cs, i + 1)
+          if (phashSigns(i)(j) > 0) t else -t
+        }.reduce(_ + _)
+        when(s > 0L, lit("1")).otherwise(lit("0"))
+      }: _*)), 1)
+  }
+
+  /** Perceptual near-duplicate payload pairs — the near-dup completion
+   * of [[payloadDedup]]'s exact checksum pass (every text/vector family
+   * has one; this is the multimodal member): histogram-SimHash
+   * signature, [[PhashChunks]]×16-bit chunk blocking, Hamming ≤
+   * [[PhashHammingMax]] AND relative-size-band verify. Output
+   * (id_a, id_b, hamming).
+   *
+   * Scale shape — exactly [[TextDedup.simhashDedup]]'s: the signature is
+   * a scan-projection (no payload bytes ever shuffle — 64 chars + two
+   * BIGINTs ride the one groupBy exchange), buckets are capped at
+   * [[TextDedup.MaxBucket]] with observed drop sentinels, Hamming
+   * verification is inline during pair expansion (native
+   * [[graft.plans.HammingStr]]), and the size band prunes
+   * histogram-coincidence candidates before the dedup exchange. */
+  def phashNearDup(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val chunkLen = PhashBits / PhashChunks
+    val sigs = docs.select(col("doc_id").as("asset_id"),
+      length(col("text")).cast("bigint").as("n_units"),
+      phashSig(col("text")).as("sig"))
+    val postings = sigs.select(col("asset_id"), col("n_units"), col("sig"),
+      explode(transform(sequence(lit(0), lit(PhashChunks - 1)),
+        j => concat(j.cast("string"), lit(":"),
+          substr(col("sig"), j * chunkLen + 1, lit(chunkLen))))).as("chunk"))
+      .persist() // bucket-size aggregate AND pair expansion (caller-lazy; one-shot mains drop the session)
+    val (ok, sentinels) = TextDedup.bucketBound(postings, "chunk", 2, TextDedup.MaxBucket)
+    val es = col("es")
+    val pairs = postings.join(ok, "chunk")
+      .groupBy(col("chunk"))
+      .agg(sort_array(collect_list(struct(col("asset_id"), col("n_units"), col("sig")))).as("es"))
+      .filter(size(es) >= 2 && size(es) <= TextDedup.MaxBucket)
+      .select(es, posexplode(es).as(Seq("i", "ea")))
+      .select(col("ea"), explode(slice(es, col("i") + 2, size(es) - col("i") - 1)).as("eb"))
+      .select(col("ea.asset_id").as("id_a"), col("eb.asset_id").as("id_b"),
+        toCol(graft.plans.HammingStr(toExpr(col("ea.sig")), toExpr(col("eb.sig"))))
+          .as("hamming"),
+        col("ea.n_units").as("na"), col("eb.n_units").as("nb"))
+      .filter(col("hamming") <= PhashHammingMax &&
+        abs(col("na") - col("nb")) * 100 <= lit(PhashLenBandPct.toLong) * greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+    TextDedup.observeDrops(
+      pairs.withColumn("is_sentinel", lit(false))
+        .unionByName(sentinels.withColumn("hamming", lit(null).cast("long"))),
+      "graft_mm_phash_buckets")
+  }
+
+  /** Oracle — the relational mirror, deriving the ± weights from
+   * `md5(ch)` at query time (certifying the Spark side's plan-time
+   * constant fold): docs × 37 probe rows → counts, × 64 bit rows →
+   * signed sums, sign-string per doc, then the [[TextDedup.boundedSql]]
+   * chunk blocking and Hamming + size-band verify. */
+  def phashNearDupSql(table: String): String = {
+    val chunkLen = PhashBits / PhashChunks
+    val alphaList = PhashAlphabet.map(ch => s"'$ch'").mkString("[", ", ", "]")
+    s"""WITH alpha AS (SELECT unnest($alphaList) AS ch),
+       |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_units FROM $table),
+       |pc AS (
+       |  SELECT d.doc_id, md5(a.ch) AS h,
+       |         CAST(length(d.text) - length(replace(d.text, a.ch, '')) AS BIGINT) AS cnt
+       |  FROM d CROSS JOIN alpha a),
+       |bitsum AS (
+       |  SELECT doc_id, j,
+       |         sum(cnt * (2 * (((instr('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1)
+       |                          >> (3 - (j % 4))) & 1) - 1)) AS sm
+       |  FROM pc, (SELECT unnest(range(0, $PhashBits)) AS j)
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id, string_agg(CASE WHEN sm > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+       |  FROM bitsum GROUP BY doc_id),
+       |chunked AS (
+       |  SELECT s.doc_id, d.n_units, s.sig,
+       |         j::VARCHAR || ':' || substring(s.sig, j*$chunkLen + 1, $chunkLen) AS chunk
+       |  FROM sigs s JOIN d USING (doc_id)
+       |  CROSS JOIN (SELECT unnest(range(0, $PhashChunks)) AS j)),
+       |cok AS ${TextDedup.boundedSql("chunked", "chunk", TextDedup.MaxBucket)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, a.n_units AS na,
+       |                  b.doc_id AS id_b, b.sig AS sig_b, b.n_units AS nb
+       |  FROM cok a JOIN cok b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, na, nb,
+       |         len(list_filter(range(1, ${PhashBits + 1}),
+       |             i -> substring(sig_a, i, 1) <> substring(sig_b, i, 1))) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= $PhashHammingMax
+       |  AND abs(na - nb) * 100 <= $PhashLenBandPct * greatest(na, nb)""".stripMargin
+  }
 
   def featuresSql(table: String): String = {
     val nb = "CAST(octet_length(encode(text)) AS BIGINT)"

@@ -212,8 +212,8 @@ object TextDedup {
    * counts). For callers that expand pairs themselves (e.g. with a
    * payload column riding the collect — [[simhashDedup]]). The sizes
    * exchange is shared between the two outputs via ReuseExchange. */
-  private def bucketBound(postings: DataFrame, bucketCol: String,
-                          minBucket: Int, maxBucket: Int): (DataFrame, DataFrame) = {
+  private[operators] def bucketBound(postings: DataFrame, bucketCol: String,
+                                     minBucket: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val sizes = postings.groupBy(col(bucketCol)).agg(count(lit(1)).as("n"))
     val ok = sizes.filter(col("n") >= minBucket && col("n") <= maxBucket)
       .select(bucketCol)

@@ -941,6 +941,140 @@ object VectorOps {
        |  FROM scored)
        |WHERE rank <= $IvfK""".stripMargin
 
+  // ---- 4b. retrieval capstone (chunk → embed → IVF → top-k) ----------------
+
+  /** chunk_vec_id = doc_id · [[RetrChunkIdBase]] + chunk_id — collision-
+   * free for any document under 2²⁰ chunks (a 64-token-window chunking
+   * of a 50M-token document), and doc_id recoverable by integer DIV for
+   * the cross-document filter. */
+  val RetrChunkIdBase = 1L << 20
+  /** Neighbors returned per query chunk. */
+  val RetrK = 3
+
+  /** The RAG-shaped capstone — the retrieval twin of
+   * [[Corpus.epochPlan]]: [[Corpus.docChunks]] context windows → a
+   * deterministic per-chunk embedding (native
+   * [[graft.plans.HashEmbed]] — the feature-hashing stand-in a real
+   * encoder replaces) → IVF index build over the chunk vectors →
+   * bounded-query cross-document top-[[RetrK]]. Each stage nests the
+   * standalone oracle-checked operator; composing them in ONE lazy plan
+   * proves chunk/embed/index/search run without a driver hop between
+   * stages. Output (query_id, neighbor_id, rank, sim).
+   *
+   * Scale shape: chunking is scan-speed (zero-shuffle explode), the
+   * embedding is a scan projection, and the index/search stages are
+   * exactly [[annIvfTopK]]'s — the only broadcast is the centroid set
+   * (first chunks of every [[ivfStrideFor]]-strided doc: ~√n_docs rows,
+   * derived from one plan-time exact count), assignment is the map-side
+   * N·C arg-max partial aggregate, search shuffles only probed lists,
+   * and the query set is id-budget-bounded ([[QueryBudget]]) so the
+   * probe fan-out is O(1) in the corpus. The chunk relation is
+   * PERSISTED across its four consumers (centroids, assignment,
+   * queries, verify) — one tokenize+embed pass. */
+  def retrievalPlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = Corpus.docChunks(docs)
+    val qn = chunks.select(
+        (col("doc_id") * RetrChunkIdBase + col("chunk_id")).as("cvid"),
+        col("doc_id"), col("chunk_id"),
+        toCol(graft.plans.HashEmbed(toExpr(col("chunk_text")))).as("q"))
+      .withColumn("n2", norm2(col("q")))
+      .filter(col("n2") > 0L) // token-free chunks have no direction
+      .persist() // four consumers (caller-lazy; one-shot mains drop the session)
+    val dstride = ivfStrideFor(CountCache.exactCount(docs))
+    val cents = qn.filter(col("chunk_id") === 0L && col("doc_id") % dstride === 0)
+      .select(col("cvid").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val assign = nearestCentroid(
+        qn.select(col("cvid").as("vec_id"), col("q"), col("n2")), cents)
+      .join(qn.select(col("cvid").as("vec_id"), col("doc_id"), col("q"), col("n2")),
+        "vec_id")
+    val queries = qn.filter(col("chunk_id") === 0L &&
+        col("doc_id") % QueryStride === 0 &&
+        col("doc_id") < lit(QueryStride.toLong * QueryBudget))
+      .select(col("cvid").as("query_id"), col("doc_id").as("qdoc"),
+        col("q").as("qq"), col("n2").as("nq"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(cosine(dot(col("qq"), col("cq")), col("nq"), col("cn2")).desc,
+            col("cid"))))
+      .filter(col("rn") <= IvfProbes)
+      .select(col("query_id"), col("qdoc"), col("qq"), col("nq"), col("cid"))
+    probed.join(assign, Seq("cid"))
+      .filter(col("doc_id") =!= col("qdoc")) // retrieval, not self-lookup: exclude the query's own document
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(dot(col("qq"), col("q")), col("nq"), col("n2")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= RetrK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("bigint").as("rank"), col("sim"))
+  }
+
+  /** Oracle — nests [[Corpus.docChunksSql]] verbatim as the chunk
+   * source, rebuilds the embedding relationally (token rows × bit
+   * index, the simhashDedupSql bitsum WITHOUT the sign), and mirrors
+   * the IVF stages; the nearest-centroid pick is the STREAMING
+   * struct-max of [[kmeansAssignSql]], never an N·C window sort. */
+  def retrievalPlanSql(table: String): String = {
+    val bit = s"(((instr('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1)" +
+      s" >> (3 - (j % 4))) & 1)"
+    s"""WITH chunks AS (
+       |  SELECT doc_id * $RetrChunkIdBase + chunk_id AS cvid, doc_id, chunk_id, chunk_text
+       |  FROM (${Corpus.docChunksSql(table)}) z),
+       |ctok AS (
+       |  SELECT cvid, md5(tk) AS h FROM (
+       |    SELECT cvid, unnest(string_split(chunk_text, ' ')) AS tk FROM chunks)
+       |  WHERE tk <> ''),
+       |cbit AS (
+       |  SELECT cvid, j, CAST(sum(2 * $bit - 1) AS BIGINT) AS sm
+       |  FROM ctok, (SELECT unnest(range(0, $Dim)) AS j)
+       |  GROUP BY cvid, j),
+       |cq0 AS (SELECT cvid, list(sm ORDER BY j) AS q FROM cbit GROUP BY cvid),
+       |qn AS (
+       |  SELECT c.cvid, c.doc_id, c.chunk_id, e.q,
+       |         CAST(list_dot_product(e.q, e.q) AS BIGINT) AS n2
+       |  FROM cq0 e JOIN chunks c USING (cvid)
+       |  WHERE CAST(list_dot_product(e.q, e.q) AS BIGINT) > 0),
+       |params AS (SELECT GREATEST($IvfCentroidStride, (n + c - 1) // c) AS stride
+       |           FROM (SELECT count(*) AS n,
+       |                        LEAST(CAST(CEIL(SQRT(count(*))) AS BIGINT),
+       |                              $IvfCentroidBudget) AS c
+       |                 FROM $table)),
+       |cents AS (SELECT cvid AS cid, q AS cq, n2 AS cn2 FROM qn
+       |          WHERE chunk_id = 0 AND doc_id % (SELECT stride FROM params) = 0),
+       |assign AS (
+       |  SELECT s.vec_id, -(s.m.ncid) AS cid FROM (
+       |    SELECT v.cvid AS vec_id,
+       |           max({'sim': ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")},
+       |                'ncid': -c.cid}) AS m
+       |    FROM qn v CROSS JOIN cents c
+       |    GROUP BY v.cvid) s),
+       |assigned AS (
+       |  SELECT a.cid, v.cvid AS vec_id, v.doc_id, v.q, v.n2
+       |  FROM assign a JOIN qn v ON v.cvid = a.vec_id),
+       |queries AS (
+       |  SELECT cvid AS query_id, doc_id AS qdoc, q AS qq, n2 AS nq FROM qn
+       |  WHERE chunk_id = 0 AND doc_id % $QueryStride = 0
+       |    AND doc_id < ${QueryStride.toLong * QueryBudget}),
+       |probes AS (
+       |  SELECT query_id, qdoc, qq, nq, cid FROM (
+       |    SELECT qu.query_id, qu.qdoc, qu.qq, qu.nq, c.cid,
+       |           row_number() OVER (PARTITION BY qu.query_id
+       |             ORDER BY ${cosineSql(dotSql("qu.qq", "c.cq"), "qu.nq", "c.cn2")} DESC, c.cid ASC) AS rn
+       |    FROM queries qu CROSS JOIN cents c)
+       |  WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql(dotSql("p.qq", "a.q"), "p.nq", "a.n2")} AS sim
+       |  FROM probes p JOIN assigned a ON p.cid = a.cid AND a.doc_id <> p.qdoc)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $RetrK""".stripMargin
+  }
+
   // ---- 5. semantic dedup (cluster-then-prune, SemDeDup) --------------------
 
   /** Cosine threshold and in-cluster candidate cap for [[semanticDedup]].
@@ -1506,16 +1640,21 @@ object VectorOps {
         col("m.sim").as("sim"))
   }
 
+  /** The arg-max is a STREAMING struct-max group-by — the same
+   * (sim, −cid) lexicographic max the Spark plan partial-aggregates —
+   * never a row_number window: the window form forces DuckDB to
+   * materialize and sort the whole N·C scored relation (the sf10 OOM of
+   * round 13), while the group-by pipelines it through O(N) hash-agg
+   * state. */
   def kmeansAssignSql(table: String): String =
     s"""WITH ${quantizedSql(table)},
        |${ivfCentsSql(table)}
-       |SELECT vec_id, cid, sim FROM (
-       |  SELECT v.vec_id, c.cid,
-       |         ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} AS sim,
-       |         row_number() OVER (PARTITION BY v.vec_id
-       |           ORDER BY ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")} DESC, c.cid ASC) AS rn
-       |  FROM qn v CROSS JOIN cents c)
-       |WHERE rn = 1""".stripMargin
+       |SELECT s.vec_id, -(s.m.ncid) AS cid, s.m.sim AS sim FROM (
+       |  SELECT v.vec_id,
+       |         max({'sim': ${cosineSql(dotSql("v.q", "c.cq"), "v.n2", "c.cn2")},
+       |              'ncid': -c.cid}) AS m
+       |  FROM qn v CROSS JOIN cents c
+       |  GROUP BY v.vec_id) s""".stripMargin
 
   /** k-means M-step over [[kmeansAssign]]'s E-step labeling: the refined
    * centroid = mean of each cell's assigned vectors, exploded per

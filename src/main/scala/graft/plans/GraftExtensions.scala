@@ -101,6 +101,10 @@ object GraftFunctions {
     ("simhash64",
       info("simhash64", "simhash64(text) - 64-bit SimHash as a '0'/'1' string"),
       (es: Seq[Expression]) => arity("simhash64", 1, es)(e => SimHash64(e(0)))),
+    ("hash_embed",
+      info("hash_embed",
+        "hash_embed(text) - 64-dim integer feature-hash embedding (SimHash bit-sums before the sign)"),
+      (es: Seq[Expression]) => arity("hash_embed", 1, es)(e => HashEmbed(e(0)))),
     ("array_intersect_size",
       info("array_intersect_size",
         "array_intersect_size(a, b) - count of common elements of two distinct-element string arrays"),

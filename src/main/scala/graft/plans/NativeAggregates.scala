@@ -417,7 +417,14 @@ final class CMSketch(val depth: Int, val width: Int) {
 object CMSketch {
   /** Hex chars 8i..8i+7 of the digest = digest bytes 4i..4i+3 read
    * big-endian unsigned — exactly `hexVal8(substring(md5hex, 1+8i, 8))`
-   * in the SQL mirror, without materializing the hex string. */
+   * in the SQL mirror, without materializing the hex string.
+   *
+   * `v % width` maps a uniform 32-bit slice with plain modulo, so a
+   * non-power-of-two width carries a bucket-load bias of at most
+   * width/2³² relative (the low ⌊2³²/width⌋⁺¹ residues are hit once
+   * more often) — ~10⁻⁷ at width 512 and negligible for any
+   * width ≪ 2³², but a power-of-two width makes the map exactly
+   * uniform; prefer one when choosing a custom grid. */
   def bucket(digest: Array[Byte], i: Int, width: Int): Int = {
     val v = ((digest(4 * i) & 0xffL) << 24) |
       ((digest(4 * i + 1) & 0xffL) << 16) |

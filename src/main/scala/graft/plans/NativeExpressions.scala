@@ -382,6 +382,54 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * `HashEmbed(text)`: deterministic 64-dim integer feature-hash embedding
+ * of the token multiset — dim_j = Σ_tokens (±1 by bit j of md5(token)),
+ * i.e. [[SimHash64]]'s bit-sum accumulator BEFORE the sign projection,
+ * exposed as ARRAY<BIGINT>. The stand-in "encoder" of the retrieval
+ * capstone: a signed-random-projection bag-of-words embedding (feature
+ * hashing, Weinberger et al. 2009) whose components both engines derive
+ * exactly (integer sums of ±1), so the downstream quantized cosine top-k
+ * is hash-checkable end to end. A production pipeline substitutes real
+ * model vectors — the surrounding plan (dot/cosine over integer vectors,
+ * IVF lists) is representation-agnostic. DuckDB mirror: token rows × bit
+ * index, `sum(2*bit−1)` per (chunk, j), re-assembled with
+ * `list(... ORDER BY j)` — the `simhashDedupSql` bitsum relation without
+ * the sign.
+ */
+case class HashEmbed(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  @transient private lazy val sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Long](64)
+    val toks = sep.split(text)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val d = md.digest(toks(t).getBytes(StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 64) {
+          sums(j) += 2 * ((d(j >> 3) >> (7 - (j & 7))) & 1) - 1
+          j += 1
+        }
+        md.reset()
+      }
+      t += 1
+    }
+    new GenericArrayData(sums)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+/**
  * `RollingWinnow(text, w, k)`: winnowing-style document fingerprint from a
  * polynomial rolling hash. Normalizes the text exactly like [[TokenSeq]]'s
  * join (lowercase alnum tokens re-joined with single spaces), hashes every

@@ -418,6 +418,57 @@ class CorpusSpec extends AnyFunSuite with SparkTestHarness {
     assert(pairs === Map("ab" -> 2L))
   }
 
+  test("iterated bpe merges match a driver-side reference BPE loop (apply + recount)") {
+    // reference implementation of the Sennrich training loop over the
+    // word-frequency relation: greedy left-to-right merge application
+    def refMerges(wordFreq: Map[String, Long], iters: Int): Seq[(Long, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      (1 to iters).map { it =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + f
+          }
+        }
+        val ((p1, p2), n) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+              out += p1 + p2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toVector, f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        (it.toLong, p1 + " " + p2, n)
+      }
+    }
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().flatMap(_.getSeq[String](0))
+    val wf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = refMerges(wf, Corpus.BpeIters)
+    val got = Corpus.bpeMerges(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === expected)
+    spark.catalog.clearCache() // bpeMerges persists the symbol relation
+    // the merged symbol must be able to WIN a later round: a corpus where
+    // iteration 2's top pair contains iteration 1's merged symbol proves
+    // the apply step feeds the recount (a recount-without-apply would
+    // emit the same first-round ranking three times)
+    import spark.implicits._
+    val tiny = Seq((1L, "abc abc abc ab xy xy")).toDF("doc_id", "text")
+    val m = Corpus.bpeMerges(tiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(m(0) === ((1L, "a b", 4L)))
+    assert(m(1) === ((2L, "ab c", 3L)), s"iteration 2 must count the MERGED symbol: ${m.toSeq}")
+    assert(m(2) === ((3L, "x y", 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("zipf slope matches a driver-side integer OLS over the ranked frequency head") {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("lang"),

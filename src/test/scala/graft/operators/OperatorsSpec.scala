@@ -1121,6 +1121,94 @@ class OperatorsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("multimodal: phash signature matches a driver-side histogram SimHash " +
+       "and near-dup pairs respect the hamming + size-band verify") {
+    import spark.implicits._
+    // driver-side reference: probe-alphabet counts × md5-derived ±1 weights
+    def refSig(text: String): String = {
+      val alpha = (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+      val signs = alpha.map { ch =>
+        val d = java.security.MessageDigest.getInstance("MD5").digest(ch.getBytes("UTF-8"))
+        Array.tabulate(64)(j => (((d(j >> 3) >> (7 - (j & 7))) & 1) * 2 - 1))
+      }
+      (0 until 64).map { j =>
+        val s = alpha.zipWithIndex.map { case (ch, i) =>
+          text.count(_.toString == ch).toLong * signs(i)(j)
+        }.sum
+        if (s > 0) '1' else '0'
+      }.mkString
+    }
+    val docs = Tables.documents(spark, dir)
+    val got = docs.select(col("doc_id"), col("text"),
+        Multimodal.phashSig(col("text")).as("sig"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.nonEmpty)
+    got.take(50).foreach { case (text, sig) =>
+      assert(sig === refSig(text), s"sig mismatch for ${text.take(40)}")
+    }
+    // fixture: exact copy -> hamming 0; one-word edit -> small hamming;
+    // alien payload -> no pair
+    val base = Seq.fill(10)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val edit = base.replace("lazy dog", "hazy dog")
+    val alien = Seq.fill(10)("zz qq zz xx vv kk ww pp yy uu zz qq zz xx vv").mkString(" ")
+    val tiny = Seq((1L, base), (2L, edit), (3L, base), (4L, alien))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDup(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 3L)) === 0L, s"exact copies must pair at hamming 0: ${pairs.toSeq}")
+    assert(byPair.contains((1L, 2L)) && byPair((1L, 2L)) <= Multimodal.PhashHammingMax,
+      s"a one-word edit must pair within the verify threshold: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L),
+      s"the alien payload must not pair: ${pairs.toSeq}")
+    // the real corpus: ordered ids, bounded hamming, pairs inside the size band
+    val real = Multimodal.phashNearDup(docs)
+      .join(docs.select(col("doc_id").as("id_a"), length(col("text")).cast("bigint").as("na")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), length(col("text")).cast("bigint").as("nb")), "id_b")
+      .collect()
+    assert(real.nonEmpty, "sf0.001 plants exact dups; the perceptual pass must find pairs")
+    real.foreach { r =>
+      val (ia, ib, h) = (r.getLong(1), r.getLong(0), r.getLong(2))
+      assert(ia < ib && h >= 0 && h <= Multimodal.PhashHammingMax, s"row $r")
+      val (na, nb) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(na - nb) * 100 <= Multimodal.PhashLenBandPct * math.max(na, nb), s"row $r")
+    }
+    spark.catalog.clearCache() // phashNearDup persists the posting relation
+  }
+
+  test("retrieval_plan composes chunk -> embed -> IVF -> top-k: dense ranks, " +
+       "descending sims, never the query's own document") {
+    val docs = Tables.documents(spark, dir)
+    val out = VectorOps.retrievalPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_._1)
+    byQuery.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1L to rows.length).toSeq,
+        s"ranks must be dense 1..k for $qid: ${rows.toSeq}")
+      assert(sorted.length <= VectorOps.RetrK)
+      // sims non-increasing in rank order
+      sorted.map(_._4).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"sims must be rank-ordered for $qid")
+        case _ => ()
+      }
+      sorted.foreach { case (q, n, _, sim) =>
+        assert(n / VectorOps.RetrChunkIdBase !== q / VectorOps.RetrChunkIdBase,
+          s"neighbor chunk from the query's own document: $q -> $n")
+        assert(sim >= -1.0 && sim <= 1.0)
+      }
+    }
+    // query set is the bounded first-chunk subset
+    byQuery.keys.foreach { qid =>
+      assert(qid % VectorOps.RetrChunkIdBase === 0L, "queries are chunk 0")
+      val doc = qid / VectorOps.RetrChunkIdBase
+      assert(doc % VectorOps.QueryStride === 0L &&
+        doc < VectorOps.QueryStride.toLong * VectorOps.QueryBudget)
+    }
+    spark.catalog.clearCache() // retrievalPlan persists the chunk relation
+  }
+
   test("relational: rollup emits region subtotals and a grand total") {
     val out = Relational.customerRollup(spark, dir).collect()
     val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))

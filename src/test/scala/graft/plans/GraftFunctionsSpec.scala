@@ -42,6 +42,26 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkTestHarness {
     assert(r.getString(1).length === 64 && r.getString(1).forall(c => c == '0' || c == '1'))
   }
 
+  test("hash_embed equals the aggregate/zip_with composition and signs to simhash64") {
+    val r = spark.sql(
+      """SELECT hash_embed('the fast dog the') AS q,
+        |       aggregate(
+        |         transform(filter(split(lower('the fast dog the'), '[^a-z0-9]+'), t -> t != ''), tk -> md5(tk)),
+        |         array_repeat(0L, 64),
+        |         (acc, h) -> zip_with(acc, sequence(0, 63), (a, j) ->
+        |           a + 2 * (shiftright(instr('0123456789abcdef', substring(h, (j DIV 4) + 1, 1)) - 1,
+        |                               3 - (j % 4)) & 1) - 1)) AS ref,
+        |       simhash64('the fast dog the') AS sig,
+        |       hash_embed('') AS empty""".stripMargin).head()
+    val q = r.getSeq[Long](0)
+    assert(q === r.getSeq[Long](1))
+    assert(q.length === 64)
+    // parity: |sum| of 4 tokens is even, never 0-crossing ambiguity here;
+    // the sign projection of the sums IS the SimHash bit string
+    assert(q.map(s => if (s > 0) '1' else '0').mkString === r.getString(2))
+    assert(r.getSeq[Long](3) === Seq.fill(64)(0L), "token-free text embeds to the zero vector")
+  }
+
   test("char_gram_seq emits distinct sampled grams of the normalized text") {
     val grams = spark.sql("SELECT char_gram_seq('The  fast dog jumps over the lazy dog!') AS g")
       .head().getSeq[String](0)

@@ -63,7 +63,11 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "semantic_decontaminate" -> 1, // bounded eval-sample broadcast (brute shape)
     "dsir_weights" -> 2, // two 1-row broadcasts: smoothed totals + raw-mean cut (kmv_overlap_audit shape)
     "hard_negatives" -> 1, // bounded broadcast query set x corpus (knn_label shape)
-    "cm_error_audit" -> 1) // 1-row CM grid broadcast onto the 30-row candidate head (mix_weights shape)
+    "cm_error_audit" -> 1, // 1-row CM grid broadcast onto the 30-row candidate head (mix_weights shape)
+    "retrieval_plan" -> 2, // the ann_ivf_topk pair: N·C chunk-assignment build + bounded probe stage
+    "bpe_merges_iter" -> 4) // 1-row winning-pair broadcasts, one per chained iteration; iteration k's
+                            // broadcast side re-nests the k−1 chain (all over the persisted O(vocab)
+                            // relation), so 3 iterations plan 1+3 structural instances (mix_weights shape)
 
   /** Structural node count: one PHYSICAL instance counts once. A plain
    * `toString` regex over-counts shared persisted subtrees (the printer
