@@ -666,8 +666,8 @@ object TextDedup {
    * corpus at targetBucket=256. */
   def simhashChunksFor(nDocs: Long, targetBucket: Int = MaxBucket): Int = {
     // integer-exact ceil(log2(ceil(n/target))) — bit-length, no floating
-    // point, so the DuckDB oracle's CEIL(LOG2(m)) (exact for m < 2^50)
-    // derives the identical value from the identical count
+    // point; the DuckDB oracle derives the identical value from the
+    // identical count with the same integer bit-length (length(bin(m-1)))
     val m = (math.max(nDocs, 1L) + targetBucket - 1) / targetBucket
     val w = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     val clamped = math.max(8, math.min(32, w))       // width within [8, 32] bits
@@ -761,13 +761,12 @@ object TextDedup {
    * token rows × bit index, signed-bit sum per (doc, j), bits re-joined in
    * order with string_agg. Empty-token docs are excluded on both sides.
    * The chunk count is derived from `count(*)` exactly as
-   * [[simhashChunksFor]] derives it from the corpus size (CEIL(LOG2(m))
-   * on an integer m mirrors the bit-length formula exactly for any
-   * m < 2^50). */
+   * [[simhashChunksFor]] derives it from the corpus size with the SAME
+   * integer bit-length (length(bin(m-1)) ≡ 64 − numberOfLeadingZeros). */
   def simhashDedupSql(table: String): String = {
     s"""WITH params AS (
        |  SELECT GREATEST(2, $SimHashBits // GREATEST(8, LEAST(32,
-       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END))) AS chunks
+       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(length(bin(m - 1)) AS INT) END))) AS chunks
        |  FROM (SELECT (count(*) + ${MaxBucket - 1}) // $MaxBucket AS m FROM $table)),
        |idx AS (
        |  SELECT chunks, $SimHashBits // chunks AS chunklen, unnest(range(0, chunks)) AS j

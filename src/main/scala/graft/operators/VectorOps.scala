@@ -3,8 +3,24 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One banded vector record of the streaming incremental semantic dedup
+ * (band key, id, quantized vector, squared norm, event time). */
+private[operators] case class VecBandRec(
+    bv: String, vec_id: Long, q: Seq[Long], n2: Long, ts: java.sql.Timestamp)
+
+/** Per-band standing-corpus state: (old_id, q, n2, eventMs) entries +
+ * the max event time seen (stream records included) for eviction. */
+private[operators] case class VecBucketState(
+    entries: List[(Long, Seq[Long], Long, Long)], maxEventTs: Long)
+
+/** One streaming verdict fragment: NEW vector new_id matched OLD vector
+ * old_id at `sim` ≥ threshold — the drop evidence; a new vector with no
+ * emitted hit in any band is a keeper. */
+case class SemIncHit(new_id: Long, old_id: Long, sim: Double, ts: java.sql.Timestamp)
 
 /**
  * Similarity search over the `embeddings` table (`ARRAY<FLOAT>`, dim 64):
@@ -280,8 +296,8 @@ object VectorOps {
 
   /** Hyperplanes per band for a corpus of `n` vectors: integer-exact
    * ceil(log2(ceil(n/target))) via bit-length (the
-   * `TextDedup.simhashChunksFor` contract — the oracle's CEIL(LOG2(m))
-   * derives the identical value for any m < 2^50), clamped to
+   * `TextDedup.simhashChunksFor` contract — the oracle derives the
+   * identical value with the same length(bin(m-1))), clamped to
    * [2, `rowsMax`] — the caller passes the budget-derived clamp for its
    * own threshold ([[bandRowsMaxFor]]). */
   def nearDupRowsFor(n: Long, targetBucket: Int = NearDupTargetBucket,
@@ -404,7 +420,7 @@ object VectorOps {
        |params AS (
        |  SELECT r, CASE r $bandCase END AS b FROM (
        |    SELECT GREATEST(2, LEAST($NearDupRowsMax,
-       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
+       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(length(bin(m - 1)) AS INT) END)) AS r
        |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
        |          FROM $table))),
        |bits AS (SELECT vec_id, $bitStr AS bs FROM qn),
@@ -493,7 +509,7 @@ object VectorOps {
        |params AS (
        |  SELECT r, CASE r $bandCase END AS b FROM (
        |    SELECT GREATEST(2, LEAST($rowsMax,
-       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
+       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(length(bin(m - 1)) AS INT) END)) AS r
        |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
        |          FROM $table))),
        |bits AS (SELECT vec_id, $bitStr AS bs FROM qn),
@@ -518,6 +534,109 @@ object VectorOps {
        |SELECT q.vec_id AS vec_id, (d.new_id IS NULL) AS keep
        |FROM qn q LEFT JOIN dropped d ON q.vec_id = d.new_id
        |WHERE q.vec_id % $SemIncNewMod = 0""".stripMargin
+  }
+
+  /** Streaming form of [[semanticIncremental]] — the standing corpus's
+   * band postings live in the STATE STORE (loaded as
+   * `flatMapGroupsWithState` initial state), freshly-embedded vectors
+   * stream in, and every new×old band collision within `retention` is
+   * cosine-verified in place. Emits [[SemIncHit]] drop evidence
+   * (append mode): a new vector with NO hit across its bands is a
+   * keeper — exactly the batch operator's `keep = false` set, pinned
+   * streaming ≡ batch by `StreamingDedupSpec`.
+   *
+   * Cross-side-only, as the batch twin: new vectors NEVER enter state
+   * (no new×new pairs, no state growth with the stream — per-bucket
+   * state is bounded by the standing corpus's capped postings), and
+   * oversize standing buckets (> [[NearDupMaxBucket]]) are dropped at
+   * initial-state build exactly like the batch `okOld` filter.
+   * Event-time retention: standing entries stop matching once the
+   * bucket's stream time passes their horizon and are physically
+   * evicted on the next access ([[TextDedup.streamingMinhashCandidates]]'
+   * eviction contract applied to the vector state).
+   *
+   * `rows`/`bands` must be the SAME derived banding the batch run uses
+   * ([[nearDupRowsFor]] + [[bandTableFor]] over the corpus count) — the
+   * caller owns the derivation because a stream has no plan-time
+   * count. */
+  def streamingSemanticIncremental(newVecs: DataFrame, standing: DataFrame,
+                                   retention: java.time.Duration,
+                                   rows: Int, bands: Int,
+                                   threshold: Double = SemDedupSim): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val retMs = retention.toMillis
+    def banded(df: DataFrame): Dataset[VecBandRec] =
+      df.select(col("vec_id"), col("ts"), quantize(col("embedding")).as("q"))
+        .withColumn("n2", norm2(col("q")))
+        .withColumn("bv", explode(nearDupBandKeys(col("q"), rows, bands)))
+        .select(col("bv"), col("vec_id"), col("q"), col("n2"), col("ts"))
+        .as[VecBandRec]
+    val initPairs: Dataset[(String, VecBucketState)] = banded(standing)
+      .groupByKey(_.bv)
+      .mapGroups { (bv, it) =>
+        val es = it.map(r => (r.vec_id, r.q, r.n2, r.ts.getTime)).toList
+        // an oversize OLD bucket is duplicate mass the standing corpus
+        // should already have collapsed — dropped whole, the batch okOld cap
+        val s = if (es.lengthCompare(NearDupMaxBucket) > 0)
+          VecBucketState(Nil, Long.MinValue)
+        else VecBucketState(es, es.iterator.map(_._4).max)
+        (bv, s)
+      }
+    banded(newVecs.withWatermark("ts", s"$retMs milliseconds"))
+      .groupByKey(_.bv)
+      .flatMapGroupsWithState[VecBucketState, SemIncHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout,
+        initPairs.groupByKey(_._1).mapValues(_._2)) {
+        (_, recs, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val s0 = state.getOption.getOrElse(VecBucketState(Nil, Long.MinValue))
+            val (s1, out) = semIncTransition(recs, s0, retMs, threshold)
+            if (s1.entries.isEmpty) state.remove()
+            else {
+              state.update(s1)
+              // horizon cleanup once the watermark passes the bucket's
+              // newest event (streamingMinhashCandidates' contract)
+              state.setTimeoutTimestamp(s1.maxEventTs + retMs)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Pure per-bucket transition of [[streamingSemanticIncremental]] —
+   * extracted for unit tests (the engine's within-batch group order is
+   * not deterministic). Evicts horizon-stale standing entries BEFORE
+   * matching, guards each pair by the event-time span, verifies with
+   * the exact integer dot + 3-IEEE-op cosine, and never admits a new
+   * vector into state. */
+  private[operators] def semIncTransition(recs: IterableOnce[VecBandRec],
+                                          s0: VecBucketState,
+                                          retMs: Long,
+                                          threshold: Double): (VecBucketState, List[SemIncHit]) = {
+    val out = List.newBuilder[SemIncHit]
+    var entries = s0.entries
+    var maxTs = s0.maxEventTs
+    recs.iterator.foreach { r =>
+      val t = r.ts.getTime
+      maxTs = math.max(maxTs, t)
+      entries = entries.filter(_._4 >= maxTs - retMs)
+      entries.foreach { case (oid, oq, on2, ots) =>
+        if (oid != r.vec_id && math.abs(ots - t) <= retMs) {
+          var d = 0L
+          var i = 0
+          while (i < oq.length && i < r.q.length) { d += oq(i) * r.q(i); i += 1 }
+          // degenerate zero vectors give sim NaN, which never ≥ threshold
+          val sim = d.toDouble / math.sqrt(on2.toDouble * r.n2.toDouble)
+          if (sim >= threshold)
+            out += SemIncHit(r.vec_id, oid, sim,
+              new java.sql.Timestamp(math.max(ots, t)))
+        }
+      }
+    }
+    (VecBucketState(entries, maxTs), out.result())
   }
 
   /** The exact all-pairs baseline the bucketed [[embeddingNearDup]] is
@@ -735,8 +854,8 @@ object VectorOps {
 
   /** Bucket-key width for a corpus of `n` vectors: integer-exact
    * ceil(log2(ceil(n/target))) via bit-length (the
-   * `TextDedup.simhashChunksFor` contract — the oracle's CEIL(LOG2(m))
-   * derives the identical value), clamped to
+   * `TextDedup.simhashChunksFor` contract — the oracle derives the
+   * identical value with the same length(bin(m-1))), clamped to
    * [[[LshPlanes]], [[LshPlanesMax]]]. */
   def lshPlanesFor(n: Long, targetBucket: Int = LshTargetBucket): Int = {
     val m = (math.max(n, 1L) + targetBucket - 1) / targetBucket
@@ -1104,13 +1223,15 @@ object VectorOps {
 
   /** Per-cluster sub-band width as a shared expression string: DuckDB and
    * Spark SQL differ only in the integer-division operator, so the ONE
-   * string (modulo `intDiv`) is the cross-engine contract — the
-   * CEIL(LOG2(m)) ≡ bit-length equivalence is the established
-   * `simhashChunksFor` contract (exact for m < 2^50). */
+   * string (modulo `intDiv`) is the cross-engine contract — the width is
+   * the integer bit-length `length(bin(m−1))` (identical builtins in
+   * both engines; m ≥ 3 on this branch since csize > [[SemMaxBucket]]),
+   * never a libm CEIL(LOG2(m)) that could read one bit high at a
+   * power-of-two m. */
   private def semWidthSql(csize: String, intDiv: String): String = {
     val m = s"(($csize + ${SemTargetBucket - 1}) $intDiv $SemTargetBucket)"
     s"(CASE WHEN $csize <= $SemMaxBucket THEN 0 ELSE LEAST($semRowsMax, " +
-      s"GREATEST(1, CAST(CEIL(LOG2($m)) AS INT))) END)"
+      s"GREATEST(1, CAST(length(bin($m - 1)) AS INT))) END)"
   }
 
   /** Band count for a sub-band width column — the [[bandTableFor]]
@@ -1288,7 +1409,7 @@ object VectorOps {
        |xparams AS (
        |  SELECT r, ${semBandCaseSql("r")} AS b FROM (
        |    SELECT GREATEST(2, LEAST($semRowsMax,
-       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS r
+       |             CASE WHEN m <= 1 THEN 0 ELSE CAST(length(bin(m - 1)) AS INT) END)) AS r
        |    FROM (SELECT (count(*) + ${NearDupTargetBucket - 1}) // $NearDupTargetBucket AS m
        |          FROM $table))),
        |postings AS (
@@ -1322,7 +1443,7 @@ object VectorOps {
     s"""WITH ${quantizedSql(table)},
        |params AS (
        |  SELECT GREATEST($LshPlanes, LEAST($LshPlanesMax,
-       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(CEIL(LOG2(m)) AS INT) END)) AS p
+       |           CASE WHEN m <= 1 THEN 0 ELSE CAST(length(bin(m - 1)) AS INT) END)) AS p
        |  FROM (SELECT (count(*) + ${LshTargetBucket - 1}) // $LshTargetBucket AS m
        |        FROM $table)),
        |qb AS (SELECT vec_id, q, n2, substr(${lshBitsSql("q")}, 1, p) AS bucket

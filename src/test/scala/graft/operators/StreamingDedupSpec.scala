@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import java.time.Duration
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestHarness
@@ -286,6 +287,89 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestHarness {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!pairs.contains((1L, 2L)),
         s"a later-than-watermark doc must be excluded from candidates; got $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming incremental semantic dedup ≡ batch on the new×old verdicts") {
+    // the batch operator over the shared embeddings table is the spec:
+    // its keep=false set must equal the set of new vectors with ≥1
+    // streamed SemIncHit when the standing corpus (vec_id % mod != 0)
+    // rides the initial state and the new side streams in, using the
+    // IDENTICAL derived banding
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val batchDropped = VectorOps.semanticIncremental(emb).collect()
+      .filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(batchDropped.nonEmpty, "sf0.001 plants semantic near-dups across the split")
+    val n = emb.count()
+    val rows = VectorOps.nearDupRowsFor(n)
+    val bands = VectorOps.NearDupBandTable(rows)
+    val base = 1000000000L
+    val standing = emb.filter(col("vec_id") % VectorOps.SemIncNewMod =!= 0)
+      .withColumn("ts", lit(new Timestamp(base)))
+    val newRows = emb.filter(col("vec_id") % VectorOps.SemIncNewMod === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = VectorOps.streamingSemanticIncremental(
+      in.toDF().toDF("vec_id", "embedding", "ts")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      standing, Duration.ofHours(1), rows, bands)
+    val q = out.writeStream.format("memory").queryName("sem_inc_stream")
+      .outputMode("append").start()
+    try {
+      newRows.grouped(40).zipWithIndex.foreach { case (chunk, ci) =>
+        in.addData(chunk.map { case (id, e) =>
+          (id, e, new Timestamp(base + 1000 + ci)) }.toSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val hits = spark.table("sem_inc_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val streamDropped = hits.map(_._1).toSet
+      assert(streamDropped === batchDropped,
+        s"streaming verdicts diverge from batch: stream-only " +
+          s"${streamDropped -- batchDropped}, batch-only ${batchDropped -- streamDropped}")
+      // every hit is cross-side and above threshold
+      hits.foreach { case (nid, oid, sim) =>
+        assert(nid % VectorOps.SemIncNewMod === 0L)
+        assert(oid % VectorOps.SemIncNewMod !== 0L)
+        assert(sim >= VectorOps.SemDedupSim)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming incremental semantic dedup evicts standing entries past " +
+       "the event-time retention") {
+    // one standing vector, retention 10 s: an identical new vector inside
+    // the horizon hits; the same vector far past it must NOT (the entry
+    // stopped matching and is physically evicted on access)
+    val base = 1000000000L
+    val e = (0 until VectorOps.Dim).map(i => if (i % 3 == 0) 0.5f else -0.25f)
+    val standing = Seq((1000L, e, new Timestamp(base)))
+      .toDF("vec_id", "embedding", "ts")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = VectorOps.streamingSemanticIncremental(
+      in.toDF().toDF("vec_id", "embedding", "ts")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      standing, Duration.ofSeconds(10), rows = 2, bands = 6)
+    val q = out.writeStream.format("memory").queryName("sem_inc_evict")
+      .outputMode("append").start()
+    try {
+      in.addData((5L, e, new Timestamp(base + 5000)))
+      q.processAllAvailable()
+      val early = spark.table("sem_inc_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(early.contains((5L, 1000L)),
+        s"an in-horizon identical vector must hit the standing entry: ${early.toSeq}")
+      in.addData((10L, e, new Timestamp(base + 60000)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val all = spark.table("sem_inc_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!all.contains((10L, 1000L)),
+        s"a standing entry past retention must stop matching: $all")
     } finally q.stop()
   }
 }
