@@ -332,6 +332,9 @@ object SparkEntry {
     "emb_norm_profile"    -> ((s, d) => VectorOps.embNormProfile(Tables.embeddings(s, d))),
     "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
     "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
+    "emb_pca_power"       -> ((s, d) => VectorOps.embPcaPower(Tables.embeddings(s, d))),
+    "pca_residual_outliers" -> ((s, d) => VectorOps.pcaResidualOutliers(Tables.embeddings(s, d))),
+    "lsh_band_curve"      -> ((s, d) => VectorOps.lshBandCurve(Tables.embeddings(s, d))),
     // embedding-space benchmark decontamination (semantic twin of the gram screen)
     "semantic_decontaminate" -> ((s, d) => VectorOps.semanticDecontaminate(Tables.embeddings(s, d))),
     // RAG capstone: chunk -> deterministic embed -> IVF build -> bounded
@@ -573,6 +576,9 @@ object SparkEntry {
     "emb_norm_profile"    -> VectorOps.embNormProfileSql("embeddings"),
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
+    "emb_pca_power"       -> VectorOps.embPcaPowerSql("embeddings"),
+    "pca_residual_outliers" -> VectorOps.pcaResidualOutliersSql("embeddings"),
+    "lsh_band_curve"      -> VectorOps.lshBandCurveSql("embeddings"),
     "semantic_decontaminate" -> VectorOps.semanticDecontaminateSql("embeddings"),
     "retrieval_plan"      -> VectorOps.retrievalPlanSql("documents"),
     "mm_features"         -> Multimodal.featuresSql("documents"),

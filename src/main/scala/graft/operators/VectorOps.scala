@@ -1914,4 +1914,322 @@ object VectorOps {
        |       CAST(sum(CASE WHEN sim >= $ContamSim THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
        |       max(sim) >= $ContamSim AS contaminated
        |FROM scored GROUP BY query_id""".stripMargin
+
+  // ---- 8. spectral audit: power-iteration PCA + residual outliers ----------
+
+  /** Exact fixed-point truncating division sign·⌊|a|·2²⁰ / b⌋ building
+   * block, b > 0: the (a − a % b) / b form makes the DECIMAL division
+   * itself EXACT (the numerator is divisible by b), so no engine's
+   * decimal rounding mode ever participates — the floor(double-divide)
+   * shortcut is off by one whenever the true quotient sits within the
+   * double's rounding error of an integer, which a 2M-row sum divided
+   * by a same-magnitude max hits in practice. */
+  private def decTruncDiv(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    ((ad - ad % bd) / bd).cast("bigint")
+  }
+
+  /** DuckDB mirror of [[decTruncDiv]] — HUGEINT `//` on non-negative
+   * operands is the same truncating quotient. */
+  private def truncDivSql(a: String, b: String): String =
+    s"(CAST($a AS HUGEINT) // CAST($b AS HUGEINT))"
+
+  /** Fixed-point normalization of a 64-row eigvec iterate: sign(w) ·
+   * ⌊|w|·2²⁰ / max|w|⌋ ∈ [−2²⁰, 2²⁰] — exact integer output, one exact
+   * DECIMAL trunc-div per dim, the same recipe both engines run. */
+  private val FxOne = 1048576L // 2^20, QuantScale as an integer
+
+  /** Power-iteration PCA over the embedding table — the top principal
+   * component extracted with TWO matrix-free mat-vec passes, every
+   * arithmetic step exact integer/DECIMAL so the oracle hash-checks the
+   * eigenvector itself (not a tolerance band). The trick that keeps the
+   * covariance matrix out of the plan: A·v = Σᵢ cᵢ·(cᵢ·v) over centered
+   * rows cᵢ = qᵢ − m needs only the per-row scalar tᵢ = qᵢ·v − m·v and
+   * one dim-keyed aggregate Σᵢ qᵢⱼ·tᵢ − mⱼ·Σtᵢ — never a Dim×Dim
+   * product, never a driver hop. Centering uses the TRUNCATED quantized
+   * mean m = sign(S)·⌊|S|/n⌋ (both engines derive it with the same
+   * integer ops; the sub-ULP centering offset changes the extracted
+   * direction immeasurably and determinism exactly).
+   *
+   * Iterates: v₀ = 1⃗ (fixed, embedded in both plans); v₁ = fx(A·v₀);
+   * v₂ = fx(A·v₁) with fx the 2²⁰ fixed-point normalization above.
+   * Two steps out of a fixed start is an AUDIT of the spectral
+   * direction (anisotropy / collapsed-dimension drift shows up as a
+   * dominant stable v₂ within two steps), not a converged solver — a
+   * caller wanting k digits chains more passes, each the same shape.
+   *
+   * Output: one row per dimension (dim, mean_q, v1_fx, v2_fx), 64 rows.
+   *
+   * Scale shape: three scans of the memoized quantized projection
+   * ([[quantized]] — persisted once for the whole vector family); each
+   * pass is map-side partial aggregation onto 64 keys (the exchange
+   * carries O(Dim) rows per task at ANY corpus size); the 64-row
+   * iterate re-enters the next pass as a broadcast single-row array.
+   * Overflow headroom: |t| ≤ Dim·2²¹ = 2²⁷, per-term |q·t| ≤ 2⁴⁷ cast
+   * to DECIMAL(38,0) BEFORE the sum (Spark's BIGINT sum would wrap
+   * silently non-ANSI), accumulated sum ≤ n·2⁴⁷ — inside DECIMAL(38,0)
+   * to n ≈ 2⁷⁸⁻⁴⁷ ≫ any corpus; the normalization product |w|·2²⁰ ≤
+   * ~2⁸⁶ also fits. */
+  def embPcaPower(embeddings: DataFrame): DataFrame = {
+    val qn = quantized(embeddings)
+    val n = math.max(corpusSize(embeddings), 1L)
+    val ones = typedLit(Seq.fill(Dim)(1L))
+
+    // pass 1: per-dim quantized sums S and the truncated mean m
+    val e = qn.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
+    val mrow = e.groupBy(col("dim"))
+      .agg(sum(col("qv")).as("s")) // |S| ≤ n·2^20 — BIGINT-safe to n ≈ 2^43
+      .select(col("dim"),
+        (signum(col("s")).cast("bigint") *
+          expr(s"abs(s) div ${n}L")).as("m"))
+    val sortedArr = (d: Column, v: Column) =>
+      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
+        x => x.getField("v"))
+    val maux = mrow.agg(sortedArr(col("dim"), col("m")).as("m_arr"))
+      .select(col("m_arr"), dot(col("m_arr"), ones).as("sm"),
+        dot(col("m_arr"), col("m_arr")).as("mm"))
+
+    // one mat-vec pass: given per-row t, the dim-keyed sums that make w
+    def matVec(withT: DataFrame): DataFrame =
+      withT.select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
+        .groupBy(col("dim"))
+        .agg(sum((col("qv") * col("t")).cast("decimal(38,0)")).as("sqt"),
+          sum(col("t").cast("decimal(38,0)")).as("st"))
+        .join(broadcast(mrow), Seq("dim"))
+        .select(col("dim"),
+          (col("sqt") - col("m").cast("decimal(38,0)") * col("st")).as("w"))
+    def normalize(wdf: DataFrame, out: String): DataFrame = {
+      val wmax = wdf.agg(greatest(max(abs(col("w"))), lit(1L).cast("decimal(38,0)")).as("wm"))
+      wdf.crossJoin(broadcast(wmax))
+        .select(col("dim"),
+          (signum(col("w")).cast("bigint") *
+            decTruncDiv(abs(col("w")) * lit(FxOne), col("wm"))).as(out))
+    }
+
+    val w1 = matVec(qn.crossJoin(broadcast(maux))
+      .select(col("q"), (dot(col("q"), ones) - col("sm")).as("t")))
+    val v1 = normalize(w1, "v1_fx")
+    val v1aux = v1.agg(sortedArr(col("dim"), col("v1_fx")).as("v1a"))
+      .crossJoin(broadcast(maux))
+      .select(col("v1a"), dot(col("m_arr"), col("v1a")).as("k1"))
+    val w2 = matVec(qn.crossJoin(broadcast(v1aux))
+      .select(col("q"), (dot(col("q"), col("v1a")) - col("k1")).as("t")))
+    val v2 = normalize(w2, "v2_fx")
+
+    broadcast(mrow).join(v1, Seq("dim")).join(v2, Seq("dim"))
+      .select(col("dim").cast("bigint").as("dim"), col("m").as("mean_q"),
+        col("v1_fx"), col("v2_fx"))
+      .orderBy(col("dim"))
+  }
+
+  def embPcaPowerSql(table: String): String = {
+    val fx = FxOne
+    s"""WITH ${quantizedSql(table)},
+       |tot AS (SELECT greatest(count(*), 1) AS n FROM qn),
+       |e AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, q[CAST(i AS INT)] AS qv
+       |      FROM qn CROSS JOIN range(1, ${Dim + 1}) AS r(i)),
+       |s AS (SELECT dim, CAST(sum(qv) AS BIGINT) AS s FROM e GROUP BY dim),
+       |m AS (SELECT dim, CASE WHEN s >= 0 THEN 1 ELSE -1 END
+       |             * CAST(abs(s) // n AS BIGINT) AS m FROM s CROSS JOIN tot),
+       |maux AS (SELECT CAST(sum(m) AS BIGINT) AS sm FROM m),
+       |t1 AS (SELECT vec_id, CAST(list_sum(q) AS BIGINT) - sm AS t
+       |       FROM qn CROSS JOIN maux),
+       |w1 AS (SELECT e.dim,
+       |              CAST(sum(CAST(qv AS HUGEINT) * t) AS DECIMAL(38,0)) AS sqt,
+       |              CAST(sum(CAST(t AS HUGEINT)) AS DECIMAL(38,0)) AS st
+       |       FROM e JOIN t1 USING (vec_id) GROUP BY e.dim),
+       |w1m AS (SELECT w1.dim, sqt - CAST(m AS DECIMAL(38,0)) * st AS w
+       |        FROM w1 JOIN m USING (dim)),
+       |w1x AS (SELECT greatest(CAST(max(abs(w)) AS HUGEINT), 1) AS wm FROM w1m),
+       |v1 AS (SELECT dim, (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+       |             * CAST(${truncDivSql(s"abs(CAST(w AS HUGEINT)) * $fx", "wm")} AS BIGINT) AS v1_fx
+       |       FROM w1m CROSS JOIN w1x),
+       |v1arr AS (SELECT list(v1_fx ORDER BY dim) AS v1a FROM v1),
+       |k1 AS (SELECT CAST(sum(m.m * v1.v1_fx) AS BIGINT) AS k1
+       |       FROM m JOIN v1 USING (dim)),
+       |t2 AS (SELECT vec_id, ${dotSql("q", "v1a")} - k1 AS t
+       |       FROM qn CROSS JOIN v1arr CROSS JOIN k1),
+       |w2 AS (SELECT e.dim,
+       |              CAST(sum(CAST(qv AS HUGEINT) * t) AS DECIMAL(38,0)) AS sqt,
+       |              CAST(sum(CAST(t AS HUGEINT)) AS DECIMAL(38,0)) AS st
+       |       FROM e JOIN t2 USING (vec_id) GROUP BY e.dim),
+       |w2m AS (SELECT w2.dim, sqt - CAST(m AS DECIMAL(38,0)) * st AS w
+       |        FROM w2 JOIN m USING (dim)),
+       |w2x AS (SELECT greatest(CAST(max(abs(w)) AS HUGEINT), 1) AS wm FROM w2m),
+       |v2 AS (SELECT dim, (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+       |             * CAST(${truncDivSql(s"abs(CAST(w AS HUGEINT)) * $fx", "wm")} AS BIGINT) AS v2_fx
+       |       FROM w2m CROSS JOIN w2x)
+       |SELECT m.dim, m.m AS mean_q, v1.v1_fx, v2.v2_fx
+       |FROM m JOIN v1 USING (dim) JOIN v2 USING (dim)
+       |ORDER BY m.dim""".stripMargin
+  }
+
+  /** Residual-outlier screen: the [[PcaResidK]] vectors FURTHEST from
+   * the corpus's dominant direction — residual² after projecting the
+   * centered vector onto [[embPcaPower]]'s v₂ iterate. The production
+   * read: spectral outliers are the mis-embedded / off-distribution
+   * rows a mean-distance screen misses (a vector can sit at average
+   * NORM yet point nowhere near the principal mass).
+   *
+   * Exactness: resid_fx = |c|² − ⌊(c·v)² / |v|²⌋ — every operand an
+   * exact integer (|c|² = n2 − 2·q·m + m·m off the memoized
+   * projection), the projection term one exact DECIMAL trunc-div, so
+   * ranking and hash both pin cross-engine; resid_share is one IEEE
+   * divide over two exact integers. Output (vec_id, c2, resid_fx,
+   * resid_share), top-[[PcaResidK]] by (resid_fx desc, vec_id).
+   *
+   * Scale shape: [[embPcaPower]]'s three bounded passes, then ONE more
+   * scoring scan against two broadcast single-row arrays feeding a
+   * TakeOrderedAndProject top-k — no shuffle of scored rows beyond the
+   * per-partition k heads. */
+  def pcaResidualOutliers(embeddings: DataFrame, k: Int = PcaResidK): DataFrame = {
+    val qn = quantized(embeddings)
+    val pca = embPcaPower(embeddings)
+    val aux = pca.agg(
+      transform(array_sort(collect_list(struct(col("dim").as("d"), col("mean_q").as("v")))),
+        x => x.getField("v")).as("m_arr"),
+      transform(array_sort(collect_list(struct(col("dim").as("d"), col("v2_fx").as("v")))),
+        x => x.getField("v")).as("v_arr"))
+      .select(col("m_arr"), col("v_arr"),
+        dot(col("m_arr"), col("m_arr")).as("mm"),
+        dot(col("m_arr"), col("v_arr")).as("kv"),
+        greatest(dot(col("v_arr"), col("v_arr")), lit(1L)).as("den"))
+    val scored = qn.crossJoin(broadcast(aux))
+      .select(col("vec_id"),
+        (col("n2") - lit(2L) * dot(col("q"), col("m_arr")) + col("mm")).as("c2"),
+        (dot(col("q"), col("v_arr")) - col("kv")).as("cv"), col("den"))
+      .select(col("vec_id"), col("c2"),
+        (col("c2") - decTruncDiv(col("cv").cast("decimal(38,0)") * col("cv").cast("decimal(38,0)"),
+          col("den"))).as("resid_fx"))
+    scored
+      .select(col("vec_id"), col("c2"), col("resid_fx"),
+        when(col("c2") === 0L, lit(0.0))
+          .otherwise(col("resid_fx").cast("double") / col("c2").cast("double"))
+          .as("resid_share"))
+      .orderBy(col("resid_fx").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val PcaResidK = 50
+
+  def pcaResidualOutliersSql(table: String, k: Int = PcaResidK): String =
+    s"""WITH pca AS (${embPcaPowerSql(table)}),
+       |${quantizedSql(table)},
+       |aux AS (SELECT list(mean_q ORDER BY dim) AS m_arr,
+       |               list(v2_fx ORDER BY dim) AS v_arr,
+       |               CAST(sum(mean_q * mean_q) AS BIGINT) AS mm,
+       |               CAST(sum(mean_q * v2_fx) AS BIGINT) AS kv,
+       |               greatest(CAST(sum(v2_fx * v2_fx) AS BIGINT), 1) AS den
+       |        FROM pca),
+       |scored AS (
+       |  SELECT vec_id,
+       |         n2 - 2 * ${dotSql("q", "m_arr")} + mm AS c2,
+       |         ${dotSql("q", "v_arr")} - kv AS cv, den
+       |  FROM qn CROSS JOIN aux),
+       |resid AS (
+       |  SELECT vec_id, c2,
+       |         c2 - CAST(${truncDivSql("CAST(cv AS HUGEINT) * cv", "den")} AS BIGINT) AS resid_fx
+       |  FROM scored)
+       |SELECT vec_id, c2, resid_fx,
+       |       CASE WHEN c2 = 0 THEN 0.0
+       |            ELSE CAST(resid_fx AS DOUBLE) / CAST(c2 AS DOUBLE) END AS resid_share
+       |FROM resid
+       |ORDER BY resid_fx DESC, vec_id LIMIT $k""".stripMargin
+
+  // ---- 9. LSH design audit: the analytic banding S-curve -------------------
+
+  /** 2²⁰ fixed-point multiply — the one step of the exact S-curve pow:
+   * truncating shift, non-negative operands, identical in both engines
+   * (`>>` on BIGINT). Products ≤ 2⁴⁰ — BIGINT-safe. */
+  private def fxMulCol(a: Column, b: Column): Column = shiftright(a * b, 20)
+  private def fxMulSql(a: String, b: String): String = s"(($a * $b) >> 20)"
+
+  /** Shared square-and-multiply recipe (MSB-first) — the SAME structural
+   * op order built as a Column tree and as a SQL string, so both
+   * engines apply identical intermediate truncations. A plain linear
+   * unroll would also agree but doubles the SQL text per level at
+   * b ≈ 100 exponents; log-depth keeps both trees small. */
+  private def fxPowBits(e: Int): Seq[Char] = {
+    require(e >= 1, s"fixed-point pow exponent >= 1: $e")
+    Integer.toBinaryString(e).drop(1).toSeq
+  }
+  private def fxPowCol(base: Column, e: Int): Column =
+    fxPowBits(e).foldLeft(base) { (acc, bit) =>
+      val sq = fxMulCol(acc, acc)
+      if (bit == '1') fxMulCol(sq, base) else sq
+    }
+  private def fxPowSql(base: String, e: Int): String =
+    fxPowBits(e).foldLeft(base) { (acc, bit) =>
+      val sq = fxMulSql(acc, acc)
+      if (bit == '1') fxMulSql(sq, base) else sq
+    }
+
+  /** The analytic detection curve of the near-dup banding ACTUALLY
+   * configured for this corpus — P(candidate | band-match prob p) =
+   * 1 − (1 − pᴿ)ᴮ evaluated at p = k/32, k = 1..32, in exact 2²⁰
+   * fixed-point (s_fx = k·2¹⁵ is exact; every pow step one truncating
+   * multiply-shift, identical cross-engine — no float pow anywhere).
+   * (R, B) derive from the corpus count exactly as [[embeddingNearDup]]
+   * derives them, so the curve is the audit of the LIVE design point:
+   * read off expected recall at the operating agreement probability and
+   * the false-candidate mass at low p. The [[nearDupBandKeys]] p-axis
+   * is per-PLANE agreement probability (1 − θ/π for hyperplane LSH,
+   * raw Jaccard for MinHash — same curve family as
+   * `TextDedup.minhashLsh`). Output one row per grid point
+   * (s_num, s_fx, rows_r, bands_b, p_band_fx, p_detect_fx), 32 rows.
+   *
+   * Scale shape: a 32-row range + pure expression arithmetic — the only
+   * corpus-dependent input is the cached plan-time count that picks
+   * (R, B); cost is O(1) at any SF. */
+  def lshBandCurve(embeddings: DataFrame): DataFrame = {
+    val n = corpusSize(embeddings)
+    val r = nearDupRowsFor(n)
+    val b = NearDupBandTable(r)
+    val spark = embeddings.sparkSession
+    val grid = spark.range(1, 33).select(col("id").as("s_num"))
+    val sFx = col("s_num") * lit(32768L) // (k/32)·2^20, exact
+    val pBand = fxPowCol(sFx, r)
+    grid.select(col("s_num"), sFx.as("s_fx"),
+        lit(r.toLong).as("rows_r"), lit(b.toLong).as("bands_b"),
+        pBand.as("p_band_fx"))
+      .select(col("s_num"), col("s_fx"), col("rows_r"), col("bands_b"),
+        col("p_band_fx"),
+        (lit(FxOne) - fxPowCol(lit(FxOne) - col("p_band_fx"), b)).as("p_detect_fx"))
+      .orderBy(col("s_num"))
+  }
+
+  def lshBandCurveSql(table: String): String = {
+    // the oracle re-derives (R, B) from its own count via the same
+    // integer bit-length recipe — but the BAND table is Scala-computed
+    // (arccos/ln never cross engines), so B(R) is spliced as a CASE
+    // over the full table, exactly the nearDupRowsFor contract
+    val caseB = NearDupBandTable.toSeq.sorted
+      .map { case (rr, bb) => s"WHEN $rr THEN $bb" }.mkString(" ")
+    // R and B are data-derived in SQL, but the pow exponent must be a
+    // compile-time integer for the unrolled fixed-point recipe — so the
+    // oracle branches over every possible R (2..max), each branch the
+    // exact Scala-side unroll at that R/B. At most 7 branches.
+    val branches = NearDupBandTable.toSeq.sorted.map { case (rr, _) =>
+      s"WHEN r = $rr THEN ${fxPowSql("s_fx", rr)}"
+    }.mkString("\n|             ")
+    val detect = NearDupBandTable.toSeq.sorted.map { case (rr, bb) =>
+      s"WHEN r = $rr THEN ($FxOne - ${fxPowSql(s"($FxOne - p_band_fx)", bb)})"
+    }.mkString("\n|             ")
+    s"""WITH tot AS (SELECT count(*) AS n FROM $table),
+       |cfg AS (SELECT greatest(2, least(${NearDupRowsMax},
+       |          CASE WHEN ((n + ${NearDupTargetBucket} - 1) // ${NearDupTargetBucket}) <= 1 THEN 0
+       |               ELSE length(bin(((n + ${NearDupTargetBucket} - 1) // ${NearDupTargetBucket}) - 1)) END)) AS r
+       |        FROM tot),
+       |cfg2 AS (SELECT r, CASE r $caseB END AS b FROM cfg),
+       |grid AS (SELECT CAST(k AS BIGINT) AS s_num, CAST(k * 32768 AS BIGINT) AS s_fx
+       |         FROM range(1, 33) AS g(k)),
+       |c1 AS (SELECT s_num, s_fx, r, b,
+       |       CASE $branches END AS p_band_fx
+       |       FROM grid CROSS JOIN cfg2)
+       |SELECT s_num, s_fx, CAST(r AS BIGINT) AS rows_r, CAST(b AS BIGINT) AS bands_b,
+       |       p_band_fx,
+       |       CASE $detect END AS p_detect_fx
+       |FROM c1 ORDER BY s_num""".stripMargin
+  }
 }

@@ -65,6 +65,12 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "hard_negatives" -> 1, // bounded broadcast query set x corpus (knn_label shape)
     "cm_error_audit" -> 1, // 1-row CM grid broadcast onto the 30-row candidate head (mix_weights shape)
     "retrieval_plan" -> 2, // the ann_ivf_topk pair: N·C chunk-assignment build + bounded probe stage
+    "emb_pca_power" -> 4, // four 1-row broadcasts (mix_weights shape): mean/iterate
+                          // arrays into the two mat-vec passes + one max-|w| row
+                          // per fixed-point normalization — every BNLJ side is
+                          // exactly one row at ANY corpus size
+    "pca_residual_outliers" -> 5, // emb_pca_power's four + its own 1-row
+                                  // (m_arr, v_arr, den) scoring broadcast
     "bpe_merges_iter" -> 4) // 1-row winning-pair broadcasts, one per chained iteration; iteration k's
                             // broadcast side re-nests the k−1 chain (all over the persisted O(vocab)
                             // relation), so 3 iterations plan 1+3 structural instances (mix_weights shape)

@@ -10,9 +10,17 @@ memory_limit of MEM_GB/workers and the default worker count stays low.
 Re-run stragglers serially with --only and a bigger limit if needed.
 
 Usage: python3 tools/check_par.py SF_DIR OUT_DIR [--workers N]
-           [--mem-gb G] [--only a,b,c]
+           [--mem-gb G] [--only a,b,c] [--dbdiff-rows N]
 Prints one line per query ([ok]/[BAD]/[no-oracle]) and a final summary.
 Exit 1 if any BAD.
+
+Outputs larger than --dbdiff-rows (default 3M) are compared entirely
+inside DuckDB — a two-sided EXCEPT ALL multiset diff over the
+name-sorted column list — instead of the pandas value loop. Same
+strength (exact multiset equality; EXCEPT resolves int32/int64-style
+dtype drift to a common supertype just as the pandas `==` did), but
+streaming and spillable, so the 60M-row window/sessionize oracles are
+sf10-tractable without weakening to a rollup.
 """
 import argparse
 import json
@@ -26,7 +34,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def check_one(task):
-    name, sql, sf_dir, out_dir, mem_gb, threads = task
+    name, sql, sf_dir, out_dir, mem_gb, threads, dbdiff_rows = task
     import duckdb
     import pandas as pd
     t0 = time.time()
@@ -45,8 +53,40 @@ def check_one(task):
             if os.path.exists(p):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        spark = con.execute(
-            f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')").df()
+        dump = os.path.join(out_dir, name, "*.parquet")
+        con.execute(
+            f"CREATE VIEW spark_side AS SELECT * FROM read_parquet('{dump}')")
+        n_spark = con.execute(
+            "SELECT count(*) FROM spark_side").fetchone()[0]
+        if n_spark > dbdiff_rows:
+            # In-database multiset compare: oracle materialized once as a
+            # temp table (it is referenced twice by the two-sided EXCEPT).
+            con.execute(f"CREATE TEMP TABLE ora_side AS {sql}")
+            dt0 = time.time() - t0
+            s_cols = sorted(r[0] for r in con.execute(
+                "DESCRIBE spark_side").fetchall())
+            o_cols = sorted(r[0] for r in con.execute(
+                "DESCRIBE ora_side").fetchall())
+            if s_cols != o_cols:
+                return (name, f"SCHEMA {s_cols} vs {o_cols}", dt0)
+            n_ora = con.execute(
+                "SELECT count(*) FROM ora_side").fetchone()[0]
+            if n_spark != n_ora:
+                return (name, f"ROWS {n_spark} vs {n_ora}",
+                        time.time() - t0)
+            cols = ", ".join(f'"{c}"' for c in s_cols)
+            n_diff = con.execute(
+                f"SELECT count(*) FROM ("
+                f"(SELECT {cols} FROM spark_side EXCEPT ALL "
+                f" SELECT {cols} FROM ora_side) UNION ALL "
+                f"(SELECT {cols} FROM ora_side EXCEPT ALL "
+                f" SELECT {cols} FROM spark_side))").fetchone()[0]
+            dt = time.time() - t0
+            if n_diff:
+                return (name, f"HASH dbdiff n_diff={n_diff} "
+                              f"(of {n_spark} rows)", dt)
+            return (name, None, dt)
+        spark = con.execute("SELECT * FROM spark_side").df()
         ora = con.execute(sql).df()
 
         def canon(df):
@@ -85,6 +125,7 @@ def main():
     ap.add_argument("--workers", type=int, default=6)
     ap.add_argument("--mem-gb", type=int, default=48)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--dbdiff-rows", type=int, default=3_000_000)
     args = ap.parse_args()
 
     oracle = json.load(open(os.path.join(args.out_dir, "oracle_sql.json")))
@@ -101,7 +142,7 @@ def main():
             skipped.append(name)
             continue
         tasks.append((name, oracle[name], args.sf_dir, args.out_dir,
-                      per_mem, per_thr))
+                      per_mem, per_thr, args.dbdiff_rows))
     for n in skipped:
         print(f"[no-oracle] {n}")
     bad = 0
