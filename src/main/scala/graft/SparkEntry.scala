@@ -335,6 +335,7 @@ object SparkEntry {
     "emb_pca_power"       -> ((s, d) => VectorOps.embPcaPower(Tables.embeddings(s, d))),
     "pca_residual_outliers" -> ((s, d) => VectorOps.pcaResidualOutliers(Tables.embeddings(s, d))),
     "lsh_band_curve"      -> ((s, d) => VectorOps.lshBandCurve(Tables.embeddings(s, d))),
+    "label_spectral_drift" -> ((s, d) => VectorOps.labelSpectralDrift(Tables.embeddings(s, d))),
     // embedding-space benchmark decontamination (semantic twin of the gram screen)
     "semantic_decontaminate" -> ((s, d) => VectorOps.semanticDecontaminate(Tables.embeddings(s, d))),
     // RAG capstone: chunk -> deterministic embed -> IVF build -> bounded
@@ -579,6 +580,7 @@ object SparkEntry {
     "emb_pca_power"       -> VectorOps.embPcaPowerSql("embeddings"),
     "pca_residual_outliers" -> VectorOps.pcaResidualOutliersSql("embeddings"),
     "lsh_band_curve"      -> VectorOps.lshBandCurveSql("embeddings"),
+    "label_spectral_drift" -> VectorOps.labelSpectralDriftSql("embeddings"),
     "semantic_decontaminate" -> VectorOps.semanticDecontaminateSql("embeddings"),
     "retrieval_plan"      -> VectorOps.retrievalPlanSql("documents"),
     "mm_features"         -> Multimodal.featuresSql("documents"),

@@ -2137,6 +2137,62 @@ object VectorOps {
        |FROM resid
        |ORDER BY resid_fx DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Per-label spectral drift — each label slice's distribution along
+   * the corpus's dominant direction: n, mean/min/max of the exact
+   * integer projection proj = (q − m)·v₂ of [[embPcaPower]]'s iterate.
+   * The slice-drift monitor: a label whose mean projection walks away
+   * from 0 between corpus versions got re-embedded, re-labeled, or
+   * drifted — visible here while global norms still look healthy.
+   *
+   * Exactness: proj is BIGINT (≤ 2⁴⁷); per-label sums accumulate as
+   * DECIMAL(38,0); the mean is the same sign·⌊|Σ|/n⌋ trunc-div both
+   * engines compute — hash-pinned, no float anywhere. Output one row
+   * per label (label, n_vecs, mean_proj, min_proj, max_proj).
+   *
+   * Scale shape: [[embPcaPower]]'s bounded passes + ONE labeled scan
+   * (label rides the same quantize projection) against a 1-row
+   * broadcast (v_arr, kv); the final exchange is label-keyed —
+   * O(labels) rows. */
+  def labelSpectralDrift(embeddings: DataFrame): DataFrame = {
+    val pca = embPcaPower(embeddings)
+    val aux = pca.agg(
+      transform(array_sort(collect_list(struct(col("dim").as("d"), col("mean_q").as("v")))),
+        x => x.getField("v")).as("m_arr"),
+      transform(array_sort(collect_list(struct(col("dim").as("d"), col("v2_fx").as("v")))),
+        x => x.getField("v")).as("v_arr"))
+      .select(col("v_arr"), dot(col("m_arr"), col("v_arr")).as("kv"))
+    embeddings
+      .select(col("label"), quantize(col("embedding")).as("q"))
+      .crossJoin(broadcast(aux))
+      .select(col("label"), (dot(col("q"), col("v_arr")) - col("kv")).as("proj"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("proj").cast("decimal(38,0)")).as("sp"),
+        min(col("proj")).as("min_proj"), max(col("proj")).as("max_proj"))
+      .select(col("label"), col("n_vecs"),
+        (signum(col("sp")).cast("bigint") *
+          decTruncDiv(abs(col("sp")), col("n_vecs"))).as("mean_proj"),
+        col("min_proj"), col("max_proj"))
+      .orderBy(col("label"))
+  }
+
+  def labelSpectralDriftSql(table: String): String =
+    s"""WITH pca AS (${embPcaPowerSql(table)}),
+       |aux AS (SELECT list(v2_fx ORDER BY dim) AS v_arr,
+       |               CAST(sum(mean_q * v2_fx) AS BIGINT) AS kv FROM pca),
+       |lp AS (SELECT label,
+       |              ${dotSql(quantizeSql("embedding"), "v_arr")} - kv AS proj
+       |       FROM $table CROSS JOIN aux),
+       |ag AS (SELECT label, count(*) AS n_vecs,
+       |              CAST(sum(CAST(proj AS HUGEINT)) AS DECIMAL(38,0)) AS sp,
+       |              min(proj) AS min_proj, max(proj) AS max_proj
+       |       FROM lp GROUP BY label)
+       |SELECT label, n_vecs,
+       |       (CASE WHEN sp >= 0 THEN 1 ELSE -1 END)
+       |         * CAST(${truncDivSql("abs(CAST(sp AS HUGEINT))", "n_vecs")} AS BIGINT) AS mean_proj,
+       |       min_proj, max_proj
+       |FROM ag ORDER BY label""".stripMargin
+
   // ---- 9. LSH design audit: the analytic banding S-curve -------------------
 
   /** 2²⁰ fixed-point multiply — the one step of the exact S-curve pow:

@@ -111,6 +111,31 @@ class SpectralOpsSpec extends AnyFunSuite with SparkTestHarness {
     }
   }
 
+  test("label_spectral_drift matches the sequential mirror per label") {
+    val emb = Tables.embeddings(spark, dir)
+    val rows = emb.select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(_._1).toSeq
+    val (m, _, v2) = pcaRef(rows.map(_._3))
+    val kv = (0 until VectorOps.Dim).map(j => BigInt(m(j)) * v2(j)).sum
+    val byLabel = rows.groupBy(_._2).map { case (lab, rs) =>
+      val projs = rs.map { case (_, _, e) =>
+        val q = e.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+        ((0 until VectorOps.Dim).map(j => BigInt(q(j)) * v2(j)).sum - kv).toLong
+      }
+      val sp = projs.map(BigInt(_)).sum
+      lab -> (rs.length.toLong, ((sp.abs / rs.length) * sp.signum).toLong,
+        projs.min, projs.max)
+    }
+    val got = VectorOps.labelSpectralDrift(emb).collect()
+    assert(got.length === byLabel.size)
+    got.foreach { r =>
+      val (n, mean, mn, mx) = byLabel(r.getInt(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === mean)
+      assert(r.getLong(3) === mn); assert(r.getLong(4) === mx)
+    }
+  }
+
   test("lsh_band_curve: exact fixed-point S-curve, monotone, pinned endpoints") {
     val emb = Tables.embeddings(spark, dir)
     val out = VectorOps.lshBandCurve(emb).orderBy(col("s_num")).collect()

@@ -71,6 +71,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
                           // exactly one row at ANY corpus size
     "pca_residual_outliers" -> 5, // emb_pca_power's four + its own 1-row
                                   // (m_arr, v_arr, den) scoring broadcast
+    "label_spectral_drift" -> 5,  // same shape: the PCA chain + one 1-row
+                                  // (v_arr, kv) scoring broadcast
     "bpe_merges_iter" -> 4) // 1-row winning-pair broadcasts, one per chained iteration; iteration k's
                             // broadcast side re-nests the k−1 chain (all over the persisted O(vocab)
                             // relation), so 3 iterations plan 1+3 structural instances (mix_weights shape)
