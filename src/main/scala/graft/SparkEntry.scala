@@ -192,6 +192,7 @@ object SparkEntry {
     "fingerprint_rolling" -> ((s, d) => Queries.fingerprintRolling(s, d)),
     "dedup_exact"         -> ((s, d) => TextDedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh"   -> ((s, d) => TextDedup.minhashLsh(Tables.documents(s, d))),
+    "minhash_sig_audit"   -> ((s, d) => TextDedup.minhashSigAudit(Tables.documents(s, d))),
     // threshold-tuning curve: exact-Jaccard histogram of surviving pairs
     "neardup_sim_hist"    -> ((s, d) => TextDedup.neardupSimHist(Tables.documents(s, d))),
     "dedup_simhash"       -> ((s, d) => TextDedup.simhashDedupAuto(Tables.documents(s, d))),
@@ -507,6 +508,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
     "dedup_exact"         -> TextDedup.exactSql("documents"),
     "dedup_minhash_lsh"   -> TextDedup.minhashLshSql("documents"),
+    "minhash_sig_audit"   -> TextDedup.minhashSigAuditSql("documents"),
     "neardup_sim_hist"    -> TextDedup.neardupSimHistSql("documents"),
     "dedup_simhash"       -> TextDedup.simhashDedupSql("documents"),
     "dedup_ngram_jaccard" -> TextDedup.ngramJaccardSql("documents"),

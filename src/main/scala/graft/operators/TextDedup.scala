@@ -382,6 +382,46 @@ object TextDedup {
        |JOIN shf sb ON sb.doc_id = c.id_b
        |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinHashThreshold""".stripMargin
 
+  /** Sample stride/budget for [[minhashSigAudit]] — the ANN QueryBudget
+   * pattern on the dedup axis: a fixed-size deterministic doc sample at
+   * ANY corpus size (ids are dense from 0, so the cutoff binds the
+   * count; a sparser id domain just samples fewer). 97 is co-prime to
+   * the scale-generator's copy strides, so the sample crosses copies. */
+  val SigAuditStride = 97L
+  val SigAuditBudget = 512L
+
+  /** MinHash signature audit over a bounded deterministic doc sample —
+   * the fourth-decade gate for the WHOLE minhash family: the full pair
+   * relations are oracle-proven through sf1, but their DuckDB
+   * restatements materialize the corpus-sized (shingle × K) relation
+   * (~600M rows at sf10 — oracle-side intractable), so this query pins
+   * the family's core primitive (shingle → K md5 minima, the native
+   * [[graft.plans.MinHashSig]] one-pass) value-for-value against the
+   * relational DuckDB mirror at EVERY scale, for a sample whose oracle
+   * cost is O([[SigAuditBudget]]) regardless of corpus size. Output
+   * (doc_id, j, sig_j), ≤ Budget × [[MinHashK]] rows.
+   *
+   * Scale shape: the sample predicate prunes at the scan (row-group
+   * stats on the id column), the signature is one map-side expression —
+   * no exchange at all past the scan. */
+  def minhashSigAudit(docs: DataFrame): DataFrame =
+    shingleDf(docs.filter(col("doc_id") % SigAuditStride === 0 &&
+        col("doc_id") < SigAuditStride * SigAuditBudget))
+      .select(col("doc_id"),
+        posexplode(minhashSignature(col("sh"))).as(Seq("jx", "sig_j")))
+      .select(col("doc_id"), (col("jx") + 1).cast("bigint").as("j"), col("sig_j"))
+
+  def minhashSigAuditSql(table: String): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM $table
+       |              WHERE doc_id % $SigAuditStride = 0
+       |                AND doc_id < ${SigAuditStride * SigAuditBudget}),
+       |sh0 AS (SELECT doc_id, ${shinglesFromToksSql("toks")} AS sh FROM toks),
+       |shf AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+       |shrow AS (SELECT doc_id, unnest(sh) AS s FROM shf)
+       |SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS sig_j
+       |FROM shrow, (SELECT unnest(range(1, ${MinHashK + 1})) AS j)
+       |GROUP BY doc_id, j""".stripMargin
+
   /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
    * crawl-ingest shape of [[minhashLsh]]: documents arrive as a stream
    * (doc_id, text, ts) and each new document is compared against the

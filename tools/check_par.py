@@ -34,12 +34,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def check_one(task):
-    name, sql, sf_dir, out_dir, mem_gb, threads, dbdiff_rows = task
+    name, sql, sf_dir, out_dir, mem_gb, threads, dbdiff_rows, timeout_s = task
+    import threading
     import duckdb
     import pandas as pd
     t0 = time.time()
+    timer = None
     try:
         con = duckdb.connect()
+        if timeout_s:
+            # per-oracle budget: a runaway oracle is interrupted (DuckDB
+            # raises InterruptException) and reported as [BAD] timeout
+            # instead of wedging its pool slot forever
+            def _interrupt(c=con):
+                try:
+                    c.interrupt()
+                except Exception:
+                    pass
+            timer = threading.Timer(timeout_s, _interrupt)
+            timer.daemon = True
+            timer.start()
         con.execute(f"SET memory_limit='{mem_gb}GB'")
         con.execute(f"SET threads={threads}")
         # private spill dir per worker: concurrent connections sharing the
@@ -116,6 +130,9 @@ def check_one(task):
         return (name, None, dt)
     except Exception as e:
         return (name, f"duckdb error: {e}", time.time() - t0)
+    finally:
+        if timer is not None:
+            timer.cancel()
 
 
 def main():
@@ -126,6 +143,8 @@ def main():
     ap.add_argument("--mem-gb", type=int, default=48)
     ap.add_argument("--only", default=None)
     ap.add_argument("--dbdiff-rows", type=int, default=3_000_000)
+    ap.add_argument("--timeout", type=int, default=0,
+                    help="per-oracle seconds before interrupt (0 = none)")
     args = ap.parse_args()
 
     oracle = json.load(open(os.path.join(args.out_dir, "oracle_sql.json")))
@@ -142,7 +161,7 @@ def main():
             skipped.append(name)
             continue
         tasks.append((name, oracle[name], args.sf_dir, args.out_dir,
-                      per_mem, per_thr, args.dbdiff_rows))
+                      per_mem, per_thr, args.dbdiff_rows, args.timeout))
     for n in skipped:
         print(f"[no-oracle] {n}")
     bad = 0
