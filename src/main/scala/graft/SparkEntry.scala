@@ -334,6 +334,7 @@ object SparkEntry {
     "label_centroids"     -> ((s, d) => VectorOps.labelCentroids(Tables.embeddings(s, d))),
     "emb_covariance"      -> ((s, d) => VectorOps.embCovariance(Tables.embeddings(s, d))),
     "emb_pca_power"       -> ((s, d) => VectorOps.embPcaPower(Tables.embeddings(s, d))),
+    "emb_pca_topk"        -> ((s, d) => VectorOps.embPcaTopk(Tables.embeddings(s, d))),
     "pca_residual_outliers" -> ((s, d) => VectorOps.pcaResidualOutliers(Tables.embeddings(s, d))),
     "lsh_band_curve"      -> ((s, d) => VectorOps.lshBandCurve(Tables.embeddings(s, d))),
     "label_spectral_drift" -> ((s, d) => VectorOps.labelSpectralDrift(Tables.embeddings(s, d))),
@@ -580,6 +581,7 @@ object SparkEntry {
     "label_centroids"     -> VectorOps.labelCentroidsSql("embeddings"),
     "emb_covariance"      -> VectorOps.embCovarianceSql("embeddings"),
     "emb_pca_power"       -> VectorOps.embPcaPowerSql("embeddings"),
+    "emb_pca_topk"        -> VectorOps.embPcaTopkSql("embeddings"),
     "pca_residual_outliers" -> VectorOps.pcaResidualOutliersSql("embeddings"),
     "lsh_band_curve"      -> VectorOps.lshBandCurveSql("embeddings"),
     "label_spectral_drift" -> VectorOps.labelSpectralDriftSql("embeddings"),

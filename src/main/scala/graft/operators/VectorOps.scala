@@ -199,14 +199,24 @@ object VectorOps {
         catch { case _: Throwable => true }
       if (stopped) it.remove()
     }
+    val it2 = pcaCache.entrySet().iterator()
+    while (it2.hasNext) {
+      val stopped =
+        try it2.next().getValue._1.sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => true }
+      if (stopped) it2.remove()
+    }
   }
 
-  /** Drop every memoized quantized projection (unpersisting live ones) —
-   * the [[CountCache.invalidate]] analog for harnesses that rewrite the
-   * embeddings parquet in place within one session. */
+  /** Drop every memoized quantized projection and PCA chain
+   * (unpersisting live ones) — the [[CountCache.invalidate]] analog for
+   * harnesses that rewrite the embeddings parquet in place within one
+   * session. */
   def invalidateQuantCache(): Unit = {
     quantCache.forEach((_, df) => safeUnpersist(df))
     quantCache.clear()
+    pcaCache.forEach((_, v) => v._2.foreach(safeUnpersist))
+    pcaCache.clear()
   }
 
   private def quantizedFresh(embeddings: DataFrame): DataFrame =
@@ -1966,12 +1976,64 @@ object VectorOps {
    * pass is map-side partial aggregation onto 64 keys (the exchange
    * carries O(Dim) rows per task at ANY corpus size); the 64-row
    * iterate re-enters the next pass as a broadcast single-row array.
-   * Overflow headroom: |t| ≤ Dim·2²¹ = 2²⁷, per-term |q·t| ≤ 2⁴⁷ cast
-   * to DECIMAL(38,0) BEFORE the sum (Spark's BIGINT sum would wrap
-   * silently non-ANSI), accumulated sum ≤ n·2⁴⁷ — inside DECIMAL(38,0)
-   * to n ≈ 2⁷⁸⁻⁴⁷ ≫ any corpus; the normalization product |w|·2²⁰ ≤
-   * ~2⁸⁶ also fits. */
-  def embPcaPower(embeddings: DataFrame): DataFrame = {
+   * Every chain intermediate (≤ 64 rows) is persisted so each mat-vec
+   * subtree PLANS AND RUNS ONCE — the round-14 shape referenced `v1`
+   * both as normalize's input and inside its own max-|w| aggregate,
+   * which re-expanded each pass's whole lineage per reference (14
+   * structural BroadcastNestedLoopJoins where 4 exist; PlanGuard's
+   * budget catches exactly this). The 64-row result itself is memoized
+   * per (session, scan) like [[quantized]], so the three spectral
+   * consumer queries share ONE chain computation per session.
+   * Overflow headroom (pass 2 is the binding case): |t| = |q·v₁ − k₁|
+   * ≤ 2·Dim·2²¹·2²⁰ = 2⁴⁸; the per-term product qv·t ≤ 2⁶⁹ is formed
+   * as a DECIMAL(38,0)×DECIMAL(38,0) product — NEVER as a BIGINT
+   * multiply, which wraps silently non-ANSI above 2⁶³; the accumulated
+   * |w| ≤ n·2⁷⁰ and normalization product |w|·2²⁰ ≤ n·2⁹⁰ stay inside
+   * DECIMAL(38,0) to n ≈ 2³⁶ ≈ 7·10¹⁰ vectors (a 100 TB corpus of
+   * 4 KB embedding rows is ~2.5·10¹⁰). */
+  def embPcaPower(embeddings: DataFrame): DataFrame =
+    CountCache.scanKey(embeddings) match {
+      case None => embPcaPowerFresh(embeddings)._1
+      case Some(paths) =>
+        val key = System.identityHashCode(embeddings.sparkSession) + " " + paths
+        val hit = pcaCache.get(key)
+        if (hit != null && (hit._1.sparkSession eq embeddings.sparkSession)) {
+          // a harness clearCache() drops BOTH the result's persist and the
+          // chain intermediates' — re-persist the SAME frames in dependency
+          // order (the stored Seq is leaf→root) so each re-compiled
+          // cachedPlan substitutes its inner frames again. Rebuilding fresh
+          // frames here would be WRONG: unpersisting the displaced entry
+          // evicts by canonicalized plan, which the structurally-identical
+          // rebuild shares — it would silently evict its own chain.
+          if (hit._1.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+            quantized(embeddings) // re-register the shared projection first
+            hit._2.foreach { f =>
+              if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+                f.persist()
+            }
+          }
+          hit._1
+        } else {
+          val fresh = embPcaPowerFresh(embeddings)
+          val displaced = pcaCache.put(key, fresh)
+          // only a FOREIGN entry (identityHashCode collision — different
+          // session) is safe to unpersist: a same-session displaced entry
+          // shares canonicalized plans with `fresh`, and uncacheQuery
+          // matches by canonical plan, so unpersisting it would evict the
+          // fresh chain's own cache entries
+          if (displaced != null && !(displaced._1 eq fresh._1)
+              && !(displaced._1.sparkSession eq embeddings.sparkSession))
+            displaced._2.foreach(safeUnpersist)
+          fresh._1
+        }
+    }
+
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[DataFrame])]()
+
+  /** The chain itself; returns (result, every frame this call persisted)
+   * so the memo can unpersist a displaced/stale entry completely. */
+  private def embPcaPowerFresh(embeddings: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val qn = quantized(embeddings)
     val n = math.max(corpusSize(embeddings), 1L)
     val ones = typedLit(Seq.fill(Dim)(1L))
@@ -1983,18 +2045,17 @@ object VectorOps {
       .select(col("dim"),
         (signum(col("s")).cast("bigint") *
           expr(s"abs(s) div ${n}L")).as("m"))
-    val sortedArr = (d: Column, v: Column) =>
-      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
-        x => x.getField("v"))
-    val maux = mrow.agg(sortedArr(col("dim"), col("m")).as("m_arr"))
-      .select(col("m_arr"), dot(col("m_arr"), ones).as("sm"),
-        dot(col("m_arr"), col("m_arr")).as("mm"))
+      .persist()
+    // the mean's only whole-array use is the pass-1 scalar Σm (v₀ = 1⃗)
+    val saux = mrow.agg(sum(col("m")).as("sm")) // |Σm| ≤ Dim·2^21 = 2^27
 
-    // one mat-vec pass: given per-row t, the dim-keyed sums that make w
+    // one mat-vec pass: given per-row t, the dim-keyed sums that make w.
+    // qv·t as a DECIMAL product (ADVICE r14): BIGINT qv*t wraps silently
+    // past 2^63, which pass 2's |t| ≤ 2^48 × |qv| ≤ 2^21 can reach
     def matVec(withT: DataFrame): DataFrame =
       withT.select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
         .groupBy(col("dim"))
-        .agg(sum((col("qv") * col("t")).cast("decimal(38,0)")).as("sqt"),
+        .agg(sum(col("qv").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")).as("sqt"),
           sum(col("t").cast("decimal(38,0)")).as("st"))
         .join(broadcast(mrow), Seq("dim"))
         .select(col("dim"),
@@ -2006,21 +2067,29 @@ object VectorOps {
           (signum(col("w")).cast("bigint") *
             decTruncDiv(abs(col("w")) * lit(FxOne), col("wm"))).as(out))
     }
+    val sortedArr = (d: Column, v: Column) =>
+      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
+        x => x.getField("v"))
 
-    val w1 = matVec(qn.crossJoin(broadcast(maux))
-      .select(col("q"), (dot(col("q"), ones) - col("sm")).as("t")))
-    val v1 = normalize(w1, "v1_fx")
-    val v1aux = v1.agg(sortedArr(col("dim"), col("v1_fx")).as("v1a"))
-      .crossJoin(broadcast(maux))
-      .select(col("v1a"), dot(col("m_arr"), col("v1a")).as("k1"))
+    val w1 = matVec(qn.crossJoin(broadcast(saux))
+      .select(col("q"), (dot(col("q"), ones) - col("sm")).as("t"))).persist()
+    val v1 = normalize(w1, "v1_fx").persist()
+    // k1 = m·v₁ off the two persisted 64-row frames, dim-keyed — the
+    // exact shape the oracle runs (`m JOIN v1 USING (dim)`), one fewer
+    // 1-row crossJoin than the round-14 array form
+    val v1aux = mrow.join(v1, Seq("dim"))
+      .agg(sortedArr(col("dim"), col("v1_fx")).as("v1a"),
+        sum(col("m") * col("v1_fx")).as("k1")) // |m·v1| ≤ Dim·2^41 = 2^47
     val w2 = matVec(qn.crossJoin(broadcast(v1aux))
-      .select(col("q"), (dot(col("q"), col("v1a")) - col("k1")).as("t")))
+      .select(col("q"), (dot(col("q"), col("v1a")) - col("k1")).as("t"))).persist()
     val v2 = normalize(w2, "v2_fx")
 
-    broadcast(mrow).join(v1, Seq("dim")).join(v2, Seq("dim"))
+    val out = broadcast(mrow).join(v1, Seq("dim")).join(v2, Seq("dim"))
       .select(col("dim").cast("bigint").as("dim"), col("m").as("mean_q"),
         col("v1_fx"), col("v2_fx"))
       .orderBy(col("dim"))
+      .persist()
+    (out, Seq(mrow, w1, v1, w2, out))
   }
 
   def embPcaPowerSql(table: String): String = {
@@ -2063,6 +2132,151 @@ object VectorOps {
        |SELECT m.dim, m.m AS mean_q, v1.v1_fx, v2.v2_fx
        |FROM m JOIN v1 USING (dim) JOIN v2 USING (dim)
        |ORDER BY m.dim""".stripMargin
+  }
+
+  /** Top-2 principal directions — [[embPcaPower]]'s dominant iterate
+   * plus a SECOND component extracted by power iteration under exact
+   * Gram–Schmidt deflation. One component cannot separate anisotropy
+   * from a genuinely multi-modal embedding space; the second direction
+   * is what sharpens the residual screen and exposes a two-cluster
+   * corpus (two embedding models mixed, a re-embedded slice) that the
+   * dominant direction alone renders as "wide".
+   *
+   * Deflation is DIVISION-FREE and therefore exact: instead of
+   * subtracting v̂(v̂·w) (whose unit-normalization needs a lossy
+   * divide), each pass orthogonalizes the NORMALIZED iterate wn as
+   * w' = (v·v)·wn − (v·wn)·v — a scalar multiple of the true
+   * projection-removed vector, so the direction is identical and every
+   * operand an exact integer: |v·wn| ≤ Dim·2⁴⁰ = 2⁴⁶ (BIGINT),
+   * per-component products ≤ 2⁴⁶·2²⁰ = 2⁶⁶ formed as DECIMAL(38,0) —
+   * n-independent, because deflation runs on 64-row normalized frames.
+   * Two deflated passes from u₀ = 1⃗ mirror the two-pass audit contract
+   * of the first component. Only the 2²⁰ fixed-point normalizations
+   * truncate, and both engines truncate identically.
+   *
+   * Output: one row per dimension (dim, mean_q, pc1_fx, pc2_fx) with
+   * pc1 = the chain's v₂ iterate and pc2 = the deflated iterate u₂.
+   *
+   * Scale shape: the memoized [[embPcaPower]] chain (paid once per
+   * session across the whole spectral family) + two more mat-vec
+   * passes over the persisted quantized projection, each map-side
+   * partial aggregation onto 64 keys; every broadcast side is one row
+   * at ANY corpus size. The iterate lives as a 1-ROW ARRAY COLUMN
+   * between steps — normalize/deflate are expressions over
+   * materialized array columns, so each plan subtree is referenced
+   * ONCE and the logical tree stays linear (the 64-row-frame shape,
+   * where every normalize's max-|w| aggregate re-references its
+   * input's whole lineage, nests the chain exponentially — ~250
+   * structural copies by the second deflated pass, enough to OOM the
+   * plan stringifier before a single task runs). */
+  def embPcaTopk(embeddings: DataFrame): DataFrame = {
+    val qn = quantized(embeddings)
+    val pca = embPcaPower(embeddings)
+    val dec = "decimal(38,0)"
+    val sortedArr = (d: Column, v: Column) =>
+      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
+        x => x.getField("v"))
+    val mloc = pca.select(col("dim"), col("mean_q").as("m"))
+    // 1-row carry frame: every per-pass scalar/array the expressions
+    // need, so the only joins a pass adds are two 1-row broadcasts
+    val paux = pca.agg(
+      sortedArr(col("dim"), col("mean_q")).as("m_arr"),
+      sortedArr(col("dim"), col("v2_fx")).as("v_arr"))
+      .select(col("m_arr"), col("v_arr"),
+        dot(col("v_arr"), col("v_arr")).as("vv")) // ≤ Dim·2^40 = 2^46
+
+    // one deflated pass: uframe is 1 row (m_arr, v_arr, vv, u_arr, ku);
+    // returns the same shape with the next iterate
+    def pass(uframe: DataFrame): DataFrame = {
+      val wdim = qn.crossJoin(broadcast(uframe.select(col("u_arr"), col("ku"))))
+        .select(col("q"), (dot(col("q"), col("u_arr")) - col("ku")).as("t"))
+        .select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
+        .groupBy(col("dim"))
+        // qv·t as a DECIMAL product: |t| ≤ 2^48, |qv| ≤ 2^21 — a BIGINT
+        // multiply would wrap silently past 2^63
+        .agg(sum(col("qv").cast(dec) * col("t").cast(dec)).as("sqt"),
+          sum(col("t").cast(dec)).as("st"))
+        .join(broadcast(mloc), Seq("dim"))
+        .select(col("dim"), (col("sqt") - col("m").cast(dec) * col("st")).as("w"))
+      wdim.agg(sortedArr(col("dim"), col("w")).as("w_arr"))
+        .crossJoin(broadcast(paux))
+        .withColumn("wm",
+          greatest(array_max(transform(col("w_arr"), x => abs(x))), lit(1L).cast(dec)))
+        .withColumn("wn_arr", transform(col("w_arr"), x =>
+          signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm"))))
+        .withColumn("vw", dot(col("v_arr"), col("wn_arr"))) // ≤ Dim·2^40 = 2^46
+        // division-free deflation: w' = (v·v)·wn − (v·wn)·v — exact
+        // integers, per-element products ≤ 2^46·2^20 = 2^66 in DECIMAL
+        .withColumn("wd_arr", zip_with(col("wn_arr"), col("v_arr"), (a, b) =>
+          col("vv").cast(dec) * a.cast(dec) - col("vw").cast(dec) * b.cast(dec)))
+        .withColumn("wm2",
+          greatest(array_max(transform(col("wd_arr"), x => abs(x))), lit(1L).cast(dec)))
+        .select(col("m_arr"), col("v_arr"), col("vv"),
+          transform(col("wd_arr"), x =>
+            signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm2")))
+            .as("u_arr"))
+        .withColumn("ku", dot(col("m_arr"), col("u_arr"))) // ≤ Dim·2^41 = 2^47
+    }
+
+    val ones = typedLit(Seq.fill(Dim)(1L))
+    val u0 = paux.select(col("m_arr"), col("v_arr"), col("vv"),
+      ones.as("u_arr"), dot(col("m_arr"), ones).as("ku"))
+    val u2 = pass(pass(u0))
+
+    pca.join(
+      u2.select(posexplode(col("u_arr")).as(Seq("dim", "pc2_fx")))
+        .select(col("dim").cast("bigint").as("dim"), col("pc2_fx")),
+      Seq("dim"))
+      .select(col("dim"), col("mean_q"), col("v2_fx").as("pc1_fx"), col("pc2_fx"))
+      .orderBy(col("dim"))
+  }
+
+  def embPcaTopkSql(table: String): String = {
+    val fx = FxOne
+    // one deflated pass as SQL CTEs; `t` is the per-row scalar CTE text.
+    // Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
+    // INLINES plain CTEs per reference, and the pass chain references
+    // pca/wm/wn/wd 2-3× each — the un-hinted form re-expands the whole
+    // upstream chain exponentially (the same disease the Spark side
+    // avoids by carrying the iterate as a 1-row array column), turning
+    // a seconds-long oracle into a non-terminating one
+    def passSql(tag: String, tExpr: String, prev: String): String =
+      s"""t$tag AS MATERIALIZED (SELECT vec_id, $tExpr AS t FROM $prev),
+         |w$tag AS (SELECT e.dim,
+         |              CAST(sum(CAST(qv AS HUGEINT) * t) AS DECIMAL(38,0)) AS sqt,
+         |              CAST(sum(CAST(t AS HUGEINT)) AS DECIMAL(38,0)) AS st
+         |       FROM e JOIN t$tag USING (vec_id) GROUP BY e.dim),
+         |wm$tag AS MATERIALIZED (SELECT w$tag.dim, sqt - CAST(mean_q AS DECIMAL(38,0)) * st AS w
+         |        FROM w$tag JOIN pca ON w$tag.dim = pca.dim),
+         |wx$tag AS (SELECT greatest(CAST(max(abs(w)) AS HUGEINT), 1) AS wm FROM wm$tag),
+         |wn$tag AS MATERIALIZED (SELECT dim, (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+         |             * CAST(${truncDivSql(s"abs(CAST(w AS HUGEINT)) * $fx", "wm")} AS BIGINT) AS wn
+         |       FROM wm$tag CROSS JOIN wx$tag),
+         |d$tag AS (SELECT CAST(sum(v2_fx * wn) AS BIGINT) AS vw,
+         |                 CAST(sum(v2_fx * v2_fx) AS BIGINT) AS vv
+         |          FROM pca JOIN wn$tag ON pca.dim = wn$tag.dim),
+         |wd$tag AS MATERIALIZED (SELECT wn$tag.dim,
+         |                  CAST(vv AS HUGEINT) * wn - CAST(vw AS HUGEINT) * v2_fx AS w
+         |           FROM wn$tag JOIN pca ON wn$tag.dim = pca.dim CROSS JOIN d$tag),
+         |wdx$tag AS (SELECT greatest(CAST(max(abs(w)) AS HUGEINT), 1) AS wm FROM wd$tag),
+         |u$tag AS MATERIALIZED (SELECT dim, (CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+         |             * CAST(${truncDivSql(s"abs(CAST(w AS HUGEINT)) * $fx", "wm")} AS BIGINT) AS u
+         |       FROM wd$tag CROSS JOIN wdx$tag)""".stripMargin
+    s"""WITH pca AS MATERIALIZED (${embPcaPowerSql(table)}),
+       |${quantizedSql(table)},
+       |e AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, q[CAST(i AS INT)] AS qv
+       |      FROM qn CROSS JOIN range(1, ${Dim + 1}) AS r(i)),
+       |ku0 AS (SELECT CAST(sum(mean_q) AS BIGINT) AS ku FROM pca),
+       |p0 AS (SELECT vec_id, q, ku FROM qn CROSS JOIN ku0),
+       |${passSql("a", "CAST(list_sum(q) AS BIGINT) - ku", "p0")},
+       |u1aux AS (SELECT list(u ORDER BY ua.dim) AS u_arr,
+       |                 CAST(sum(mean_q * u) AS BIGINT) AS ku
+       |          FROM pca JOIN ua ON pca.dim = ua.dim),
+       |p1 AS (SELECT vec_id, q, u_arr, ku FROM qn CROSS JOIN u1aux),
+       |${passSql("b", s"${dotSql("q", "u_arr")} - ku", "p1")}
+       |SELECT pca.dim, pca.mean_q, pca.v2_fx AS pc1_fx, ub.u AS pc2_fx
+       |FROM pca JOIN ub ON pca.dim = ub.dim
+       |ORDER BY pca.dim""".stripMargin
   }
 
   /** Residual-outlier screen: the [[PcaResidK]] vectors FURTHEST from

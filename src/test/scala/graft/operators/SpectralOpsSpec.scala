@@ -86,6 +86,80 @@ class SpectralOpsSpec extends AnyFunSuite with SparkTestHarness {
       1048576L / 10, "off-axis components stay an order below")
   }
 
+  /** Sequential mirror of the deflated second-component recipe. */
+  private def pca2Ref(vecs: Seq[Array[Float]]): Array[Long] = {
+    val dim = VectorOps.Dim
+    val (m, _, v2) = pcaRef(vecs)
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1048576.0).toLong))
+    def matVec(u: Array[Long]): Array[BigInt] = {
+      val k = (0 until dim).map(j => BigInt(m(j)) * u(j)).sum
+      val t = q.map(qi => (0 until dim).map(j => BigInt(qi(j)) * u(j)).sum - k)
+      val tSum = t.sum
+      Array.tabulate(dim) { j =>
+        q.iterator.zip(t.iterator).map { case (qi, ti) => BigInt(qi(j)) * ti }.sum -
+          BigInt(m(j)) * tSum
+      }
+    }
+    def normalize(w: Array[BigInt]): Array[Long] = {
+      val wm = w.iterator.map(_.abs).max.max(BigInt(1))
+      w.map(x => ((x.abs * Fx / wm) * x.signum).toLong)
+    }
+    // division-free deflation on the NORMALIZED iterate:
+    // w' = (v·v)·wn − (v·wn)·v — exact integers end to end
+    def pass(u: Array[Long]): Array[Long] = {
+      val wn = normalize(matVec(u))
+      val vw = (0 until dim).map(j => BigInt(v2(j)) * wn(j)).sum
+      val vv = (0 until dim).map(j => BigInt(v2(j)) * v2(j)).sum
+      normalize(Array.tabulate(dim)(j => vv * wn(j) - vw * v2(j)))
+    }
+    pass(pass(Array.fill(dim)(1L)))
+  }
+
+  test("emb_pca_topk matches the sequential BigInt deflation mirror") {
+    val vecs = collectVecs()
+    val (m, _, v2) = pcaRef(vecs.map(_._2))
+    val u2 = pca2Ref(vecs.map(_._2))
+    val got = VectorOps.embPcaTopk(Tables.embeddings(spark, dir))
+      .orderBy(col("dim")).collect()
+    assert(got.length === VectorOps.Dim)
+    got.foreach { r =>
+      val d = r.getLong(0).toInt
+      assert(r.getLong(1) === m(d), s"mean_q dim $d")
+      assert(r.getLong(2) === v2(d), s"pc1_fx dim $d")
+      assert(r.getLong(3) === u2(d), s"pc2_fx dim $d")
+    }
+    // the deflated iterate is near-orthogonal to pc1: |v·u| ≤ a few
+    // fx-ulps per component (truncation only — deflation itself is exact)
+    val vDotU = (0 until VectorOps.Dim)
+      .map(j => BigInt(v2(j)) * u2(j)).sum.abs
+    val vNorm = math.sqrt((0 until VectorOps.Dim).map(j => BigInt(v2(j)) * v2(j)).sum.toDouble)
+    val uNorm = math.sqrt((0 until VectorOps.Dim).map(j => BigInt(u2(j)) * u2(j)).sum.toDouble)
+    assert(vDotU.toDouble / (vNorm * uNorm) < 0.01,
+      "second component must be near-orthogonal to the first")
+  }
+
+  test("emb_pca_topk separates two planted directions") {
+    import spark.implicits._
+    val dim = VectorOps.Dim
+    // dominant spread on dim 3 (±1 amplitude), secondary on dim 7 (±0.3),
+    // independent sign patterns so neither collapses into the other
+    val rows = (0 until 48).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(3) = (if (i % 2 == 0) 1 else -1) * (0.8f + (i % 5) * 0.05f)
+      v(7) = (if ((i / 2) % 2 == 0) 1 else -1) * (0.25f + (i % 3) * 0.02f)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = VectorOps.embPcaTopk(df).orderBy(col("dim")).collect()
+    val pc1 = out.map(_.getLong(2))
+    val pc2 = out.map(_.getLong(3))
+    assert(math.abs(pc1(3)) === 1048576L, "pc1 is the planted dominant dim 3")
+    assert(math.abs(pc2(7)) === 1048576L, "pc2 is the planted secondary dim 7")
+    assert(pc2.zipWithIndex.filter(_._2 != 7).map(x => math.abs(x._1)).max <
+      1048576L / 10, "pc2 off-axis components stay an order below")
+  }
+
   test("pca_residual_outliers matches the sequential mirror and its invariants") {
     val vecs = collectVecs()
     val (m, _, v2) = pcaRef(vecs.map(_._2))

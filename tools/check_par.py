@@ -16,10 +16,11 @@ Exit 1 if any BAD.
 
 Outputs larger than --dbdiff-rows (default 3M) are compared entirely
 inside DuckDB — a two-sided EXCEPT ALL multiset diff over the
-name-sorted column list — instead of the pandas value loop. Same
-strength (exact multiset equality; EXCEPT resolves int32/int64-style
-dtype drift to a common supertype just as the pandas `==` did), but
-streaming and spillable, so the 60M-row window/sessionize oracles are
+name-sorted column list, with BOTH sides cast to the Spark dump's
+column types (a bare EXCEPT would coerce a BIGINT-vs-DOUBLE drift to
+lossy DOUBLE and mask exact-integer diffs above 2^53) — instead of
+the pandas value loop. Exact multiset equality, but streaming and
+spillable, so the 60M-row window/sessionize oracles are
 sf10-tractable without weakening to a rollup.
 """
 import argparse
@@ -77,8 +78,9 @@ def check_one(task):
             # temp table (it is referenced twice by the two-sided EXCEPT).
             con.execute(f"CREATE TEMP TABLE ora_side AS {sql}")
             dt0 = time.time() - t0
-            s_cols = sorted(r[0] for r in con.execute(
-                "DESCRIBE spark_side").fetchall())
+            s_desc = con.execute("DESCRIBE spark_side").fetchall()
+            s_cols = sorted(r[0] for r in s_desc)
+            s_types = {r[0]: r[1] for r in s_desc}
             o_cols = sorted(r[0] for r in con.execute(
                 "DESCRIBE ora_side").fetchall())
             if s_cols != o_cols:
@@ -88,7 +90,15 @@ def check_one(task):
             if n_spark != n_ora:
                 return (name, f"ROWS {n_spark} vs {n_ora}",
                         time.time() - t0)
-            cols = ", ".join(f'"{c}"' for c in s_cols)
+            # cast BOTH sides to the Spark dump's column types: a bare
+            # EXCEPT coerces paired columns to a common supertype, so a
+            # BIGINT-vs-DOUBLE (or DECIMAL-vs-DOUBLE) schema drift would
+            # compare after lossy DOUBLE coercion and mask exact-integer
+            # differences above 2^53; an explicit cast keeps the compare
+            # in the dump's type (an out-of-range oracle value errors,
+            # which is the correct failure)
+            cols = ", ".join(f'CAST("{c}" AS {s_types[c]}) AS "{c}"'
+                             for c in s_cols)
             n_diff = con.execute(
                 f"SELECT count(*) FROM ("
                 f"(SELECT {cols} FROM spark_side EXCEPT ALL "
