@@ -1971,19 +1971,19 @@ object VectorOps {
    *
    * Output: one row per dimension (dim, mean_q, v1_fx, v2_fx), 64 rows.
    *
-   * Scale shape: three scans of the memoized quantized projection
+   * Scale shape: TWO scans of the memoized quantized projection
    * ([[quantized]] — persisted once for the whole vector family); each
    * pass is map-side partial aggregation onto 64 keys (the exchange
-   * carries O(Dim) rows per task at ANY corpus size); the 64-row
-   * iterate re-enters the next pass as a broadcast single-row array.
-   * Every chain intermediate (≤ 64 rows) is persisted so each mat-vec
-   * subtree PLANS AND RUNS ONCE — the round-14 shape referenced `v1`
-   * both as normalize's input and inside its own max-|w| aggregate,
-   * which re-expanded each pass's whole lineage per reference (14
-   * structural BroadcastNestedLoopJoins where 4 exist; PlanGuard's
-   * budget catches exactly this). The 64-row result itself is memoized
-   * per (session, scan) like [[quantized]], so the three spectral
-   * consumer queries share ONE chain computation per session.
+   * carries O(Dim) rows per task at ANY corpus size); the iterate
+   * re-enters pass 2 as a broadcast single-row array. The mean pass is
+   * FUSED into pass 1 (see [[embPcaPowerFresh]]), and every step
+   * between the scans is array-expression arithmetic over one
+   * persisted 1-row carry frame — each subtree PLANS AND RUNS ONCE
+   * (the round-14 64-row-frame shape re-expanded each pass's lineage
+   * per reference; PlanGuard's budget catches exactly this). The
+   * 64-row result itself is memoized per (session, scan) like
+   * [[quantized]], so the spectral consumer queries share ONE chain
+   * computation per session.
    * Overflow headroom (pass 2 is the binding case): |t| = |q·v₁ − k₁|
    * ≤ 2·Dim·2²¹·2²⁰ = 2⁴⁸; the per-term product qv·t ≤ 2⁶⁹ is formed
    * as a DECIMAL(38,0)×DECIMAL(38,0) product — NEVER as a BIGINT
@@ -2031,65 +2031,110 @@ object VectorOps {
   private val pcaCache =
     new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[DataFrame])]()
 
+  /** Sorted-by-dim array collapse of a (dim, v) frame — the 64-row →
+   * 1-row-array bridge the whole spectral family rides. */
+  private def sortedArrAgg(d: Column, v: Column): Column =
+    transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
+      x => x.getField("v"))
+
   /** The chain itself; returns (result, every frame this call persisted)
-   * so the memo can unpersist a displaced/stale entry completely. */
+   * so the memo can unpersist a displaced/stale entry completely.
+   *
+   * Round-16 shape (optimization round; output byte-identical to the
+   * round-15 three-pass form, proven by the BigInt mirror spec + oracle
+   * hash at sf0.01/sf0.1): the mean pass and mat-vec pass 1 FUSE into
+   * one scan — with v₀ = 1⃗ fixed, w1 needs only per-dim S = Σ qv and
+   * G = Σ qv·(q·1⃗), because Σᵢ qvᵢ·t₁ᵢ = G − sm·S and Σᵢ t₁ᵢ = T − n·sm
+   * (T = ΣS, sm = Σm) — so pass 1 costs ZERO extra scans on top of the
+   * mean. Everything between the two remaining scans (mean, w1,
+   * normalize, k1) is expression arithmetic over ONE 1-row array-column
+   * carry frame, not chains of 64-row frames: the round-15 shape
+   * materialized each tiny step through its own aggregate + 1-row
+   * broadcast, and at 2 000-row bench inputs those ~25 fixed-latency
+   * Spark jobs WERE the query's whole cost (guide §1: job-count ×
+   * fixed stage latency, not bytes). Two corpus scans (S/G, then w2),
+   * two 1-row broadcasts, ~8 jobs total.
+   *
+   * Overflow headroom (unchanged analysis, now at the array level):
+   * per-term qv·r ≤ 2²¹·2²⁷ = 2⁴⁸ BIGINT-safe, G ≤ n·2⁴⁸ in
+   * DECIMAL(38,0); sm·S ≤ n·2⁴⁸; m·(T − n·sm) ≤ 2²¹·n·2²⁸ = n·2⁴⁹;
+   * pass-2 products qv·t ≤ 2⁶⁹ as DECIMAL(38,0) — all inside
+   * DECIMAL(38,0) to n ≈ 2³⁶ ≈ 7·10¹⁰ vectors. */
   private def embPcaPowerFresh(embeddings: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val qn = quantized(embeddings)
     val n = math.max(corpusSize(embeddings), 1L)
+    val dec = "decimal(38,0)"
     val ones = typedLit(Seq.fill(Dim)(1L))
 
-    // pass 1: per-dim quantized sums S and the truncated mean m
-    val e = qn.select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "qv")))
-    val mrow = e.groupBy(col("dim"))
-      .agg(sum(col("qv")).as("s")) // |S| ≤ n·2^20 — BIGINT-safe to n ≈ 2^43
-      .select(col("dim"),
-        (signum(col("s")).cast("bigint") *
-          expr(s"abs(s) div ${n}L")).as("m"))
-      .persist()
-    // the mean's only whole-array use is the pass-1 scalar Σm (v₀ = 1⃗)
-    val saux = mrow.agg(sum(col("m")).as("sm")) // |Σm| ≤ Dim·2^21 = 2^27
+    // ONE scan: per-dim S = Σ qv and G = Σ qv·(q·1⃗) — the fused
+    // mean + pass-1 aggregate (r = q·1⃗ is the per-row scalar)
+    val sg = qn.select(col("q"), dot(col("q"), ones).as("r"))
+      .select(posexplode(col("q")).as(Seq("dim", "qv")), col("r"))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv")).as("s"), // |S| ≤ n·2^21 — BIGINT-safe to n ≈ 2^42
+        // qv·r ≤ 2^48 BIGINT-safe per term; widen BEFORE the sum
+        sum((col("qv") * col("r")).cast(dec)).as("g"),
+        // exploded rows per dim = rows with a non-null vector: Σt must
+        // range over exactly the rows pass 1's explode saw, and the
+        // plan-time n counts null-embedding rows those sums never did
+        count(lit(1)).as("c"))
 
-    // one mat-vec pass: given per-row t, the dim-keyed sums that make w.
-    // qv·t as a DECIMAL product (ADVICE r14): BIGINT qv*t wraps silently
-    // past 2^63, which pass 2's |t| ≤ 2^48 × |qv| ≤ 2^21 can reach
-    def matVec(withT: DataFrame): DataFrame =
-      withT.select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
-        .groupBy(col("dim"))
-        .agg(sum(col("qv").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")).as("sqt"),
-          sum(col("t").cast("decimal(38,0)")).as("st"))
-        .join(broadcast(mrow), Seq("dim"))
-        .select(col("dim"),
-          (col("sqt") - col("m").cast("decimal(38,0)") * col("st")).as("w"))
-    def normalize(wdf: DataFrame, out: String): DataFrame = {
-      val wmax = wdf.agg(greatest(max(abs(col("w"))), lit(1L).cast("decimal(38,0)")).as("wm"))
-      wdf.crossJoin(broadcast(wmax))
-        .select(col("dim"),
-          (signum(col("w")).cast("bigint") *
-            decTruncDiv(abs(col("w")) * lit(FxOne), col("wm"))).as(out))
-    }
-    val sortedArr = (d: Column, v: Column) =>
-      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
-        x => x.getField("v"))
+    // collapse to one row; mean, w1, normalize and k1 are all array
+    // expressions — no further aggregates, joins, or corpus work
+    val carry1 = sg
+      .agg(sortedArrAgg(col("dim"), col("s")).as("s_arr"),
+        sortedArrAgg(col("dim"), col("g")).as("g_arr"),
+        sortedArrAgg(col("dim"), col("c")).as("c_arr"))
+      // m = sign(S)·⌊|S|/n⌋ — same truncating integer division as the
+      // round-15 `abs(s) div n` (decTruncDiv is exact on integers)
+      .withColumn("m_arr", transform(col("s_arr"), x =>
+        signum(x).cast("bigint") * decTruncDiv(abs(x), lit(n))))
+      .withColumn("sm", dot(col("m_arr"), ones)) // |Σm| ≤ Dim·2^21 = 2^27
+      // T = Σ S as DECIMAL: Σᵢ t₁ᵢ = T − nn·sm (exact; nn = non-null rows)
+      .withColumn("tt", aggregate(col("s_arr"), lit(0L).cast(dec),
+        (acc, x) => acc + x.cast(dec)))
+      .withColumn("ts", col("tt") - array_max(col("c_arr")).cast(dec) * col("sm").cast(dec))
+      // w1 = G − sm·S − m·(T − n·sm) per dim
+      .withColumn("w1_arr", zip_with(
+        zip_with(col("g_arr"), col("s_arr"),
+          (g, s) => g - col("sm").cast(dec) * s.cast(dec)),
+        col("m_arr"), (x, m) => x - m.cast(dec) * col("ts")))
+      .withColumn("wm1",
+        greatest(array_max(transform(col("w1_arr"), x => abs(x))), lit(1L).cast(dec)))
+      .withColumn("v1_arr", transform(col("w1_arr"), x =>
+        signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm1"))))
+      .select(col("m_arr"), col("v1_arr"),
+        dot(col("m_arr"), col("v1_arr")).as("k1")) // |m·v1| ≤ Dim·2^41 = 2^47
+      .persist() // referenced twice: pass-2 scan + the final assembly
 
-    val w1 = matVec(qn.crossJoin(broadcast(saux))
-      .select(col("q"), (dot(col("q"), ones) - col("sm")).as("t"))).persist()
-    val v1 = normalize(w1, "v1_fx").persist()
-    // k1 = m·v₁ off the two persisted 64-row frames, dim-keyed — the
-    // exact shape the oracle runs (`m JOIN v1 USING (dim)`), one fewer
-    // 1-row crossJoin than the round-14 array form
-    val v1aux = mrow.join(v1, Seq("dim"))
-      .agg(sortedArr(col("dim"), col("v1_fx")).as("v1a"),
-        sum(col("m") * col("v1_fx")).as("k1")) // |m·v1| ≤ Dim·2^41 = 2^47
-    val w2 = matVec(qn.crossJoin(broadcast(v1aux))
-      .select(col("q"), (dot(col("q"), col("v1a")) - col("k1")).as("t"))).persist()
-    val v2 = normalize(w2, "v2_fx")
-
-    val out = broadcast(mrow).join(v1, Seq("dim")).join(v2, Seq("dim"))
-      .select(col("dim").cast("bigint").as("dim"), col("m").as("mean_q"),
-        col("v1_fx"), col("v2_fx"))
+    // pass 2: the second (and last) corpus scan. qv·t as a DECIMAL
+    // product (ADVICE r14): BIGINT qv*t wraps silently past 2^63,
+    // which pass 2's |t| ≤ 2^48 × |qv| ≤ 2^21 can reach
+    val out = qn.crossJoin(broadcast(carry1.select(col("v1_arr"), col("k1"))))
+      .select(col("q"), (dot(col("q"), col("v1_arr")) - col("k1")).as("t"))
+      .select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv").cast(dec) * col("t").cast(dec)).as("sqt"),
+        sum(col("t").cast(dec)).as("st"))
+      // st = Σt is dim-independent; max() over 64 identical values
+      // survives the collapse without a second carry column
+      .agg(sortedArrAgg(col("dim"), col("sqt")).as("sqt_arr"), max(col("st")).as("st"))
+      .crossJoin(broadcast(carry1))
+      .withColumn("w2_arr", zip_with(col("sqt_arr"), col("m_arr"),
+        (sq, m) => sq - m.cast(dec) * col("st")))
+      .withColumn("wm2",
+        greatest(array_max(transform(col("w2_arr"), x => abs(x))), lit(1L).cast(dec)))
+      .withColumn("v2_arr", transform(col("w2_arr"), x =>
+        signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm2"))))
+      .select(posexplode(arrays_zip(col("m_arr"), col("v1_arr"), col("v2_arr")))
+        .as(Seq("dim", "z")))
+      .select(col("dim").cast("bigint").as("dim"),
+        col("z").getField("m_arr").as("mean_q"),
+        col("z").getField("v1_arr").as("v1_fx"),
+        col("z").getField("v2_arr").as("v2_fx"))
       .orderBy(col("dim"))
       .persist()
-    (out, Seq(mrow, w1, v1, w2, out))
+    (out, Seq(carry1, out))
   }
 
   def embPcaPowerSql(table: String): String = {
@@ -2158,77 +2203,82 @@ object VectorOps {
    * pc1 = the chain's v₂ iterate and pc2 = the deflated iterate u₂.
    *
    * Scale shape: the memoized [[embPcaPower]] chain (paid once per
-   * session across the whole spectral family) + two more mat-vec
-   * passes over the persisted quantized projection, each map-side
-   * partial aggregation onto 64 keys; every broadcast side is one row
-   * at ANY corpus size. The iterate lives as a 1-ROW ARRAY COLUMN
-   * between steps — normalize/deflate are expressions over
-   * materialized array columns, so each plan subtree is referenced
-   * ONCE and the logical tree stays linear (the 64-row-frame shape,
-   * where every normalize's max-|w| aggregate re-references its
-   * input's whole lineage, nests the chain exponentially — ~250
-   * structural copies by the second deflated pass, enough to OOM the
-   * plan stringifier before a single task runs). */
+   * session across the whole spectral family) + ONE more mat-vec pass
+   * over the persisted quantized projection (map-side partial
+   * aggregation onto 64 keys); every broadcast side is one row at ANY
+   * corpus size. The iterate lives as a 1-ROW ARRAY COLUMN between
+   * steps — normalize/deflate are expressions over materialized array
+   * columns, so each plan subtree is referenced ONCE and the logical
+   * tree stays linear.
+   *
+   * Why one pass, not two (round-16 optimization; output
+   * byte-identical, proven by the BigInt mirror spec + oracle hash):
+   * the FIRST deflated pass starts from u₀ = 1⃗ with ku₀ = Σ mean_q —
+   * exactly the chain's pass-1 input (t = q·1⃗ − Σm) — so its mat-vec
+   * and normalization reproduce the chain's v₁ iterate VERBATIM. The
+   * stored v1_fx therefore IS pass a's normalized iterate, and pass a
+   * reduces to the 64-element deflation arithmetic on the persisted
+   * chain output: zero corpus scans, zero aggregates. Only pass b
+   * (deflating a genuinely new direction) touches the corpus. */
   def embPcaTopk(embeddings: DataFrame): DataFrame = {
     val qn = quantized(embeddings)
     val pca = embPcaPower(embeddings)
     val dec = "decimal(38,0)"
-    val sortedArr = (d: Column, v: Column) =>
-      transform(array_sort(collect_list(struct(d.as("d"), v.as("v")))),
-        x => x.getField("v"))
-    val mloc = pca.select(col("dim"), col("mean_q").as("m"))
-    // 1-row carry frame: every per-pass scalar/array the expressions
-    // need, so the only joins a pass adds are two 1-row broadcasts
-    val paux = pca.agg(
-      sortedArr(col("dim"), col("mean_q")).as("m_arr"),
-      sortedArr(col("dim"), col("v2_fx")).as("v_arr"))
-      .select(col("m_arr"), col("v_arr"),
-        dot(col("v_arr"), col("v_arr")).as("vv")) // ≤ Dim·2^40 = 2^46
 
-    // one deflated pass: uframe is 1 row (m_arr, v_arr, vv, u_arr, ku);
-    // returns the same shape with the next iterate
-    def pass(uframe: DataFrame): DataFrame = {
-      val wdim = qn.crossJoin(broadcast(uframe.select(col("u_arr"), col("ku"))))
-        .select(col("q"), (dot(col("q"), col("u_arr")) - col("ku")).as("t"))
-        .select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
-        .groupBy(col("dim"))
-        // qv·t as a DECIMAL product: |t| ≤ 2^48, |qv| ≤ 2^21 — a BIGINT
-        // multiply would wrap silently past 2^63
-        .agg(sum(col("qv").cast(dec) * col("t").cast(dec)).as("sqt"),
-          sum(col("t").cast(dec)).as("st"))
-        .join(broadcast(mloc), Seq("dim"))
-        .select(col("dim"), (col("sqt") - col("m").cast(dec) * col("st")).as("w"))
-      wdim.agg(sortedArr(col("dim"), col("w")).as("w_arr"))
-        .crossJoin(broadcast(paux))
-        .withColumn("wm",
-          greatest(array_max(transform(col("w_arr"), x => abs(x))), lit(1L).cast(dec)))
-        .withColumn("wn_arr", transform(col("w_arr"), x =>
-          signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm"))))
-        .withColumn("vw", dot(col("v_arr"), col("wn_arr"))) // ≤ Dim·2^40 = 2^46
-        // division-free deflation: w' = (v·v)·wn − (v·wn)·v — exact
-        // integers, per-element products ≤ 2^46·2^20 = 2^66 in DECIMAL
-        .withColumn("wd_arr", zip_with(col("wn_arr"), col("v_arr"), (a, b) =>
-          col("vv").cast(dec) * a.cast(dec) - col("vw").cast(dec) * b.cast(dec)))
-        .withColumn("wm2",
-          greatest(array_max(transform(col("wd_arr"), x => abs(x))), lit(1L).cast(dec)))
-        .select(col("m_arr"), col("v_arr"), col("vv"),
-          transform(col("wd_arr"), x =>
-            signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm2")))
-            .as("u_arr"))
-        .withColumn("ku", dot(col("m_arr"), col("u_arr"))) // ≤ Dim·2^41 = 2^47
-    }
+    // pass a, scan-free: deflate the chain's v₁ iterate (== pass a's
+    // normalized mat-vec, see scaladoc) against v = v₂ on one row
+    val u1 = pca.agg(
+      sortedArrAgg(col("dim"), col("mean_q")).as("m_arr"),
+      sortedArrAgg(col("dim"), col("v2_fx")).as("v_arr"),
+      sortedArrAgg(col("dim"), col("v1_fx")).as("wn_arr"))
+      .withColumn("vv", dot(col("v_arr"), col("v_arr"))) // ≤ Dim·2^40 = 2^46
+      .withColumn("vw", dot(col("v_arr"), col("wn_arr"))) // ≤ Dim·2^40 = 2^46
+      // division-free deflation: w' = (v·v)·wn − (v·wn)·v — exact
+      // integers, per-element products ≤ 2^46·2^20 = 2^66 in DECIMAL
+      .withColumn("wd_arr", zip_with(col("wn_arr"), col("v_arr"), (a, b) =>
+        col("vv").cast(dec) * a.cast(dec) - col("vw").cast(dec) * b.cast(dec)))
+      .withColumn("wm2",
+        greatest(array_max(transform(col("wd_arr"), x => abs(x))), lit(1L).cast(dec)))
+      .select(col("m_arr"), col("v_arr"), col("vv"),
+        transform(col("wd_arr"), x =>
+          signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm2")))
+          .as("u_arr"))
+      .withColumn("ku", dot(col("m_arr"), col("u_arr"))) // ≤ Dim·2^41 = 2^47
 
-    val ones = typedLit(Seq.fill(Dim)(1L))
-    val u0 = paux.select(col("m_arr"), col("v_arr"), col("vv"),
-      ones.as("u_arr"), dot(col("m_arr"), ones).as("ku"))
-    val u2 = pass(pass(u0))
-
-    pca.join(
-      u2.select(posexplode(col("u_arr")).as(Seq("dim", "pc2_fx")))
-        .select(col("dim").cast("bigint").as("dim"), col("pc2_fx")),
-      Seq("dim"))
-      .select(col("dim"), col("mean_q"), col("v2_fx").as("pc1_fx"), col("pc2_fx"))
+    // pass b: the one corpus scan. qv·t as a DECIMAL product: |t| ≤
+    // 2^48, |qv| ≤ 2^21 — a BIGINT multiply would wrap past 2^63.
+    // u1 is re-derived for the closing crossJoin: both references are
+    // one tiny aggregate over the PERSISTED 64-row chain output
+    val out = qn.crossJoin(broadcast(u1.select(col("u_arr"), col("ku"))))
+      .select(col("q"), (dot(col("q"), col("u_arr")) - col("ku")).as("t"))
+      .select(posexplode(col("q")).as(Seq("dim", "qv")), col("t"))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv").cast(dec) * col("t").cast(dec)).as("sqt"),
+        sum(col("t").cast(dec)).as("st"))
+      // st = Σt is dim-independent; max() survives the collapse
+      .agg(sortedArrAgg(col("dim"), col("sqt")).as("sqt_arr"), max(col("st")).as("st"))
+      .crossJoin(broadcast(u1))
+      .withColumn("w_arr", zip_with(col("sqt_arr"), col("m_arr"),
+        (sq, m) => sq - m.cast(dec) * col("st")))
+      .withColumn("wm",
+        greatest(array_max(transform(col("w_arr"), x => abs(x))), lit(1L).cast(dec)))
+      .withColumn("wn_arr", transform(col("w_arr"), x =>
+        signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm"))))
+      .withColumn("vw", dot(col("v_arr"), col("wn_arr")))
+      .withColumn("wd_arr", zip_with(col("wn_arr"), col("v_arr"), (a, b) =>
+        col("vv").cast(dec) * a.cast(dec) - col("vw").cast(dec) * b.cast(dec)))
+      .withColumn("wm2",
+        greatest(array_max(transform(col("wd_arr"), x => abs(x))), lit(1L).cast(dec)))
+      .withColumn("u2_arr", transform(col("wd_arr"), x =>
+        signum(x).cast("bigint") * decTruncDiv(abs(x) * lit(FxOne), col("wm2"))))
+      .select(posexplode(arrays_zip(col("m_arr"), col("v_arr"), col("u2_arr")))
+        .as(Seq("dim", "z")))
+      .select(col("dim").cast("bigint").as("dim"),
+        col("z").getField("m_arr").as("mean_q"),
+        col("z").getField("v_arr").as("pc1_fx"),
+        col("z").getField("u2_arr").as("pc2_fx"))
       .orderBy(col("dim"))
+    out
   }
 
   def embPcaTopkSql(table: String): String = {
@@ -2293,7 +2343,7 @@ object VectorOps {
    * divide over two exact integers. Output (vec_id, c2, resid_fx,
    * resid_share), top-[[PcaResidK]] by (resid_fx desc, vec_id).
    *
-   * Scale shape: [[embPcaPower]]'s three bounded passes, then ONE more
+   * Scale shape: [[embPcaPower]]'s two bounded passes, then ONE more
    * scoring scan against two broadcast single-row arrays feeding a
    * TakeOrderedAndProject top-k — no shuffle of scored rows beyond the
    * per-partition k heads. */

@@ -65,20 +65,22 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestHarness {
     "hard_negatives" -> 1, // bounded broadcast query set x corpus (knn_label shape)
     "cm_error_audit" -> 1, // 1-row CM grid broadcast onto the 30-row candidate head (mix_weights shape)
     "retrieval_plan" -> 2, // the ann_ivf_topk pair: N·C chunk-assignment build + bounded probe stage
-    "emb_pca_power" -> 4, // four 1-row broadcasts (mix_weights shape): Σm / v₁-iterate
-                          // arrays into the two mat-vec passes + one max-|w| row per
-                          // fixed-point normalization — every BNLJ side is exactly one
-                          // row at ANY corpus size, and each is planned ONCE: the chain
-                          // intermediates are persisted (round-15 repair of the r14
-                          // re-expansion that planned 14 structural instances of these 4)
-    "emb_pca_topk" -> 8, // the chain's four + two deflated passes of two 1-row
-                         // broadcasts each (the u-iterate into the mat-vec scan and
-                         // the paux carry onto the 1-row w aggregate) — normalize
-                         // and deflation are EXPRESSIONS over 1-row array columns,
-                         // so they add no joins; every BNLJ side is one row
-    "pca_residual_outliers" -> 5, // emb_pca_power's four (memoized chain) + its own
+    "emb_pca_power" -> 2, // two 1-row carry broadcasts (mix_weights shape): the
+                          // persisted (m_arr, v1_arr, k1) frame enters the pass-2
+                          // mat-vec scan and the final assembly — every BNLJ side is
+                          // exactly one row at ANY corpus size (round 16 fused the
+                          // mean pass into pass 1 and folded the per-step 64-row
+                          // aggregates into array expressions: 4 BNLJs → 2)
+    "emb_pca_topk" -> 4, // the chain's two + deflated pass b's two 1-row
+                         // broadcasts (the u₁-iterate into the mat-vec scan and
+                         // the u₁ carry onto the 1-row w aggregate) — pass a is
+                         // scan-free round 16 (its mat-vec equals the chain's
+                         // pass 1, so it deflates the stored v1_fx directly);
+                         // normalize and deflation are EXPRESSIONS over 1-row
+                         // array columns, so they add no joins
+    "pca_residual_outliers" -> 3, // emb_pca_power's two (memoized chain) + its own
                                   // 1-row (m_arr, v_arr, den) scoring broadcast
-    "label_spectral_drift" -> 5,  // same shape: the PCA chain + one 1-row
+    "label_spectral_drift" -> 3,  // same shape: the PCA chain + one 1-row
                                   // (v_arr, kv) scoring broadcast
     "bpe_merges_iter" -> 4) // 1-row winning-pair broadcasts, one per chained iteration; iteration k's
                             // broadcast side re-nests the k−1 chain (all over the persisted O(vocab)
