@@ -1381,21 +1381,29 @@ object Relational {
    * wide DECIMAL→DOUBLE conversion (the [[timeWeightedValue]] last-ulp
    * trap); per-order micro-totals stay under 2⁵³, so the final
    * int64→double + one divide is bit-identical cross-engine, and
-   * `delta` with it. Ranking ties break by order key. Shape: one
-   * shuffle-join on the order key (both sides pre-projected), a
-   * partial-capable aggregate, and a TakeOrdered — never a global
-   * sort. */
+   * `delta` with it. Ranking ties break by order key. Shape (guide
+   * §2.3 "aggregate before you shuffle", round 16): lineitem reduces
+   * to one row per order BEFORE the join — the partial aggregate
+   * collapses the orderkey-clustered parquet rows map-side, so the
+   * exchange and the join move O(orders) rows instead of O(lineitems)
+   * — then an equi-join onto the pre-projected orders and a
+   * TakeOrdered; never a global sort. Value-identical to aggregating
+   * after the join: orders.o_orderkey is unique, so the per-(order,
+   * total) groups ARE the per-l_orderkey groups restricted to keys
+   * present in orders, and the inner join performs that restriction
+   * either way. */
   def orderPriceAudit(s: SparkSession, dir: String): DataFrame = {
     // pure BIGINT per-line product: cents × (100−discount%) × (100+tax%)
     // = net in 10⁻⁶ currency units, exact at every step
     def pct(c: Column) = (c.cast("decimal(18,2)") * 100).cast("long")
     val micro = pct(col("l_extendedprice")) *
       (lit(100L) - pct(col("l_discount"))) * (lit(100L) + pct(col("l_tax")))
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), micro.as("net_micro"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), micro.as("net_micro"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("net_micro")).as("micro_total"), count(lit(1)).as("n_lines"))
     Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
       .join(li, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_totalprice"))
-      .agg(sum(col("net_micro")).as("micro_total"), count(lit(1)).as("n_lines"))
       .select(col("o_orderkey"), col("o_totalprice"),
         (col("micro_total").cast("double") / lit(1000000.0)).as("computed_total"),
         col("n_lines"))

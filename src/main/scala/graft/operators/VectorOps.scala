@@ -176,12 +176,17 @@ object VectorOps {
         } else {
           val qn = quantizedFresh(embeddings).persist()
           val displaced = quantCache.put(key, qn)
-          // a displaced entry (identityHashCode collision or a compute
-          // race) would otherwise leak its persisted blocks for the JVM
-          // lifetime; same for entries whose session has been stopped
-          // (their key can never hit again — the hashCode belongs to a
-          // dead session object)
-          if (displaced != null && !(displaced eq qn)) safeUnpersist(displaced)
+          // a displaced FOREIGN entry (identityHashCode collision — a
+          // different session) would otherwise leak its persisted blocks
+          // for the JVM lifetime. A SAME-SESSION displaced entry (compute
+          // race) is deliberately NOT unpersisted: uncacheQuery matches by
+          // canonicalized plan, which the structurally-identical fresh
+          // projection shares — unpersisting the loser would silently
+          // evict the winner's cache entry (ADVICE r15; the pcaCache
+          // displacement logic below uses the same session-eq guard)
+          if (displaced != null && !(displaced eq qn)
+              && !(displaced.sparkSession eq embeddings.sparkSession))
+            safeUnpersist(displaced)
           evictStoppedSessions()
           qn
         }

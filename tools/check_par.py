@@ -96,7 +96,27 @@ def check_one(task):
             # compare after lossy DOUBLE coercion and mask exact-integer
             # differences above 2^53; an explicit cast keeps the compare
             # in the dump's type (an out-of-range oracle value errors,
-            # which is the correct failure)
+            # which is the correct failure).
+            # Casting is only sound WITHIN a numeric family: DuckDB's
+            # CAST(DOUBLE AS BIGINT) rounds to nearest, so an exact-vs-
+            # float family drift would mask any fractional divergence
+            # under 0.5 — fail it as schema drift instead (ADVICE r15)
+            o_types = {r[0]: r[1] for r in con.execute(
+                "DESCRIBE ora_side").fetchall()}
+
+            def fam(t):
+                t = t.upper()
+                if t in ("DOUBLE", "FLOAT", "REAL"):
+                    return "float"
+                if t.startswith("DECIMAL") or "INT" in t:
+                    return "exact"
+                return t
+
+            drift = {c: (s_types[c], o_types[c]) for c in s_cols
+                     if fam(s_types[c]) != fam(o_types[c])}
+            if drift:
+                return (name, f"SCHEMA type-family drift {drift}",
+                        time.time() - t0)
             cols = ", ".join(f'CAST("{c}" AS {s_types[c]}) AS "{c}"'
                              for c in s_cols)
             n_diff = con.execute(
