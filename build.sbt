@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (three rounds of BENCH parsed:null): the
+// forked run's stdout must reach the caller UNPREFIXED — sbt's default
+// LoggedOutput wraps every line as "[info] {...}", which the driver's
+// JSON parser does not strip. StdoutOutput passes the child's stdout
+// through verbatim (stderr likewise stays stderr).
+outputStrategy := Some(StdoutOutput)
+// ... and sbt's own trailing "[success] Total time ..." line must not
+// land AFTER the bench's final JSON line on stdout (Global scope — the
+// project-scoped setting is ignored by the command engine).
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint so the warning doesn't precede every build.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -259,20 +259,20 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    println(compact)
-    // The driver's BENCH artifact is a ~2 kB TAIL of stdout: at 138 queries
-    // the compact line alone is ~4 kB, so its HEAD — the headline totals —
-    // is exactly what truncation discards. Print a map-free summary line
-    // LAST (~200 B) so the artifact's tail always ends with a complete,
-    // standalone-parseable record of total/completed/failures; the full
-    // per-query map remains in the compact line above and in the
-    // bench_out.json artifact.
-    // The 2 kB tail keeps only the LAST lines: the compact map's head —
-    // where the expensive queries alphabetically early would land — is
-    // what truncation discards, so regressions in the costliest plans
-    // were invisible in the driver artifact (round-13 verdict item #7).
-    // Emit the top-20 medians by cost as their own short line so the
-    // queries where a regression matters always survive the cut.
+    // Stdout line order (round-17 driver-contract fix; BENCH_r14–r16 all
+    // carried parsed:null): with build.sbt's StdoutOutput + showSuccess
+    // := false these lines now reach the driver UNPREFIXED and nothing
+    // (sbt's "[success] Total time ..." included) prints after them, so
+    // the full per-query contract line `{"metric":"total",...,"queries":
+    // {...},"sf":...}` goes genuinely LAST for a last-line JSON parser.
+    // The two short diagnostic lines print FIRST:
+    //  - top-20 medians by cost, so the ~2 kB stdout-tail diagnostic the
+    //    driver archives still shows the queries where a regression
+    //    matters (round-13 verdict item #7) even though the compact map's
+    //    own head is what tail truncation discards;
+    //  - a map-free total_summary (~200 B) with the headline totals.
+    // Nothing is removed relative to round 16 — the same three lines,
+    // reordered so the contract line wins the "last line" position.
     val top20 = results.collect { case (k, Some(v)) => (k, v) }
       .sortBy { case (k, v) => (-v, k) }.take(20)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -281,6 +281,7 @@ object Bench {
     println(s"""{"metric":"total_summary","value":${total.map(fmt).getOrElse("null")},""" +
       s""""unit":"sec","completed":$completed,"n":${queries.size},""" +
       s""""failures":$failJson,"sf":"$rawSfDir"}""")
+    println(compact)
     spark.stop()
   }
 }
